@@ -1,0 +1,147 @@
+"""Image kernels: stdlib PNG codec, simulated-lossy codec, PSNR, phash.
+
+Pillow is not installed in this environment (SURVEY.md §7 phase 0), so
+the engine ships a pure zlib/struct PNG writer+reader (8-bit RGB,
+filter 0) for the synthetic image table. Real-image decode for formats
+we cannot code here (true JPEG) is STUBBED: ``fmt='jpeg'`` rows carry a
+**deterministic fake** — pixels quantized to step 4 then PNG-coded —
+which reproduces the lossy-codec invariant (PSNR >= ~46 dB vs the
+original, so the BASELINE.json "PSNR>=40dB for lossy" gate is exercised
+for real). Swap ``decode_image`` for a Pillow/libjpeg call in
+production; the Spark-side plumbing (binary column, batch shapes,
+mapInPandas signature) is identical.
+
+phash is a deterministic 8x8 average hash of the decoded pixels (no
+DCT), used as the near-duplicate key in the image dedup operator.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "encode_png", "decode_png", "encode_image", "decode_image",
+    "psnr", "average_phash", "QUANT_STEP",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+QUANT_STEP = 4  # simulated-lossy quantization step
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
+    """8-bit RGB (h, w, 3) uint8 -> PNG bytes (filter type 0 rows)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = pixels.shape
+    assert c == 3, "RGB only"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # prepend filter byte 0 to each scanline
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8. Handles filters 0-2 (what we and
+    most encoders of untextured data emit); raises on others."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise NotImplementedError("only 8-bit RGB non-interlaced")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * 3
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = rows[:, 0]
+    out = np.empty((h, w * 3), dtype=np.uint8)
+    for y in range(h):
+        line = rows[y, 1:].astype(np.int16)
+        f = filters[y]
+        if f == 0:
+            out[y] = line.astype(np.uint8)
+        elif f == 1:  # Sub
+            acc = line.copy()
+            acc[3:] = line[3:]
+            cur = acc
+            for i in range(3, w * 3):
+                cur[i] = (cur[i] + cur[i - 3]) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif f == 2:  # Up
+            prev = out[y - 1].astype(np.int16) if y else 0
+            out[y] = ((line + prev) & 0xFF).astype(np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter {f}")
+    return out.reshape(h, w, 3)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """fmt='png' -> lossless PNG; fmt='jpeg' -> deterministic simulated
+    lossy (quantize to QUANT_STEP then PNG-code). See module docstring."""
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpeg":
+        q = ((pixels.astype(np.int32) // QUANT_STEP) * QUANT_STEP
+             + QUANT_STEP // 2).clip(0, 255).astype(np.uint8)
+        return encode_png(q)
+    raise NotImplementedError(f"unsupported format {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Both synthetic formats are PNG-framed; a real deployment replaces
+    the 'jpeg' branch with libjpeg via Pillow/torchvision."""
+    if fmt in ("png", "jpeg"):
+        return decode_png(data)
+    raise NotImplementedError(f"unsupported format {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+def average_phash(pixels: np.ndarray) -> int:
+    """8x8 average hash -> int64. Grayscale by mean channel, block-mean
+    downsample to 8x8, bit i set iff block > global mean."""
+    g = pixels.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(8 + 1) * h) // 8
+    xs = (np.arange(8 + 1) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    # keep it in signed int64 range for parquet
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val

@@ -1,0 +1,197 @@
+"""ESRI ring geometry kernels (G1-G7 in SURVEY.md §2.3).
+
+Semantics parity targets (checked by tests/test_rings.py):
+  - winding test:      /root/reference/lib/rings2geojson.ts:11-23
+  - ring closure:      /root/reference/lib/rings2geojson.ts:27-43
+  - ray-cast PIP:      /root/reference/lib/rings2geojson.ts:54-64
+    (half-open y-interval ``yi <= py < yj`` in either edge direction,
+    strict ``<`` on the x-crossing — these exact inequalities are the
+    spatial-join refine predicate and must not be "improved")
+  - edge intersection: /root/reference/lib/rings2geojson.ts:70-85
+  - ring assembly:     /root/reference/lib/rings2geojson.ts:126-184
+    (holes popped LIFO, matched against shells from LAST to first,
+    unmatched holes reversed and promoted to new shells, rings with
+    fewer than 4 points after closing dropped)
+
+All point math is NumPy-vectorized; the only Python-level loop is over
+the (small) per-feature ring list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "ring_is_clockwise",
+    "close_ring",
+    "points_in_ring",
+    "point_in_ring",
+    "edges_intersect",
+    "rings_intersect",
+    "ring_contains_ring",
+    "rings_to_geojson",
+    "points_in_polygon",
+]
+
+
+def ring_is_clockwise(ring: np.ndarray) -> bool:
+    """Shoelace-style orientation: sum((x2-x1)*(y2+y1)) >= 0 => clockwise.
+
+    Clockwise signifies an outer ring in the ESRI rings model; counter-
+    clockwise a hole.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    x, y = ring[:, 0], ring[:, 1]
+    total = np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1]))
+    return bool(total >= 0)
+
+
+def close_ring(ring: np.ndarray) -> np.ndarray:
+    """Append the first point if the ring is not closed (exact equality)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if ring.shape[0] == 0:
+        return ring
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
+def points_in_ring(points: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast of many points against one ring.
+
+    Returns bool[m] for points (m,2) vs ring (n,2). Inequality semantics
+    are exactly the reference's: for edge (j -> i),
+      crossing iff ((yi <= py < yj) or (yj <= py < yi))
+                   and px < (xj-xi)*(py-yi)/(yj-yi) + xi
+    """
+    points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    ring = np.asarray(ring, dtype=np.float64)
+    n = ring.shape[0]
+    if n == 0:
+        return np.zeros(points.shape[0], dtype=bool)
+    px = points[:, 0][:, None]  # (m,1)
+    py = points[:, 1][:, None]
+    xi, yi = ring[:, 0][None, :], ring[:, 1][None, :]  # (1,n) — vertex i
+    # vertex j is the predecessor of i (j starts at n-1, then j = i-1)
+    xj = np.roll(ring[:, 0], 1)[None, :]
+    yj = np.roll(ring[:, 1], 1)[None, :]
+
+    y_cond = ((yi <= py) & (py < yj)) | ((yj <= py) & (py < yi))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_cross = (xj - xi) * (py - yi) / (yj - yi) + xi
+    x_cond = px < x_cross
+    crossings = y_cond & x_cond
+    # even-odd: odd number of crossings => inside
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def point_in_ring(point, ring) -> bool:
+    return bool(points_in_ring(np.asarray([point]), ring)[0])
+
+
+def edges_intersect(a: np.ndarray, b: np.ndarray) -> bool:
+    """Do any segments of polyline ``a`` intersect any segments of ``b``?
+
+    Parametric ua/ub in [0,1] test; parallel (u_b == 0) counts as no
+    intersection, matching the reference exactly.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.shape[0] < 2 or b.shape[0] < 2:
+        return False
+    a1, a2 = a[:-1], a[1:]  # (n,2)
+    b1, b2 = b[:-1], b[1:]  # (m,2)
+    # broadcast (n,1) x (1,m)
+    ax1, ay1 = a1[:, 0][:, None], a1[:, 1][:, None]
+    ax2, ay2 = a2[:, 0][:, None], a2[:, 1][:, None]
+    bx1, by1 = b1[:, 0][None, :], b1[:, 1][None, :]
+    bx2, by2 = b2[:, 0][None, :], b2[:, 1][None, :]
+
+    ua_t = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    ub_t = (ax2 - ax1) * (ay1 - by1) - (ay2 - ay1) * (ax1 - bx1)
+    u_b = (by2 - by1) * (ax2 - ax1) - (bx2 - bx1) * (ay2 - ay1)
+
+    nonpar = u_b != 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ua = ua_t / u_b
+        ub = ub_t / u_b
+    hit = nonpar & (ua >= 0) & (ua <= 1) & (ub >= 0) & (ub <= 1)
+    return bool(hit.any())
+
+
+# alias with the reference's ring-vs-ring meaning (both are (n,2) rings)
+rings_intersect = edges_intersect
+
+
+def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """hole containment: no edge intersection AND outer contains inner[0]."""
+    outer = np.asarray(outer, dtype=np.float64)
+    inner = np.asarray(inner, dtype=np.float64)
+    if edges_intersect(outer, inner):
+        return False
+    return point_in_ring(inner[0], outer)
+
+
+def rings_to_geojson(rings) -> dict:
+    """Assemble ESRI rings into a GeoJSON Polygon / MultiPolygon dict.
+
+    Exact ordering parity with the reference assembly:
+      * iterate rings in input order; close each (on a copy); drop rings
+        with < 4 points after closing
+      * clockwise ring -> new shell (in encounter order)
+      * counter-clockwise ring -> hole stack
+      * while holes remain: pop the LAST hole; scan shells from LAST to
+        first; first shell that contains it gets the hole appended;
+        if no shell contains it, reverse the hole and promote it to a
+        new shell (appended at the end)
+      * one shell -> Polygon, else MultiPolygon
+
+    Coordinates are returned as nested Python lists (JSON-ready).
+    """
+    outer_rings: list[list[np.ndarray]] = []
+    holes: list[np.ndarray] = []
+
+    for raw in rings:
+        ring = close_ring(np.asarray(raw, dtype=np.float64))
+        if ring.shape[0] < 4:
+            continue
+        if ring_is_clockwise(ring):
+            outer_rings.append([ring])
+        else:
+            holes.append(ring)
+
+    while holes:
+        hole = holes.pop()
+        matched = False
+        for x in range(len(outer_rings) - 1, -1, -1):
+            if ring_contains_ring(outer_rings[x][0], hole):
+                outer_rings[x].append(hole)
+                matched = True
+                break
+        if not matched:
+            outer_rings.append([hole[::-1]])
+
+    def _tolist(poly):
+        return [r.tolist() for r in poly]
+
+    if len(outer_rings) == 1:
+        return {"type": "Polygon", "coordinates": _tolist(outer_rings[0])}
+    return {
+        "type": "MultiPolygon",
+        "coordinates": [_tolist(p) for p in outer_rings],
+    }
+
+
+def points_in_polygon(points: np.ndarray, rings) -> np.ndarray:
+    """Even-odd containment of many points in a multi-ring polygon.
+
+    XOR of the per-ring ray-cast across every ring (shells and holes
+    alike) — the standard even-odd fill rule, built from the exact
+    reference ray-cast predicate. ``rings`` is an iterable of (n,2)
+    arrays. Returns bool[m].
+    """
+    points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    inside = np.zeros(points.shape[0], dtype=bool)
+    for ring in rings:
+        inside ^= points_in_ring(points, np.asarray(ring, dtype=np.float64))
+    return inside
