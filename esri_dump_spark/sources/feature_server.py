@@ -1,0 +1,179 @@
+"""Synthetic ESRI FeatureServer replay (S2-S5 in SURVEY.md §2.1).
+
+Replays the server-side semantics the reference's paged scans depend
+on, without a network:
+
+  * layer metadata with fields / extent / geometryType / maxRecordCount
+    and the capability checks the reference's #fetchMeta validates
+  * ``returnCountOnly`` count probe
+  * offset paging (``resultOffset``) in stable OID order
+  * envelope (bbox) queries with *inclusive* boundary intersection —
+    so features on a split line are returned by multiple quadrants,
+    exercising the cross-partition OID dedup exactly like overlapping
+    bbox pages do against a live server
+  * ``exceededTransferLimit`` when an envelope matches more than
+    ``max_record_count`` rows
+
+Everything is a pure function of (seed, feature index), so executors
+can regenerate any page independently — the object is tiny and
+picklable, making it a legitimate distributed source: the *page
+manifest* is the DataFrame, the page decode runs in ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["SyntheticFeatureServer", "DEFAULT_EXTENT"]
+
+# the reference test-suite envelope (test/geometry.test.ts:6-10)
+DEFAULT_EXTENT = (-97.0189932385465, 20.52053000026018,
+                  -88.57449931419137, 29.116263085773653)
+
+_FIELDS = [
+    {"name": "objectid", "type": "esriFieldTypeOID"},
+    {"name": "name", "type": "esriFieldTypeString", "length": 64},
+    {"name": "eventdate", "type": "esriFieldTypeDate"},
+    {"name": "rotation", "type": "esriFieldTypeInteger"},
+    {"name": "value", "type": "esriFieldTypeDouble"},
+]
+
+
+def _round7(x: float) -> float:
+    """geometryPrecision=7 — server-side coordinate rounding (P5)."""
+    return round(x, 7)
+
+
+@dataclass
+class SyntheticFeatureServer:
+    """A deterministic layer. geometry_type in {'esriGeometryPoint',
+    'esriGeometryPolygon', 'esriGeometryPolyline'}."""
+
+    n_features: int = 5000
+    geometry_type: str = "esriGeometryPoint"
+    max_record_count: int = 1000
+    seed: int = 42
+    extent: tuple = DEFAULT_EXTENT
+    capabilities: str = "Map,Query,Data"
+    attribute_only_every: int = 97   # rows with no geometry (P3 filter)
+
+    def metadata(self) -> dict:
+        xmin, ymin, xmax, ymax = self.extent
+        return {
+            "name": "synthetic-layer",
+            "geometryType": self.geometry_type,
+            "capabilities": self.capabilities,
+            "maxRecordCount": self.max_record_count,
+            "extent": {"xmin": xmin, "ymin": ymin, "xmax": xmax,
+                       "ymax": ymax,
+                       "spatialReference": {"wkid": 4326}},
+            "fields": list(_FIELDS),
+        }
+
+    # ------------------------------------------------------------ features
+
+    def _lonlat(self, i: int) -> tuple[float, float]:
+        """Deterministic position; ~20% of rows collapse into one hot
+        sub-cell of the extent to create join skew."""
+        xmin, ymin, xmax, ymax = self.extent
+        # splitmix-style integer scramble, stable across platforms
+        z = (i + self.seed * 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        u = (z & 0xFFFFFFFF) / 2**32
+        v = ((z >> 32) & 0xFFFFFFFF) / 2**32
+        if i % 5 == 0:  # hot spot: 20% of rows in a tiny box
+            lon = xmin + (xmax - xmin) * (0.25 + 0.002 * u)
+            lat = ymin + (ymax - ymin) * (0.25 + 0.002 * v)
+        else:
+            lon = xmin + (xmax - xmin) * u
+            lat = ymin + (ymax - ymin) * v
+        return _round7(lon), _round7(lat)
+
+    def feature(self, i: int) -> dict:
+        """Raw ESRI feature i (0-based); oid = i + 1."""
+        oid = i + 1
+        attrs = {
+            "objectid": oid,
+            "name": f"feat-{i}",
+            # exercise the falsy guard (P1): None and 0 stay raw
+            "eventdate": (None if i % 11 == 3 else
+                          0 if i % 11 == 7 else
+                          1600000000000 + i * 86400000),
+            "rotation": i % 360,
+            "value": round(i * 0.5, 2),
+        }
+        if self.attribute_only_every and i % self.attribute_only_every == 5:
+            return {"attributes": attrs, "geometry": None}
+
+        lon, lat = self._lonlat(i)
+        if self.geometry_type == "esriGeometryPoint":
+            geom = {"x": lon, "y": lat}
+        elif self.geometry_type == "esriGeometryPolygon":
+            d = 0.01 + (i % 10) * 0.001
+            shell = [[lon, lat], [lon, _round7(lat + d)],
+                     [_round7(lon + d), _round7(lat + d)],
+                     [_round7(lon + d), lat], [lon, lat]]  # CW (y-up)
+            rings = [shell]
+            if i % 10 == 0:  # add a CCW hole
+                h0, h1 = _round7(lon + d / 4), _round7(lat + d / 4)
+                h2, h3 = _round7(lon + d / 2), _round7(lat + d / 2)
+                rings.append([[h0, h1], [h2, h1], [h2, h3], [h0, h3], [h0, h1]])
+            geom = {"rings": rings}
+        elif self.geometry_type == "esriGeometryPolyline":
+            geom = {"paths": [[[lon, lat],
+                               [_round7(lon + 0.01), _round7(lat + 0.01)]]]}
+        else:
+            geom = None
+        return {"attributes": attrs, "geometry": geom}
+
+    def _feature_bbox(self, i: int):
+        f = self.feature(i)
+        g = f["geometry"]
+        if g is None:
+            return None
+        if "x" in g:
+            return (g["x"], g["y"], g["x"], g["y"])
+        pts = [p for part in (g.get("rings") or g.get("paths")) for p in part]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    # ------------------------------------------------------------ queries
+
+    def query_count(self) -> int:
+        """returnCountOnly=true."""
+        return self.n_features
+
+    def query_page(self, offset: int, page_size: int | None = None) -> list[dict]:
+        """resultOffset paging in OID order."""
+        page_size = page_size or self.max_record_count
+        end = min(offset + page_size, self.n_features)
+        return [self.feature(i) for i in range(offset, end)]
+
+    def _bbox_match(self, i: int, env) -> bool:
+        fb = self._feature_bbox(i)
+        if fb is None:
+            # attribute-only rows still match spatial queries in ArcGIS
+            # only when no geometry filter applies; envelope query skips
+            return False
+        xmin, ymin, xmax, ymax = env
+        return not (fb[2] < xmin or fb[0] > xmax or fb[3] < ymin or fb[1] > ymax)
+
+    def query_bbox_count(self, env) -> int:
+        return sum(1 for i in range(self.n_features) if self._bbox_match(i, env))
+
+    def query_bbox(self, env) -> tuple[list[dict], bool]:
+        """Returns (features, exceeded_transfer_limit). Inclusive edge
+        intersection => duplicates across adjacent quadrants."""
+        out = []
+        for i in range(self.n_features):
+            if self._bbox_match(i, env):
+                out.append(self.feature(i))
+                if len(out) > self.max_record_count:
+                    return out[: self.max_record_count], True
+        return out, False

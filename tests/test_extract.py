@@ -1,0 +1,113 @@
+"""End-to-end extraction pipeline tests (EP1): synthetic FeatureServer
+-> manifest -> mapInPandas decode -> dedup -> rewind -> GeoJSON rows.
+Mirrors the reference's featureserver/mapserver e2e suites but fully
+deterministic (SURVEY.md §5 style 3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from esri_dump_spark.operators.extract import (
+    extract, validate_metadata, iso8601_ms)
+from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+from esri_dump_spark.kernels.rewind import ring_signed_sum
+
+
+def test_iso8601_parity():
+    # JS: new Date(1600000000000).toISOString() === '2020-09-13T12:26:40.000Z'
+    assert iso8601_ms(1600000000000) == "2020-09-13T12:26:40.000Z"
+    assert iso8601_ms(1600000000123) == "2020-09-13T12:26:40.123Z"
+
+
+def test_validate_metadata_errors():
+    with pytest.raises(ValueError, match="query"):
+        validate_metadata({"capabilities": "Map,Data"})
+    with pytest.raises(ValueError, match="geometric"):
+        validate_metadata({"capabilities": "Query"})
+    with pytest.raises(ValueError, match="sublayers"):
+        validate_metadata({"capabilities": "Query",
+                           "extent": {"xmin": 0}, "subLayers": [1]})
+    # requireGeometry=False: attribute-only layers OK (schema endpoint)
+    validate_metadata({"capabilities": "Query"}, require_geometry=False)
+
+
+@pytest.mark.parametrize("approach", ["iter", "bbox"])
+def test_extract_points(spark, approach):
+    srv = SyntheticFeatureServer(n_features=500, max_record_count=100,
+                                 geometry_type="esriGeometryPoint")
+    df = extract(spark, srv, approach=approach).cache()
+    rows = df.collect()
+    # 500 features minus the attribute-only ones (i % 97 == 5)
+    expected = 500 - len([i for i in range(500) if i % 97 == 5])
+    assert len(rows) == expected
+    assert len({r.id for r in rows}) == len(rows)  # OIDs unique after dedup
+    f = json.loads(next(r for r in rows if r.id == 1).geojson)
+    assert f["type"] == "Feature" and f["geometry"]["type"] == "Point"
+    props = f["properties"]
+    # date guard parity: i=0 -> truthy epoch-ms converted to ISO
+    assert props["eventdate"] == "2020-09-13T12:26:40.000Z"
+    df.unpersist()
+
+
+def test_extract_date_falsy_guard(spark):
+    srv = SyntheticFeatureServer(n_features=30, max_record_count=10)
+    rows = {r.id: json.loads(r.properties)
+            for r in extract(spark, srv, approach="iter").collect()}
+    # i % 11 == 3 -> None stays None; i % 11 == 7 -> 0 stays 0 (not 1970)
+    assert rows[4]["eventdate"] is None
+    assert rows[8]["eventdate"] == 0
+    assert isinstance(rows[2]["eventdate"], str)
+
+
+@pytest.mark.parametrize("approach", ["iter", "bbox"])
+def test_extract_polygons_rewound(spark, approach):
+    srv = SyntheticFeatureServer(n_features=200, max_record_count=64,
+                                 geometry_type="esriGeometryPolygon")
+    df = extract(spark, srv, approach=approach)
+    rows = df.collect()
+    assert len(rows) == 200 - len([i for i in range(200) if i % 97 == 5])
+    for r in rows[:50]:
+        g = json.loads(r.geometry)
+        assert g["type"] in ("Polygon", "MultiPolygon")
+        coords = g["coordinates"] if g["type"] == "MultiPolygon" else [g["coordinates"]]
+        for poly in coords:
+            assert ring_signed_sum(poly[0]) < 0, "exterior must be CCW (RFC 7946)"
+            for hole in poly[1:]:
+                assert ring_signed_sum(hole) >= 0, "holes must be CW"
+    # features with i % 10 == 0 carry holes
+    with_hole = json.loads(next(r for r in rows if r.id == 11).geometry)
+    assert len(with_hole["coordinates"]) == 2
+
+
+def test_extract_bbox_iter_agree(spark):
+    """The two scan strategies must produce identical feature sets —
+    the reference guarantees this via OID dedup over overlapping pages."""
+    srv = SyntheticFeatureServer(n_features=300, max_record_count=50,
+                                 geometry_type="esriGeometryPoint")
+    a = {(r.id, r.geojson) for r in extract(spark, srv, "iter").collect()}
+    b = {(r.id, r.geojson) for r in extract(spark, srv, "bbox").collect()}
+    assert a == b
+
+
+def test_extract_polyline(spark):
+    srv = SyntheticFeatureServer(n_features=40, max_record_count=16,
+                                 geometry_type="esriGeometryPolyline")
+    rows = extract(spark, srv, "iter").collect()
+    g = json.loads(rows[0].geometry)
+    assert g["type"] == "MultiLineString"
+
+
+def test_extract_user_map_hook(spark):
+    srv = SyntheticFeatureServer(n_features=20, max_record_count=10)
+
+    def upper_name(row):
+        props = json.loads(row["properties"])
+        props["name"] = props["name"].upper()
+        row["properties"] = json.dumps(props, separators=(",", ":"))
+        return row
+
+    rows = extract(spark, srv, "iter", map_fn=upper_name).collect()
+    assert all(json.loads(r.properties)["name"].startswith("FEAT-")
+               for r in rows)
