@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spatial-join pipeline at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-runnable ANSI-SQL twins for every SQL-
+expressible query; non-SQL operators (LSH pairs, image decode,
+synthetic-server extraction) are rows-only checked by design.
+
+Spatial oracles: coordinates are DERIVED deterministically from
+integer keys with exact integer arithmetic (functions/geo_sql.py), and
+the point-in-polygon oracle is the reference ray-cast UNROLLED into
+CASE WHEN SQL — so Spark runs the engine's pandas-UDF kernel while
+DuckDB runs an independent literal transcription of the same
+predicate.
 """
 
 from __future__ import annotations
@@ -12,27 +19,553 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from esri_dump_spark.functions.geo_sql import derived_lonlat_sql, raycast_sql
+from esri_dump_spark.kernels.cells import cell_sql_expr
+from esri_dump_spark.operators import text as X
+from esri_dump_spark.operators import dedup as D
+from esri_dump_spark.operators import ann as A
+from esri_dump_spark.operators.spatial_join import point_in_polygon_join
+from esri_dump_spark.operators.knn import knn_join
+from esri_dump_spark.operators.tiles import tile_id_sql_expr
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- spatial
+# fixed test polygons; vertices off the 0.01-degree derived-coordinate
+# grid so no point ever sits exactly on an edge
+RECT_RING = [[-12.0050, -9.0050], [-12.0050, 9.0050], [12.0050, 9.0050],
+             [12.0050, -9.0050], [-12.0050, -9.0050]]
+DIAMOND_RING = [[0.0050, -11.0050], [14.0050, 0.0050], [0.0050, 11.0050],
+                [-14.0050, 0.0050], [0.0050, -11.0050]]
+
+# derived coordinates: global window for cells/tiles, +-20 x +-15 window
+# for the PIP polygons
+_LON_G, _LAT_G = derived_lonlat_sql("o_orderkey")
+_CLON, _CLAT = derived_lonlat_sql("c_custkey", 4000, 3000, -20.0, -15.0)
+
+
+def _pip_points(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{_CLON} AS lon", f"{_CLAT} AS lat")
+
+
+def _poly_pdf(name: str, ring):
+    import json
+    import pandas as pd
+    return pd.DataFrame({"poly_id": [0], "name": [name],
+                         "rings_json": [json.dumps([ring])]})
+
+
+# ---------------------------------------------------------------- queries
+
+def q_count_probe(spark, sf_dir):
+    """A1: count probe."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_dedup_first_event(spark, sf_dir):
+    """A2: distinct-by-key dedup, deterministic first-pick."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type",
+                    F.col("event_id").alias("first_event")))
+
+
+def q_where_pushdown(spark, sf_dir):
+    """P4: predicate passthrough -> parquet pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+def q_agg_pricing(spark, sf_dir):
+    """TPC-H Q1-style aggregate (map-side partials via hash agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_join_broadcast(spark, sf_dir):
+    """Broadcast-dim star join: revenue per region."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_topk_window(spark, sf_dir):
+    """W1: per-group top-k via window row_number."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice"))
+
+
+def q_date_iso(spark, sf_dir):
+    """F1: epoch->ISO-8601 with milliseconds (JS toISOString parity)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.orderBy("event_id").limit(500)
+            .select("event_id",
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+                    .alias("ts_iso")))
+
+
+def q_union_distinct(spark, sf_dir):
+    """A3+A2: page-set union + distinct."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 9000).select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return a.unionByName(b).distinct()
+
+
+def q_class_breaks(spark, sf_dir):
+    """F7 step/classBreaks -> CASE WHEN chain (stylejson compiler)."""
+    p = _t(spark, sf_dir, "part")
+    bucket = (F.when(F.col("p_size") < 10, "small")
+              .when(F.col("p_size") < 25, "medium")
+              .when(F.col("p_size") < 40, "large")
+              .otherwise("huge"))
+    return (p.withColumn("size_class", bucket)
+            .groupBy("size_class")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
+
+
+def q_match_expr(spark, sf_dir):
+    """F7 match/uniqueValue -> CASE WHEN with fallback."""
+    p = _t(spark, sf_dir, "part")
+    color = (F.when(F.col("p_brand") == "Brand#11", "red")
+             .when(F.col("p_brand") == "Brand#22", "green")
+             .when(F.col("p_brand") == "Brand#33", "blue")
+             .otherwise("gray"))
+    return (p.withColumn("render_color", color)
+            .groupBy("render_color").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_concat_key(spark, sf_dir):
+    """F2: multi-field uniqueValue key via concat_ws."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .withColumn("uv_key", F.concat_ws("|", "c_mktsegment", "n_name"))
+            .groupBy("uv_key").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_scale_zoom(spark, sf_dir):
+    """F5: scale->zoom conversion, log2-based."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy("o_orderkey").limit(1000)
+            .select("o_orderkey",
+                    F.round(F.log2(F.lit(559082264.0) / F.col("o_totalprice")), 2)
+                    .alias("zoom")))
+
+
+def q_extent_minmax(spark, sf_dir):
+    """A4: extent fold over derived coordinates."""
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr(f"{_CLON} AS lon", f"{_CLAT} AS lat")
+    return pts.agg(F.round(F.min("lon"), 6).alias("xmin"),
+                   F.round(F.min("lat"), 6).alias("ymin"),
+                   F.round(F.max("lon"), 6).alias("xmax"),
+                   F.round(F.max("lat"), 6).alias("ymax"))
+
+
+def q_cell_assign(spark, sf_dir):
+    """F10: JVM-side cell encode + per-cell histogram (A7)."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.selectExpr("o_orderkey", f"{_LON_G} AS lon", f"{_LAT_G} AS lat")
+    return (pts.withColumn("cell", F.expr(cell_sql_expr("lon", "lat", 5)))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_tile_assign(spark, sf_dir):
+    """J4: slippy tile id assignment + per-tile histogram."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.selectExpr("o_orderkey", f"{_LON_G} AS lon", f"{_LAT_G} AS lat")
+    return (pts.withColumn("tile_id", F.expr(tile_id_sql_expr("lon", "lat", 7)))
+            .groupBy("tile_id").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_pip_rect(spark, sf_dir):
+    """J2: PIP spatial join (cell broadcast + exact ray-cast refine)."""
+    pts = _pip_points(spark, sf_dir)
+    out = point_in_polygon_join(pts, _poly_pdf("rect", RECT_RING), res=8)
+    return out.select("c_custkey").orderBy("c_custkey")
+
+
+def q_pip_diamond(spark, sf_dir):
+    """J2 (non-rectangular): exact even-odd refine on a rotated hull."""
+    pts = _pip_points(spark, sf_dir)
+    out = point_in_polygon_join(pts, _poly_pdf("diamond", DIAMOND_RING), res=8)
+    return out.select("c_custkey").orderBy("c_custkey")
+
+
+def q_pip_anti(spark, sf_dir):
+    """J5: anti-join — points inside neither polygon."""
+    import pandas as pd
+    import json
+    pts = _pip_points(spark, sf_dir)
+    polys = pd.DataFrame({
+        "poly_id": [0, 1], "name": ["rect", "diamond"],
+        "rings_json": [json.dumps([RECT_RING]), json.dumps([DIAMOND_RING])]})
+    out = point_in_polygon_join(pts, polys, res=8, how="left_anti")
+    return out.select("c_custkey")
+
+
+def q_knn_geo(spark, sf_dir):
+    """J3: cell-bucketed kNN (grid-disk candidates + window top-k)."""
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS point_id", f"{_CLON} AS lon", f"{_CLAT} AS lat")
+    queries = (pts.orderBy("point_id").limit(20)
+               .selectExpr("point_id AS query_id", "lon", "lat"))
+    out = knn_join(queries, pts, k=5, res=4, broadcast_points=True)
+    # exclude self-match rank 1 noise: keep ids + rank (dist rounded)
+    return out.select("query_id", "point_id", "rank",
+                      F.round("dist", 6).alias("dist_r"))
+
+
+def q_token_count(spark, sf_dir):
+    """Text: BPE-ish token counting (JVM regexp)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.token_count(docs).select("doc_id", "n_tokens")
+
+
+def q_quality_score(spark, sf_dir):
+    """Text: length/punct/stopword quality heuristics."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.quality_score(docs).select(
+        "doc_id", "n_chars_t", "n_words", "punct_ratio", "stop_ratio",
+        "quality")
+
+
+def q_lang_id(spark, sf_dir):
+    """Text: marker-word language ID + per-language counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (X.language_id(docs).groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Text: normalized SHA-256 prefix fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return (X.fingerprint(docs).orderBy("doc_id").limit(500)
+            .select("doc_id", "fp"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact content dedup: survivor count (min-id representative)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup_by_hash(docs, "text", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_unique"))
+
+
+def q_ann_cosine(spark, sf_dir):
+    """ANN baseline: exact cosine top-k via built-in expressions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = A.cosine_topk(queries, emb, k=5)
+    return out.select("query_id", "vec_id", "rank",
+                      F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Vector column math JVM-side (aggregate fold)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (emb.orderBy("vec_id").limit(1000)
+            .selectExpr("vec_id",
+                        "round(sqrt(aggregate(embedding, 0D, "
+                        "(acc, v) -> acc + CAST(v AS DOUBLE) * v)), 4) AS l2"))
+
+
+def q_events_hourly(spark, sf_dir):
+    """Event-time tumbling window aggregate (streaming-shaped, run as
+    batch; the Structured Streaming variant shares the expression)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# --------------------------------------------- rows-only (non-SQL) queries
+
+def q_extract_synthetic(spark, sf_dir):
+    """EP1: full synthetic-FeatureServer extraction (manifest ->
+    mapInPandas decode -> dedup -> rewind). Non-SQL: rows-only check."""
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    srv = SyntheticFeatureServer(n_features=2000, max_record_count=500,
+                                 geometry_type="esriGeometryPolygon")
+    return extract(spark, srv, approach="iter").select(
+        "id", "geom_type", "geojson")
+
+
+def q_pip_fixture_polygons(spark, sf_dir):
+    """J2 on complex fixture polygons (holes, multipolygon, promoted
+    hole) over the synthetic image table. Non-SQL: rows-only."""
+    from esri_dump_spark.sources.fixtures import images_pdf, polygons_pdf
+    pts = spark.createDataFrame(
+        images_pdf(2000, with_geo=True)[["image_id", "lon", "lat"]])
+    out = point_in_polygon_join(pts, polygons_pdf(), res=10)
+    return out.select("image_id", "poly_id", "poly_name")
+
+
+def q_image_decode_stats(spark, sf_dir):
+    """Multimodal: Arrow-batched image decode + stats. Rows-only."""
+    from esri_dump_spark.sources.fixtures import images_pdf
+    from esri_dump_spark.operators.multimodal import decode_stats
+    imgs = spark.createDataFrame(images_pdf(500, with_geo=False))
+    return decode_stats(imgs)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash LSH near-dup candidate pairs on documents. Rows-only."""
+    docs = _t(spark, sf_dir, "documents").limit(2000)
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash block-LSH near-dup pairs on documents. Rows-only."""
+    docs = _t(spark, sf_dir, "documents").limit(2000)
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-bucketed approximate NN. Rows-only (recall-bounded)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return A.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=8)
+
+
+# ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PIP spatial join + per-polygon rollup at sf0.001."""
+    pts = _pip_points(spark, SF_DEFAULT)
+    import json
+    import pandas as pd
+    polys = pd.DataFrame({
+        "poly_id": [0, 1], "name": ["rect", "diamond"],
+        "rings_json": [json.dumps([RECT_RING]), json.dumps([DIAMOND_RING])]})
+    joined = point_in_polygon_join(pts, polys, res=8)
+    return (joined.groupBy("poly_id", "poly_name")
+            .agg(F.count(F.lit(1)).alias("n_points")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "count_probe": q_count_probe,
+        "dedup_first_event": q_dedup_first_event,
+        "where_pushdown": q_where_pushdown,
+        "agg_pricing": q_agg_pricing,
+        "join_broadcast": q_join_broadcast,
+        "topk_window": q_topk_window,
+        "date_iso": q_date_iso,
+        "union_distinct": q_union_distinct,
+        "class_breaks": q_class_breaks,
+        "match_expr": q_match_expr,
+        "concat_key": q_concat_key,
+        "scale_zoom": q_scale_zoom,
+        "extent_minmax": q_extent_minmax,
+        "cell_assign": q_cell_assign,
+        "tile_assign": q_tile_assign,
+        "pip_rect": q_pip_rect,
+        "pip_diamond": q_pip_diamond,
+        "pip_anti": q_pip_anti,
+        "knn_geo": q_knn_geo,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ann_cosine": q_ann_cosine,
+        "embedding_norms": q_embedding_norms,
+        "events_hourly": q_events_hourly,
+        # rows-only (non-SQL-expressible)
+        "extract_synthetic": q_extract_synthetic,
+        "pip_fixture_polygons": q_pip_fixture_polygons,
+        "image_decode_stats": q_image_decode_stats,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_ann": q_ivf_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qmeta = X.quality_score_sql("text")
+    rect_rc = raycast_sql(RECT_RING, "lon", "lat")
+    diam_rc = raycast_sql(DIAMOND_RING, "lon", "lat")
+    pip_src = (f"SELECT c_custkey, {_CLON} AS lon, {_CLAT} AS lat "
+               f"FROM customer")
+    return {
+        "count_probe": "SELECT count(*) AS n_rows FROM lineitem",
+        "dedup_first_event": """
+            SELECT user_id, event_type, event_id AS first_event FROM (
+              SELECT user_id, event_type, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY event_id) rn
+              FROM events) WHERE rn = 1""",
+        "where_pushdown": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity > 45 AND l_discount < 0.02""",
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "join_broadcast": """
+            SELECT r_name AS region_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "topk_window": """
+            SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders) WHERE rank <= 3""",
+        "date_iso": """
+            SELECT event_id,
+                   substring(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), 1, 23)
+                   || 'Z' AS ts_iso
+            FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)""",
+        "union_distinct": """
+            SELECT DISTINCT c_nationkey FROM (
+              SELECT c_nationkey FROM customer WHERE c_acctbal > 9000
+              UNION ALL
+              SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
+        "class_breaks": """
+            SELECT CASE WHEN p_size < 10 THEN 'small'
+                        WHEN p_size < 25 THEN 'medium'
+                        WHEN p_size < 40 THEN 'large'
+                        ELSE 'huge' END AS size_class,
+                   count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+            FROM part GROUP BY 1""",
+        "match_expr": """
+            SELECT CASE WHEN p_brand = 'Brand#11' THEN 'red'
+                        WHEN p_brand = 'Brand#22' THEN 'green'
+                        WHEN p_brand = 'Brand#33' THEN 'blue'
+                        ELSE 'gray' END AS render_color, count(*) AS n
+            FROM part GROUP BY 1""",
+        "concat_key": """
+            SELECT c_mktsegment || '|' || n_name AS uv_key, count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1""",
+        "scale_zoom": """
+            SELECT o_orderkey,
+                   round(log2(559082264.0 / o_totalprice), 2) AS zoom
+            FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000)""",
+        "extent_minmax": f"""
+            SELECT round(min(lon), 6) AS xmin, round(min(lat), 6) AS ymin,
+                   round(max(lon), 6) AS xmax, round(max(lat), 6) AS ymax
+            FROM ({pip_src})""",
+        "cell_assign": f"""
+            SELECT {cell_sql_expr(_LON_G, _LAT_G, 5)} AS cell,
+                   count(*) AS n
+            FROM orders GROUP BY 1""",
+        "tile_assign": f"""
+            SELECT {tile_id_sql_expr(_LON_G, _LAT_G, 7)} AS tile_id,
+                   count(*) AS n
+            FROM orders GROUP BY 1""",
+        "pip_rect": f"""
+            SELECT c_custkey FROM ({pip_src}) WHERE {rect_rc}
+            ORDER BY c_custkey""",
+        "pip_diamond": f"""
+            SELECT c_custkey FROM ({pip_src}) WHERE {diam_rc}
+            ORDER BY c_custkey""",
+        "pip_anti": f"""
+            SELECT c_custkey FROM ({pip_src})
+            WHERE NOT ({rect_rc}) AND NOT ({diam_rc})""",
+        "knn_geo": f"""
+            WITH pts AS ({pip_src.replace('c_custkey', 'c_custkey AS point_id')}),
+            qs AS (SELECT point_id AS query_id, lon AS qlon, lat AS qlat
+                   FROM pts ORDER BY point_id LIMIT 20),
+            scored AS (
+              SELECT q.query_id, p.point_id,
+                     sqrt((q.qlon - p.lon) * (q.qlon - p.lon)
+                        + (q.qlat - p.lat) * (q.qlat - p.lat)) AS dist,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY sqrt((q.qlon - p.lon) * (q.qlon - p.lon)
+                            + (q.qlat - p.lat) * (q.qlat - p.lat)) ASC,
+                            p.point_id ASC) AS rank
+              FROM qs q CROSS JOIN pts p)
+            SELECT query_id, point_id, rank, round(dist, 6) AS dist_r
+            FROM scored WHERE rank <= 5""",
+        "token_count": f"SELECT doc_id, {X.token_count_sql('text')} AS n_tokens FROM documents",
+        "quality_score": f"""
+            SELECT doc_id, {qmeta['n_chars_t']} AS n_chars_t,
+                   {qmeta['n_words']} AS n_words,
+                   {qmeta['punct_ratio']} AS punct_ratio,
+                   {qmeta['stop_ratio']} AS stop_ratio,
+                   {qmeta['quality']} AS quality
+            FROM documents""",
+        "lang_id": f"""
+            SELECT {X.language_id_sql('text')} AS lang_pred, count(*) AS n
+            FROM documents GROUP BY 1""",
+        "fingerprint": f"""
+            SELECT doc_id, {X.fingerprint_sql('text')} AS fp
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500)""",
+        "exact_dedup": """
+            SELECT count(*) AS n_unique FROM (
+              SELECT min(doc_id) FROM documents GROUP BY text)""",
+        "ann_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS cosine,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                e.vec_id ASC) AS rank
+              FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id, rank, round(cosine, 4) AS cosine_r
+            FROM scored WHERE rank <= 5""",
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_aggregate(
+                       list_transform(embedding,
+                                      v -> CAST(v AS DOUBLE) * v), 'sum')), 4) AS l2
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 1000)""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2""",
+    }

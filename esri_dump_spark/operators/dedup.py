@@ -1,0 +1,299 @@
+"""Deduplication operator family for large-scale training-data
+pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard verification,
+embedding-cosine near-dup, and phash-based image near-dup.
+
+Design for 10^12-row scale:
+  * every signature (minhash band, simhash key, phash band) is an
+    equi-join/groupBy key, so candidate generation is hash-shuffle
+    shaped — never an all-pairs comparison;
+  * signatures are computed with built-in expressions where possible
+    (exact dedup, shingles) and Arrow-batched pandas UDFs otherwise;
+  * verification (exact Jaccard / cosine) runs only on LSH candidate
+    pairs, i.e. output-bounded work.
+
+All hash math is deterministic (no Python ``hash``): xxhash-free
+splitmix64 over UTF-8 bytes, identical across executors and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "exact_dedup", "exact_dedup_by_hash", "shingle_set", "minhash_signature",
+    "minhash_lsh_pairs", "minhash_dedup", "simhash", "simhash_pairs",
+    "ngram_jaccard_pairs", "embedding_near_dup", "phash_near_dup",
+]
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Hash-groupBy exact dedup; keeps an arbitrary row per key group
+    (deterministic when duplicate rows are identical)."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dedup_by_hash(df: DataFrame, text_col: str,
+                        id_col: str) -> DataFrame:
+    """Content-hash exact dedup keeping the smallest id per content —
+    fully deterministic pick, expressible in pure SQL (oracle-able):
+    one row per distinct content, the row with MIN(id)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# --------------------------------------------------------------- minhash
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """uint64 hashes of character n-gram shingles (lowercased)."""
+    t = text.lower()
+    if len(t) < n:
+        t = t.ljust(n)
+    grams = {t[i:i + n] for i in range(len(t) - n + 1)}
+    if not grams:
+        return np.array([0], dtype=np.uint64)
+    raw = np.array([np.uint64(int.from_bytes(
+        __import__("hashlib").blake2b(g.encode("utf-8"), digest_size=8).digest(),
+        "little")) for g in grams], dtype=np.uint64)
+    return raw
+
+
+def shingle_set(text: str, n: int = 5) -> set:
+    t = text.lower()
+    return {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
+
+
+def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 64,
+                      shingle_n: int = 5, out: str = "minhash") -> DataFrame:
+    """Adds array<bigint> minhash signature column (Arrow-batched)."""
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+
+    @pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out_rows = []
+        for t in texts:
+            h = _shingle_hashes(t or "", shingle_n)          # (g,)
+            # permute: h xor seed -> splitmix -> min  (g x k vectorized)
+            m = _splitmix64(h[:, None] ^ seeds[None, :])     # (g, k)
+            out_rows.append(m.min(axis=0).astype(np.int64))
+        return pd.Series(out_rows)
+
+    return df.withColumn(out, sig(F.col(text_col)))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 5,
+                      threshold: float | None = None) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature-
+    estimated Jaccard. Output: (id_a, id_b, est_jaccard), id_a < id_b.
+
+    Plan: signature -> explode bands -> groupBy-free self-equi-join on
+    (band_idx, band_hash) -> distinct pairs -> estimate Jaccard from
+    full signatures. Never compares rows that share no band.
+    """
+    rows_per_band = num_hashes // bands
+    sigd = minhash_signature(df.select(id_col, text_col), text_col,
+                             num_hashes, shingle_n).cache()
+
+    banded = sigd.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.array(*[
+                F.hash(F.slice("minhash", i * rows_per_band + 1,
+                               rows_per_band).cast("array<string>").cast("string"))
+                for i in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("minhash").alias("sig_a"),
+                      "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("minhash").alias("sig_b"),
+                      "band_idx", "band_hash")
+    pairs = (a.join(b, ["band_idx", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b")
+             .dropDuplicates(["id_a", "id_b"]))
+
+    est = pairs.withColumn(
+        "est_jaccard",
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+        / F.lit(num_hashes)).drop("sig_a", "sig_b")
+    if threshold is not None:
+        est = est.filter(F.col("est_jaccard") >= threshold)
+    return est
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float = 0.8, **kw) -> DataFrame:
+    """Drop near-duplicates: keep the min-id representative of each
+    candidate cluster (union-find-free: connected via min propagation
+    one hop — adequate for chain-free dup clusters; iterate for chains)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, text_col: str, out: str = "simhash",
+            shingle_n: int = 4) -> DataFrame:
+    """64-bit SimHash over character shingles (Arrow-batched)."""
+
+    @pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        vals = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = _shingle_hashes(t or "", shingle_n)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            score = (2 * bits - 1).sum(axis=0)
+            v = np.uint64(0)
+            for b in np.where(score > 0)[0]:
+                v |= np.uint64(1) << np.uint64(b)
+            vals[i] = np.int64(v.astype(np.int64))
+        return pd.Series(vals)
+
+    return df.withColumn(out, sh(F.col(text_col)))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash block LSH: split the 64-bit hash into
+    ``blocks`` chunks; pairs within hamming distance < blocks share at
+    least one exact chunk (pigeonhole), so candidate gen is an
+    equi-join on (block_idx, chunk). Verified with exact popcount."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    hashed = simhash(df.select(id_col, text_col), text_col)
+    chunks = hashed.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned("simhash", i * width)
+             .bitwiseAND(F.lit(mask))).alias(f"c{i}")
+            for i in range(blocks)
+        ])).alias("block_idx", "chunk"))
+    a = chunks.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("h_a"), "block_idx", "chunk")
+    b = chunks.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("h_b"), "block_idx", "chunk")
+    pairs = (a.join(b, ["block_idx", "chunk"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (pairs
+            .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# -------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs — word n-grams via
+    built-in expressions only (split / transform / explode), so the
+    whole operator is JVM-side and SQL-oracle-able. Candidates share
+    >= 1 n-gram; Jaccard = |共| / (|A| + |B| - |共|) computed from
+    per-pair shared-gram counts. Quadratic in rows sharing a gram —
+    intended for post-LSH verification or keyed subsets."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
+        )).alias("gram")).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    shared = (a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("shared")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.col("shared")
+                        / (F.col("na") + F.col("nb") - F.col("shared")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------- embedding / image dup
+
+def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
+                       threshold: float = 0.95,
+                       n_planes: int = 16, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Candidate gen: random-hyperplane LSH bucket (sign pattern of
+    ``n_planes`` fixed projections) — one equi-join key; verify with
+    exact cosine via built-in aggregate/zip_with expressions."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())          # (b, d)
+        signs = (m @ planes.T) > 0             # (b, p)
+        key = np.zeros(len(vecs), dtype=np.int64)
+        for p in range(n_planes):
+            key |= signs[:, p].astype(np.int64) << p
+        return pd.Series(key)
+
+    with_b = df.select(id_col, vec_col).withColumn("bucket",
+                                                   bucket(F.col(vec_col)))
+    a = with_b.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("v_a"), "bucket")
+    b = with_b.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("v_b"), "bucket")
+    dot = "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    na = "sqrt(aggregate(v_a, 0D, (acc, v) -> acc + v * v))"
+    nb = "sqrt(aggregate(v_b, 0D, (acc, v) -> acc + v * v))"
+    return (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.expr(f"{dot} / ({na} * {nb})"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def phash_near_dup(images: DataFrame, id_col: str = "image_id",
+                   phash_col: str = "phash", max_hamming: int = 6,
+                   blocks: int = 4) -> DataFrame:
+    """Image near-dup via perceptual-hash block LSH + exact hamming —
+    same pigeonhole trick as simhash_pairs, over the precomputed phash
+    column of the image table."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunks = images.select(
+        id_col, phash_col,
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned(phash_col, i * width)
+             .bitwiseAND(F.lit(mask)))
+            for i in range(blocks)
+        ])).alias("block_idx", "chunk"))
+    a = chunks.select(F.col(id_col).alias("id_a"),
+                      F.col(phash_col).alias("h_a"), "block_idx", "chunk")
+    b = chunks.select(F.col(id_col).alias("id_b"),
+                      F.col(phash_col).alias("h_b"), "block_idx", "chunk")
+    return (a.join(b, ["block_idx", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,116 @@
+"""Explicit skew handling: hot-key detection, salted repartition,
+salted join, two-phase salted aggregation (north_rule requirement).
+
+AQE's skew-join splitter is left ON as a backstop
+(spark.sql.adaptive.skewJoin.enabled in session.py), but the engine
+also handles skew *explicitly* so plans stay efficient when AQE can't
+see the skew (e.g. pre-shuffle pandas UDF stages):
+
+  * ``hot_keys``            — histogram the key, return keys above a
+                              frequency threshold (tiny driver result:
+                              only keys > threshold are collected)
+  * ``salted_repartition``  — spread a hot key's rows over ``nsalt``
+                              sub-partitions: repartition on
+                              (key, salt) where salt is uniform for
+                              hot keys and 0 otherwise
+  * ``two_phase_agg``       — partial agg on (key, salt) then final on
+                              key: map-side combine analog for skewed
+                              groupBy
+  * ``salted_join``         — big-side salt = pmod(hash(row), n),
+                              small side exploded n ways for hot keys:
+                              a shuffle equi-join where no single task
+                              owns a whole hot key
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hot_keys", "salted_repartition", "two_phase_agg", "salted_join"]
+
+
+def hot_keys(df: DataFrame, key: str, threshold_frac: float = 0.01,
+             min_count: int = 1000) -> list:
+    """Keys holding more than ``threshold_frac`` of rows (and at least
+    ``min_count``). One cheap pre-pass; at scale run it on a sample."""
+    total = df.count()
+    thresh = max(int(total * threshold_frac), min_count)
+    rows = (df.groupBy(key).count()
+            .filter(F.col("count") >= thresh)
+            .select(key).collect())
+    return [r[0] for r in rows]
+
+
+def _salt_col(df_key: Column, hot: list, nsalt: int, scatter: Column) -> Column:
+    if not hot:
+        return F.lit(0)
+    return F.when(df_key.isin(hot), scatter).otherwise(F.lit(0))
+
+
+def salted_repartition(df: DataFrame, key: str, nsalt: int = 16,
+                       hot: list | None = None,
+                       seed: int = 42) -> DataFrame:
+    """Repartition by (key, salt): hot keys fan out over nsalt
+    sub-partitions, cold keys keep salt 0 (stable single partition)."""
+    if hot is None:
+        hot = hot_keys(df, key)
+    scatter = (F.rand(seed) * nsalt).cast("int")
+    out = df.withColumn("_salt", _salt_col(F.col(key), hot, nsalt, scatter))
+    return out.repartition(F.col(key), F.col("_salt"))
+
+
+def two_phase_agg(df: DataFrame, key: str, aggs: dict[str, str],
+                  nsalt: int = 16, hot: list | None = None,
+                  seed: int = 42) -> DataFrame:
+    """Skew-safe groupBy: partial aggregate on (key, salt), final on key.
+
+    ``aggs`` maps output column -> 'fn(input)' where fn is decomposable
+    (count / sum / min / max). e.g. {'n': 'count(*)', 's': 'sum(v)'}.
+    """
+    if hot is None:
+        hot = hot_keys(df, key)
+    scatter = (F.rand(seed) * nsalt).cast("int")
+    salted = df.withColumn("_salt", _salt_col(F.col(key), hot, nsalt, scatter))
+
+    partial_exprs, final_exprs = [], []
+    for out, spec in aggs.items():
+        fn, _, arg = spec.partition("(")
+        arg = arg.rstrip(")")
+        fn = fn.strip().lower()
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.expr(f"count({arg})").alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn in ("sum", "min", "max"):
+            partial_exprs.append(F.expr(f"{fn}({arg})").alias(p))
+            final_exprs.append(getattr(F, fn)(p).alias(out))
+        else:
+            raise ValueError(f"non-decomposable agg {fn!r}")
+    partial = salted.groupBy(key, "_salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*final_exprs)
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                nsalt: int = 8, hot: list | None = None,
+                how: str = "inner", seed: int = 42) -> DataFrame:
+    """Shuffle equi-join with hot keys fanned out.
+
+    big side:   salt = uniform(0..nsalt) for hot keys else 0
+    small side: hot-key rows replicated nsalt times (explode), cold 0
+    """
+    if hot is None:
+        hot = hot_keys(big, key)
+    scatter = (F.rand(seed) * nsalt).cast("int")
+    b = big.withColumn("_salt", _salt_col(F.col(key), hot, nsalt, scatter))
+    if hot:
+        s_hot = (small.filter(F.col(key).isin(hot))
+                 .withColumn("_salt",
+                             F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))))
+        s_cold = (small.filter(~F.col(key).isin(hot))
+                  .withColumn("_salt", F.lit(0)))
+        s = s_hot.unionByName(s_cold)
+    else:
+        s = small.withColumn("_salt", F.lit(0))
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")

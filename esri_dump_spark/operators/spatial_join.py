@@ -1,0 +1,125 @@
+"""Point-in-polygon spatial join (J2) — broadcast cell join + exact
+ray-cast refine.
+
+Physical plan (SURVEY.md §2.5, §4):
+
+  polygons (small)  --driver--> cover cells per polygon (kernels.cells)
+                                -> tiny (cell, poly_id) DataFrame
+  points (huge)     --JVM-----> cell id attached via a pure SQL
+                                expression (whole-stage codegen;
+                                no Python in the hot path)
+  coarse:           points JOIN broadcast(cells) ON cell  (equi-join,
+                    no shuffle of the big side)
+  refine:           Arrow-batched pandas UDF running the exact
+                    reference ray-cast (even-odd, half-open edge rule)
+                    against the candidate polygon's rings
+
+At 10^12 rows the coarse phase is the only data movement and it is
+broadcast-shaped; the refine is embarrassingly parallel. Skewed hot
+cells don't hurt a broadcast join (no shuffle by key), but per-cell
+*aggregations* downstream do — those use operators.skew.
+
+The refine predicate is exactly `coordinatesContainPoint`
+(/root/reference/lib/rings2geojson.ts:54-64) extended to multi-ring
+even-odd, vectorized over the Arrow batch.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels import cells as C
+from ..kernels.rings import points_in_polygon, close_ring
+
+__all__ = ["attach_cell", "polygon_cell_index", "point_in_polygon_join",
+           "DEFAULT_RES"]
+
+DEFAULT_RES = 12
+
+
+def attach_cell(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
+                res: int = DEFAULT_RES, out: str = "cell") -> DataFrame:
+    """Cell id as a JVM-side expression (codegen; identical results to
+    kernels.cells.latlng_to_cell and to the DuckDB oracle SQL)."""
+    return df.withColumn(out, F.expr(C.cell_sql_expr(lon_col, lat_col, res)))
+
+
+def _parse_rings(rings_json: str) -> list[np.ndarray]:
+    return [close_ring(np.asarray(r, dtype=np.float64))
+            for r in json.loads(rings_json)]
+
+
+def polygon_cell_index(spark: SparkSession, polygons: pd.DataFrame,
+                       res: int = DEFAULT_RES) -> DataFrame:
+    """(cell, poly_id) cover table. ``polygons`` is the small dimension
+    side as pandas: columns (poly_id, rings_json). Computed driver-side
+    — polygon counts are thousands, not billions; for larger polygon
+    sets run the same kernel in mapInPandas over a polygon DataFrame."""
+    cells, pids = [], []
+    for rec in polygons.itertuples(index=False):
+        rings = _parse_rings(rec.rings_json)
+        cover = C.polygon_cover(rings, res, exact=True)
+        cells.append(cover)
+        pids.append(np.full(cover.shape, rec.poly_id, dtype=np.int64))
+    pdf = pd.DataFrame({
+        "cell": np.concatenate(cells) if cells else np.array([], np.int64),
+        "poly_id": np.concatenate(pids) if pids else np.array([], np.int64),
+    })
+    return spark.createDataFrame(pdf)
+
+
+def point_in_polygon_join(points: DataFrame, polygons: pd.DataFrame,
+                          lon_col: str = "lon", lat_col: str = "lat",
+                          res: int = DEFAULT_RES,
+                          how: str = "inner") -> DataFrame:
+    """Spatial join of a big point table against a small polygon table.
+
+    how='inner'      -> point rows x matching poly_id (+name)
+    how='left_semi'  -> point rows inside >= 1 polygon (deduped)
+    how='left_anti'  -> point rows inside none
+    """
+    spark = points.sparkSession
+    cell_index = polygon_cell_index(spark, polygons, res)
+
+    # polygon rings shipped to executors via closure (small dim table);
+    # on a real cluster this is a broadcast variable — same mechanics
+    rings_by_pid = {int(r.poly_id): [a.tolist() for a in _parse_rings(r.rings_json)]
+                    for r in polygons.itertuples(index=False)}
+
+    @pandas_udf("boolean")
+    def pip_refine(lon: pd.Series, lat: pd.Series,
+                   poly_id: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        pts = np.column_stack([lon.to_numpy(np.float64),
+                               lat.to_numpy(np.float64)])
+        for pid in poly_id.unique():
+            mask = (poly_id == pid).to_numpy()
+            rings = [np.asarray(r, np.float64) for r in rings_by_pid[int(pid)]]
+            out[mask] = points_in_polygon(pts[mask], rings)
+        return pd.Series(out)
+
+    pts = attach_cell(points, lon_col, lat_col, res)
+    cand = pts.join(F.broadcast(cell_index), "cell", "inner")
+    matched = cand.filter(pip_refine(F.col(lon_col), F.col(lat_col),
+                                     F.col("poly_id")))
+
+    if how == "inner":
+        if "name" in polygons.columns:
+            names = spark.createDataFrame(polygons[["poly_id", "name"]]) \
+                .withColumnRenamed("name", "poly_name")
+            matched = matched.join(F.broadcast(names), "poly_id", "left")
+        return matched.drop("cell")
+    if how == "left_semi":
+        keys = matched.select(*points.columns).dropDuplicates(points.columns[:1])
+        return keys
+    if how == "left_anti":
+        matched_ids = matched.select(points.columns[0]).distinct()
+        return points.join(matched_ids, points.columns[0], "left_anti")
+    raise ValueError(f"unknown how={how!r}")

@@ -1,0 +1,161 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything here is built-in pyspark.sql expressions only — no Python
+in the hot path at all — so all four operators run inside whole-stage
+codegen and have exact DuckDB SQL oracles. The SQL twins are generated
+from the same rule constants (see the *_sql helpers) to keep the two
+implementations from drifting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count", "quality_score", "language_id", "fingerprint",
+    "token_count_sql", "quality_score_sql", "language_id_sql",
+    "fingerprint_sql",
+]
+
+# ---------------------------------------------------------------- tokens
+
+# whitespace tokens plus a BPE-ish fallback: runs of letters, runs of
+# digits, or single non-space symbols
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _spark_re(pat: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal
+    (Spark unescapes backslashes in '...' literals; DuckDB does not,
+    so only the Spark side doubles them)."""
+    return pat.replace("\\", "\\\\")
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out: str = "n_tokens") -> DataFrame:
+    """Number of BPE-ish tokens (letter runs / digit runs / symbols)."""
+    return df.withColumn(
+        out, F.size(F.expr(
+            f"filter(regexp_extract_all({text_col}, '{_spark_re(_TOKEN_RE)}', 0), x -> x != '')"
+        )).cast("long"))
+
+
+def token_count_sql(text_col: str = "text") -> str:
+    return (f"CAST(len(regexp_extract_all({text_col}, '{_TOKEN_RE}')) AS BIGINT)")
+
+
+# --------------------------------------------------------------- quality
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds length/punctuation/stopword heuristics + a composite score:
+
+      n_chars_t   — text length
+      n_words     — whitespace words
+      punct_ratio — punctuation chars / chars
+      stop_ratio  — stopword occurrences / words
+      quality     — 1 bounded-length point + 1 low-punct point +
+                    1 natural-stopword-rate point, /3
+    """
+    words = F.size(F.expr(f"filter(split({text_col}, ' '), w -> w != '')"))
+    punct = (F.length(text_col)
+             - F.length(F.regexp_replace(text_col, r"[\.,;:!\?'\"]", "")))
+    stop_pat = "(?i)\\b(" + "|".join(_STOPWORDS) + ")\\b"
+    stops = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '{_spark_re(stop_pat)}', 0)"))
+    d = (df.withColumn("n_chars_t", F.length(text_col).cast("long"))
+         .withColumn("n_words", words.cast("long"))
+         .withColumn("punct_ratio",
+                     F.round(punct / F.greatest(F.length(text_col), F.lit(1)), 6))
+         .withColumn("stop_ratio",
+                     F.round(stops / F.greatest(words, F.lit(1)), 6)))
+    return d.withColumn(
+        "quality",
+        F.round(((F.col("n_chars_t").between(20, 20000)).cast("int")
+                 + (F.col("punct_ratio") < 0.1).cast("int")
+                 + (F.col("stop_ratio").between(0.01, 0.7)).cast("int")) / 3.0,
+                6))
+
+
+def quality_score_sql(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins for each derived column."""
+    words = f"len(list_filter(string_split({text_col}, ' '), w -> w != ''))"
+    punct = (f"(length({text_col}) - length(regexp_replace({text_col},"
+             f" '[\\.,;:!\\?''\"]', '', 'g')))")
+    stop_pat = "(?i)\\b(" + "|".join(_STOPWORDS) + ")\\b"
+    stops = f"len(regexp_extract_all({text_col}, '{stop_pat}'))"
+    return {
+        "n_chars_t": f"CAST(length({text_col}) AS BIGINT)",
+        "n_words": f"CAST({words} AS BIGINT)",
+        "punct_ratio": f"round({punct} / greatest(length({text_col}), 1), 6)",
+        "stop_ratio": f"round({stops} / greatest({words}, 1), 6)",
+        "quality": (
+            f"round((CAST(length({text_col}) BETWEEN 20 AND 20000 AS INT)"
+            f" + CAST({punct} / greatest(length({text_col}), 1) < 0.1 AS INT)"
+            f" + CAST({stops} / greatest({words}, 1) BETWEEN 0.01 AND 0.7 AS INT)) / 3.0, 6)"),
+    }
+
+
+# ------------------------------------------------------------- language
+
+# tiny deterministic n-gram/stopword heuristic: score per language =
+# count of its marker-word occurrences; argmax wins, ties -> 'und'
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "es", "una", "que"],
+}
+
+
+def _marker_count(text_col: str, lang: str):
+    pat = "(?i)\\b(" + "|".join(_LANG_MARKERS[lang]) + ")\\b"
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '{_spark_re(pat)}', 0)"))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID. Deterministic argmax with fixed
+    language order (en > de > fr > es on ties); 'und' if no marker."""
+    langs = list(_LANG_MARKERS)
+    counts = [_marker_count(text_col, lang) for lang in langs]
+    best = F.greatest(*counts)
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang, cnt in zip(langs, counts):
+        expr = expr.when(cnt == best, F.lit(lang))
+    return df.withColumn(out, expr)
+
+
+def language_id_sql(text_col: str = "text") -> str:
+    langs = list(_LANG_MARKERS)
+    counts = {
+        lang: (f"len(regexp_extract_all({text_col}, "
+               f"'(?i)\\b({'|'.join(_LANG_MARKERS[lang])})\\b'))")
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    case = f"CASE WHEN {best} <= 0 THEN 'und'"
+    for lang in langs:
+        case += f" WHEN {counts[lang]} = {best} THEN '{lang}'"
+    return case + " END"
+
+
+# ----------------------------------------------------------- fingerprint
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out: str = "fp") -> DataFrame:
+    """Deterministic 64-bit-equivalent document fingerprint: first 16
+    hex chars of SHA-256 over the normalized text (lowercased,
+    whitespace collapsed). Kept as hex string so Spark and the DuckDB
+    oracle agree byte-for-byte."""
+    norm = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    return df.withColumn(out, F.substring(F.sha2(norm, 256), 1, 16))
+
+
+def fingerprint_sql(text_col: str = "text") -> str:
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"substring(sha256({norm}), 1, 16)"

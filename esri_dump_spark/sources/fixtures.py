@@ -1,0 +1,168 @@
+"""Deterministic image + polygon fixture tables (FIXTURES.md §1-2).
+
+The production input is an Iceberg table of image+caption pairs
+(BASELINE.json input_hint):
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash long)
+plus per-row lon/lat carried for the spatial operators. Here the table
+is synthesized deterministically (seed=42) and cached as parquet under
+``/root/repo/.fixtures_cache`` — regenerating any row is a pure
+function of (seed, row index), the same property a 10^12-row synthetic
+benchmark generator needs to create rows in parallel on executors.
+
+Skew: ~20% of rows land inside one tiny hot box (one cell at the join
+resolution) to exercise the salted-repartition path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.image import encode_image, average_phash
+from ..sources.feature_server import DEFAULT_EXTENT
+
+__all__ = ["images_pdf", "polygons_records", "polygons_pdf",
+           "ensure_images_parquet", "FIXTURE_CACHE"]
+
+FIXTURE_CACHE = os.environ.get(
+    "SPARK_GRAFT_FIXTURE_CACHE", "/root/repo/.fixtures_cache")
+
+_ADJ = ["misty", "amber", "quiet", "vivid", "rough", "pale", "bright"]
+_NOUN = ["harbor", "mesa", "delta", "grove", "ridge", "basin",
+         "bluff", "marsh", "dune", "strand", "knoll"]
+
+_SIZES = [16, 24, 32, 48]
+
+
+def _positions(n: int, seed: int, extent=DEFAULT_EXTENT):
+    """Vectorized deterministic lon/lat with a 20% hot spot."""
+    xmin, ymin, xmax, ymax = extent
+    idx = np.arange(n, dtype=np.uint64)
+    z = idx + np.uint64(seed) * np.uint64(0x9E3779B9)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    u = (z & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+    v = ((z >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+    lon = xmin + (xmax - xmin) * u
+    lat = ymin + (ymax - ymin) * v
+    hot = (idx % np.uint64(5)) == 0  # 20% hot spot
+    lon[hot] = xmin + (xmax - xmin) * (0.25 + 0.002 * u[hot])
+    lat[hot] = ymin + (ymax - ymin) * (0.25 + 0.002 * v[hot])
+    return np.round(lon, 7), np.round(lat, 7)
+
+
+def _pixels(i: int, w: int, h: int, seed: int) -> np.ndarray:
+    """Seeded noise + a solid quadrant keyed by the row, so decoded
+    content is verifiable per row."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    px[: h // 2, : w // 2] = [(i * 37) % 256, (i * 101) % 256, (i * 197) % 256]
+    return px
+
+
+def images_pdf(n: int, seed: int = 42, with_geo: bool = True) -> pd.DataFrame:
+    lon, lat = _positions(n, seed)
+    rows = []
+    for i in range(n):
+        w = _SIZES[i % 4]
+        h = _SIZES[(i * 7 + 1) % 4]
+        fmt = "jpeg" if i % 5 == 4 else "png"  # 20% lossy
+        px = _pixels(i, w, h, seed)
+        rows.append({
+            "image_id": f"img{i:012d}",
+            "bytes": encode_image(px, fmt),
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": f"caption for img{i} {_ADJ[i % 7]} {_NOUN[i % 11]}",
+            "phash": average_phash(px),
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["w"] = pdf["w"].astype("int32")
+    pdf["h"] = pdf["h"].astype("int32")
+    pdf["phash"] = pdf["phash"].astype("int64")
+    if with_geo:
+        pdf["lon"] = lon
+        pdf["lat"] = lat
+    return pdf
+
+
+def ensure_images_parquet(n: int, seed: int = 42) -> str:
+    """Generate-once parquet cache; returns the path."""
+    os.makedirs(FIXTURE_CACHE, exist_ok=True)
+    path = os.path.join(FIXTURE_CACHE, f"images_n{n}_s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        images_pdf(n, seed).to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def polygons_records(extent=DEFAULT_EXTENT) -> list[dict]:
+    """ESRI-ring polygon fixtures: a grid of quads over the extent plus
+    the reference's hard cases (hole, multipolygon, unmatched hole,
+    degenerate ring, near-zero sliver). Shells clockwise (y-up),
+    holes counter-clockwise, per the ESRI rings model."""
+    xmin, ymin, xmax, ymax = extent
+    dx, dy = (xmax - xmin) / 4.0, (ymax - ymin) / 4.0
+    recs = []
+    pid = 0
+    # 4x4 grid of simple CW quads (cover most of the extent)
+    for gx in range(4):
+        for gy in range(4):
+            x0, y0 = xmin + gx * dx, ymin + gy * dy
+            # inset so neighbors don't share edges (avoids boundary ties)
+            e = 0.003
+            x0, y0, x1, y1 = x0 + e, y0 + e, x0 + dx - e, y0 + dy - e
+            shell = [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+            recs.append({"poly_id": pid, "name": f"quad-{gx}-{gy}",
+                         "rings": [shell]})
+            pid += 1
+    cx, cy = (xmin + xmax) / 2, (ymin + ymax) / 2
+    # polygon with a hole punched in the middle of the extent
+    s = [[cx - 1, cy - 1], [cx - 1, cy + 1], [cx + 1, cy + 1],
+         [cx + 1, cy - 1], [cx - 1, cy - 1]]
+    hole = [[cx - 0.4, cy - 0.4], [cx + 0.4, cy - 0.4], [cx + 0.4, cy + 0.4],
+            [cx - 0.4, cy + 0.4], [cx - 0.4, cy - 0.4]]
+    recs.append({"poly_id": pid, "name": "holed", "rings": [s, hole]})
+    pid += 1
+    # multipolygon: two disjoint shells in one feature
+    s1 = [[xmin + 0.1, ymin + 0.1], [xmin + 0.1, ymin + 0.6],
+          [xmin + 0.6, ymin + 0.6], [xmin + 0.6, ymin + 0.1],
+          [xmin + 0.1, ymin + 0.1]]
+    s2 = [[xmax - 0.6, ymax - 0.6], [xmax - 0.6, ymax - 0.1],
+          [xmax - 0.1, ymax - 0.1], [xmax - 0.1, ymax - 0.6],
+          [xmax - 0.6, ymax - 0.6]]
+    recs.append({"poly_id": pid, "name": "multi", "rings": [s1, s2]})
+    pid += 1
+    # unmatched hole (CCW, contained by nothing) -> promoted shell
+    lone = [[cx + 2, cy + 2], [cx + 2.5, cy + 2], [cx + 2.5, cy + 2.5],
+            [cx + 2, cy + 2.5], [cx + 2, cy + 2]]
+    recs.append({"poly_id": pid, "name": "promoted", "rings": [lone]})
+    pid += 1
+    # degenerate ring alongside a valid shell
+    recs.append({"poly_id": pid, "name": "degen",
+                 "rings": [[[cx - 3, cy - 3], [cx - 2.9, cy - 2.9]],
+                           [[cx - 3, cy + 2], [cx - 3, cy + 2.2],
+                            [cx - 2.8, cy + 2.2], [cx - 2.8, cy + 2],
+                            [cx - 3, cy + 2]]]})
+    pid += 1
+    # near-zero sliver (compensated-area regression)
+    recs.append({"poly_id": pid, "name": "sliver",
+                 "rings": [[[cx, cy + 3], [cx + 2, cy + 3.0000001],
+                            [cx + 4, cy + 3], [cx, cy + 3]]]})
+    return recs
+
+
+def polygons_pdf(extent=DEFAULT_EXTENT) -> pd.DataFrame:
+    recs = polygons_records(extent)
+    return pd.DataFrame({
+        "poly_id": [r["poly_id"] for r in recs],
+        "name": [r["name"] for r in recs],
+        "rings_json": [json.dumps(r["rings"]) for r in recs],
+    })

@@ -1,0 +1,288 @@
+"""Training-data pipeline operators: dedup families, ANN, text
+analysis, multimodal plumbing, lineage/resume — checked against brute
+force NumPy or DuckDB oracles on the driver test tables."""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+from esri_dump_spark.operators import dedup as D
+from esri_dump_spark.operators import text as X
+from esri_dump_spark.operators import ann as A
+from esri_dump_spark.operators import multimodal as M
+from esri_dump_spark.operators import lineage as L
+from esri_dump_spark.sources.fixtures import images_pdf
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a completely different sentence about amber harbors and misty dunes",
+        "spark engines shuffle data across executors with hash partitioning",
+        "der schnelle braune fuchs springt und ist nicht langsam heute",
+        "le chat est sur la table et les oiseaux chantent une chanson",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for rep in range(3):  # 3 near-identical copies of each
+            text = b if rep == 0 else b + f" extra{rep}"
+            rows.append({"doc_id": i, "text": text})
+            i += 1
+    # plus genuinely distinct rows (no shared phrasing)
+    distinct = [
+        "glaciers calve enormous icebergs into turquoise fjords",
+        "quantum annealers minimize ising hamiltonians probabilistically",
+        "sourdough fermentation depends on wild lactobacillus cultures",
+        "violin varnish recipes were guarded by cremonese luthiers",
+        "tectonic subduction zones generate megathrust earthquakes",
+        "mycorrhizal networks trade phosphorus for photosynthates",
+        "cuneiform tablets recorded barley loans in ancient sumer",
+        "pulsar timing arrays detect nanohertz gravitational waves",
+        "monarch butterflies navigate using a time compensated sun compass",
+        "zeolite catalysts crack long hydrocarbons into gasoline fractions",
+    ]
+    for t in distinct:
+        rows.append({"doc_id": i, "text": t})
+        i += 1
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_exact_dedup_by_hash(spark):
+    pdf = pd.DataFrame({"doc_id": [3, 1, 2, 5, 4],
+                        "text": ["a", "a", "b", "b", "c"]})
+    out = D.exact_dedup_by_hash(spark.createDataFrame(pdf), "text", "doc_id")
+    got = {(r.doc_id, r.text) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b"), (4, "c")}  # min id per content
+
+
+def test_minhash_lsh_finds_near_dups(docs_with_dups):
+    pairs = D.minhash_lsh_pairs(docs_with_dups, "doc_id", "text",
+                                threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # each triple (3k, 3k+1, 3k+2) should connect
+    for k in range(5):
+        base = 3 * k
+        assert any((base, x) in found for x in (base + 1, base + 2)), \
+            f"cluster {k} not found: {sorted(found)}"
+    # jaccard estimates near 1 for true dups
+    ests = [r.est_jaccard for r in pairs if r.id_b - r.id_a <= 2
+            and r.id_a // 3 == r.id_b // 3]
+    assert ests and min(ests) > 0.5
+
+
+def test_minhash_dedup_removes_copies(docs_with_dups):
+    out = D.minhash_dedup(docs_with_dups, "doc_id", "text", threshold=0.5)
+    n = out.count()
+    # 5 clusters collapse to 1 representative each + 10 unique = 15
+    assert n == 15
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert all(3 * k in kept for k in range(5))  # min id survives
+
+
+def test_simhash_pairs(docs_with_dups):
+    pairs = D.simhash_pairs(docs_with_dups, "doc_id", "text",
+                            max_hamming=8).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    hits = sum(1 for k in range(5)
+               if any((3 * k, x) in found for x in (3 * k + 1, 3 * k + 2)))
+    assert hits >= 4  # simhash is lossier than minhash; most clusters found
+
+
+def test_ngram_jaccard_matches_brute_force(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat sat on the mat today",
+                 "the cat sat on the mat yesterday",
+                 "dogs run in the park",
+                 "dogs run in the park often"],
+    })
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in D.ngram_jaccard_pairs(spark.createDataFrame(pdf),
+                                          "doc_id", "text", n=2,
+                                          threshold=0.3).collect()}
+
+    def grams(t, n=2):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + n]) for i in range(max(len(ws) - n + 1, 1))}
+
+    exp = {}
+    for a, b in itertools.combinations(range(4), 2):
+        ga, gb = grams(pdf.text[a]), grams(pdf.text[b])
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.3:
+            exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k] == pytest.approx(exp[k])
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": 2 * i, "embedding": v.tolist()})
+        dup = v + rng.standard_normal(16).astype(np.float32) * 0.01
+        rows.append({"vec_id": 2 * i + 1, "embedding": dup.tolist()})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = D.embedding_near_dup(df, "vec_id", "embedding",
+                                 threshold=0.98, n_planes=8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # most perturbed twins land in the same LSH bucket
+    hits = sum(1 for i in range(20) if (2 * i, 2 * i + 1) in found)
+    assert hits >= 15
+    # no false positives vs brute force at the same threshold
+    for a, b in found:
+        va = np.array(rows[a]["embedding"]); vb = np.array(rows[b]["embedding"])
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert cos >= 0.98 - 1e-6
+
+
+def test_phash_near_dup_on_images(spark):
+    """Structured images (gradients) whose phash is stable under small
+    noise: every noisy twin must pair with its original; unrelated
+    gradients must not all collide."""
+    from esri_dump_spark.kernels.image import average_phash
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(10):
+        yy, xx = np.mgrid[0:32, 0:32]
+        px = np.stack([
+            ((yy * (3 + i)) % 256), ((xx * (5 + 2 * i)) % 256),
+            ((yy + xx) * (2 + i) % 256)], axis=2).astype(np.uint8)
+        noisy = (px.astype(np.int16)
+                 + rng.integers(-2, 3, px.shape)).clip(0, 255).astype(np.uint8)
+        rows.append({"image_id": f"orig{i:08d}", "phash": average_phash(px)})
+        rows.append({"image_id": f"twin{i:08d}", "phash": average_phash(noisy)})
+    pairs = D.phash_near_dup(spark.createDataFrame(pd.DataFrame(rows)),
+                             max_hamming=6)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    hits = sum(1 for i in range(10)
+               if (f"orig{i:08d}", f"twin{i:08d}") in found)
+    assert hits >= 8
+    # not everything pairs with everything
+    assert len(found) < 190
+
+
+def test_cosine_topk_matches_duckdb(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = A.cosine_topk(queries, emb, k=5).collect()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    oracle = con.sql("""
+        WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+                   ORDER BY vec_id LIMIT 3)
+        SELECT qid, vec_id, rk FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                            e.vec_id) rk
+          FROM q CROSS JOIN embeddings e) WHERE rk <= 5
+    """).fetchall()
+    exp = {(r[0], r[2]): r[1] for r in oracle}
+    assert {(r.query_id, r.rank): r.vec_id for r in got} == exp
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = (emb.orderBy("vec_id").limit(10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = A.cosine_topk(queries, emb, k=10)
+    approx = A.ivf_topk(queries, emb, k=10, n_centroids=8, nprobe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF recall {recall}"
+    emb.unpersist()
+
+
+def test_text_ops_match_duckdb(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    out = X.fingerprint(
+        X.language_id(X.quality_score(X.token_count(docs)))).select(
+        "doc_id", "n_tokens", "n_chars_t", "n_words", "punct_ratio",
+        "stop_ratio", "quality", "lang_pred", "fp")
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    q = X.quality_score_sql("text")
+    sql = f"""
+      SELECT doc_id, {X.token_count_sql('text')} n_tokens,
+             {q['n_chars_t']} n_chars_t, {q['n_words']} n_words,
+             {q['punct_ratio']} punct_ratio, {q['stop_ratio']} stop_ratio,
+             {q['quality']} quality, {X.language_id_sql('text')} lang_pred,
+             {X.fingerprint_sql('text')} fp
+      FROM (SELECT * FROM documents LIMIT 300)
+    """
+    for rec in con.sql(sql).fetchall():
+        doc_id = rec[0]
+        g = got[doc_id]
+        assert g["n_tokens"] == rec[1], (doc_id, "tokens", g["n_tokens"], rec[1])
+        assert g["n_chars_t"] == rec[2]
+        assert g["n_words"] == rec[3]
+        assert g["punct_ratio"] == pytest.approx(rec[4])
+        assert g["stop_ratio"] == pytest.approx(rec[5])
+        assert g["quality"] == pytest.approx(rec[6])
+        assert g["lang_pred"] == rec[7], (doc_id, g["lang_pred"], rec[7])
+        assert g["fp"] == rec[8]
+
+
+def test_decode_stats_and_verify(spark):
+    imgs = spark.createDataFrame(images_pdf(80, with_geo=False))
+    stats = M.decode_stats(imgs).collect()
+    assert len(stats) == 80 and all(r.ok for r in stats)
+    # solid quadrant keyed by row: mean_r of img0 quadrant influences mean
+    v = M.verify_images(imgs).collect()
+    assert all(r.dims_ok for r in v)
+    assert all(r.phash_ok for r in v)
+    assert all(r.psnr_ok for r in v)
+
+
+def test_resize_images(spark):
+    imgs = spark.createDataFrame(images_pdf(12, with_geo=False))
+    out = M.resize_images(imgs, 8, 8).collect()
+    from esri_dump_spark.kernels.image import decode_png
+    for r in out:
+        px = decode_png(bytes(r.bytes))
+        assert px.shape == (8, 8, 3)
+
+
+def test_lineage_and_resume(spark, tmp_path):
+    sink = str(tmp_path / "lineage")
+    df = spark.range(0, 1000, 1, 8).withColumn("v", F.col("id") * 2)
+    wrapped = L.with_lineage(df, "run1", sink, work_key_col="id")
+    assert wrapped.count() == 1000
+    lin = L.read_lineage(spark, sink)
+    recs = lin.collect()
+    assert sum(r.n_rows for r in recs) == 1000
+    assert all(r.status == "ok" for r in recs)
+    assert all(r.t_end >= r.t_start for r in recs)
+
+    # resume: mark half the manifest done, only the rest survives
+    manifest = spark.range(0, 8).select(F.col("id").cast("string").alias("work_key"))
+    done = spark.createDataFrame(
+        pd.DataFrame({"work_key": ["0", "1", "2", "3"],
+                      "status": ["ok"] * 4}))
+    pend = L.pending_work(manifest, done, "work_key")
+    assert {r.work_key for r in pend.collect()} == {"4", "5", "6", "7"}
+
+
+def test_observe_metrics(spark):
+    df = spark.range(100)
+    observed, obs = L.observe_metrics(df)
+    observed.count()
+    assert obs.get["n_rows"] == 100

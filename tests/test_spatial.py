@@ -1,0 +1,167 @@
+"""Spatial operator tests: PIP join vs NumPy brute force, kNN vs exact
+crossJoin oracle, tile assignment vs NumPy twin, skew utilities."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from esri_dump_spark.kernels import cells as C
+from esri_dump_spark.kernels.rings import points_in_polygon, close_ring
+from esri_dump_spark.operators.spatial_join import (
+    attach_cell, polygon_cell_index, point_in_polygon_join)
+from esri_dump_spark.operators.knn import knn_join, knn_join_exact
+from esri_dump_spark.operators.tiles import (
+    assign_tiles, tile_xy, tile_cover, raster_vector_join)
+from esri_dump_spark.operators.skew import (
+    hot_keys, salted_repartition, two_phase_agg, salted_join)
+from esri_dump_spark.sources.fixtures import polygons_pdf, images_pdf
+from esri_dump_spark.sources.feature_server import DEFAULT_EXTENT
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    return images_pdf(2000, with_geo=True)[["image_id", "lon", "lat"]]
+
+
+def _brute_force_pip(points: pd.DataFrame, polys: pd.DataFrame) -> set:
+    out = set()
+    pts = points[["lon", "lat"]].to_numpy(np.float64)
+    for rec in polys.itertuples(index=False):
+        rings = [close_ring(np.asarray(r, np.float64))
+                 for r in json.loads(rec.rings_json)]
+        hit = points_in_polygon(pts, rings)
+        for iid in points["image_id"].to_numpy()[hit]:
+            out.add((iid, rec.poly_id))
+    return out
+
+
+def test_attach_cell_matches_kernel(spark, points_pdf):
+    df = attach_cell(spark.createDataFrame(points_pdf), res=12)
+    got = {r.image_id: r.cell for r in df.collect()}
+    exp = C.latlng_to_cell(points_pdf["lat"].to_numpy(),
+                           points_pdf["lon"].to_numpy(), 12)
+    for iid, e in zip(points_pdf["image_id"], exp):
+        assert got[iid] == int(e)
+
+
+def test_pip_join_matches_brute_force(spark, points_pdf):
+    polys = polygons_pdf()
+    got = {(r.image_id, r.poly_id)
+           for r in point_in_polygon_join(
+               spark.createDataFrame(points_pdf), polys, res=10).collect()}
+    exp = _brute_force_pip(points_pdf, polys)
+    assert got == exp
+    assert len(got) > 500  # non-trivial coverage
+
+
+def test_pip_join_semi_anti_partition(spark, points_pdf):
+    polys = polygons_pdf()
+    pts = spark.createDataFrame(points_pdf)
+    inside = point_in_polygon_join(pts, polys, res=10, how="left_semi")
+    outside = point_in_polygon_join(pts, polys, res=10, how="left_anti")
+    n_in, n_out = inside.count(), outside.count()
+    assert n_in + n_out == len(points_pdf)
+    exp_ids = {iid for iid, _ in _brute_force_pip(points_pdf, polys)}
+    assert n_in == len(exp_ids)
+
+
+def test_pip_join_uses_broadcast(spark, points_pdf):
+    polys = polygons_pdf()
+    plan = point_in_polygon_join(
+        spark.createDataFrame(points_pdf), polys, res=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_knn_matches_exact_oracle(spark):
+    pdf = images_pdf(1500, with_geo=True)[["image_id", "lon", "lat"]]
+    pts = spark.createDataFrame(pdf).withColumnRenamed("image_id", "point_id")
+    # queries: a 50-point deterministic subsample, renamed
+    qpdf = pdf.iloc[::30].rename(columns={"image_id": "query_id"})
+    q = spark.createDataFrame(qpdf)
+    k = 5
+    got = knn_join(q, pts, k, res=7, broadcast_points=True)
+    exact = knn_join_exact(q, pts, k)
+    g = {(r.query_id, r.rank): r.point_id for r in got.collect()}
+    e = {(r.query_id, r.rank): r.point_id for r in exact.collect()}
+    # grid-disk candidates must reproduce the exact top-k here (res
+    # chosen so cell pitch >> typical 5-NN radius)
+    assert g == e
+
+
+def test_tile_assignment_matches_numpy(spark):
+    pdf = images_pdf(500, with_geo=True)[["image_id", "lon", "lat"]]
+    z = 10
+    df = assign_tiles(spark.createDataFrame(pdf), z)
+    got = {r.image_id: r.tile_id for r in df.collect()}
+    xt, yt = tile_xy(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), z)
+    exp = (np.int64(z) << 58) | (xt << 29) | yt
+    for iid, e in zip(pdf["image_id"], exp):
+        assert got[iid] == int(e)
+
+
+def test_tile_cover_and_raster_vector_join(spark):
+    polys = polygons_pdf()
+    # cover of the 'holed' polygon includes the tile of an interior point
+    holed = polys[polys["name"] == "holed"].iloc[0]
+    rings = json.loads(holed.rings_json)
+    z = 12
+    cover = set(tile_cover(rings, z).tolist())
+    cx = (DEFAULT_EXTENT[0] + DEFAULT_EXTENT[2]) / 2
+    cy = (DEFAULT_EXTENT[1] + DEFAULT_EXTENT[3]) / 2
+    xt, yt = tile_xy(cx - 0.9, cy - 0.9, z)  # inside shell
+    assert int((np.int64(z) << 58) | (xt << 29) | yt) in cover
+
+    pdf = images_pdf(800, with_geo=True)[["image_id", "lon", "lat"]]
+    joined = raster_vector_join(spark.createDataFrame(pdf), polys, z=8)
+    got = {(r.image_id, r.poly_id) for r in joined.collect()}
+    # tile-level assignment is a superset of exact PIP matches
+    exact = _brute_force_pip(pdf, polys)
+    assert exact <= got
+
+
+def test_hot_keys_and_two_phase_agg(spark):
+    pdf = images_pdf(3000, with_geo=True)[["image_id", "lon", "lat"]]
+    pts = attach_cell(spark.createDataFrame(pdf), res=10).cache()
+    hot = hot_keys(pts, "cell", threshold_frac=0.05, min_count=10)
+    assert len(hot) >= 1  # the 20% hot box lands in one res-10 cell
+    agg = two_phase_agg(pts, "cell", {"n": "count(*)", "mx": "max(lat)"},
+                        hot=hot).collect()
+    plain = {(r.cell): (r["count"], r["mx"]) for r in
+             pts.groupBy("cell").agg(
+                 __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("count"),
+                 __import__("pyspark.sql.functions", fromlist=["F"]).max("lat").alias("mx"),
+             ).collect()}
+    for r in agg:
+        assert plain[r.cell] == (r.n, r.mx)
+    pts.unpersist()
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    pdf = pd.DataFrame({"k": [1] * 900 + list(range(2, 102)),
+                        "v": range(1000)})
+    df = spark.createDataFrame(pdf)
+    out = salted_repartition(df, "k", nsalt=8, hot=[1])
+    assert out.count() == 1000
+    import pyspark.sql.functions as F
+    # hot key rows carry multiple salt values (the partition spread at
+    # scale; at test scale AQE re-coalesces the tiny partitions)
+    salts = out.filter(F.col("k") == 1).select("_salt").distinct().count()
+    assert salts > 1
+    # cold keys keep salt 0
+    assert out.filter((F.col("k") != 1) & (F.col("_salt") != 0)).count() == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    big_pdf = pd.DataFrame({"k": [1] * 500 + [2] * 30 + [3] * 30,
+                            "v": range(560)})
+    small_pdf = pd.DataFrame({"k": [1, 2, 3, 4], "tag": ["a", "b", "c", "d"]})
+    big, small = spark.createDataFrame(big_pdf), spark.createDataFrame(small_pdf)
+    got = {(r.k, r.v, r.tag) for r in
+           salted_join(big, small, "k", nsalt=4, hot=[1]).collect()}
+    exp = {(r.k, r.v, r.tag) for r in big.join(small, "k").collect()}
+    assert got == exp
