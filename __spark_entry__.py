@@ -515,7 +515,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM ({pip_src})
             WHERE NOT ({rect_rc}) AND NOT ({diam_rc})""",
         "knn_geo": f"""
-            WITH pts AS ({pip_src.replace('c_custkey', 'c_custkey AS point_id')}),
+            WITH pts AS (SELECT c_custkey AS point_id, {_CLON} AS lon,
+                                {_CLAT} AS lat FROM customer),
             qs AS (SELECT point_id AS query_id, lon AS qlon, lat AS qlat
                    FROM pts ORDER BY point_id LIMIT 20),
             scored AS (
@@ -547,16 +548,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_unique FROM (
               SELECT min(doc_id) FROM documents GROUP BY text)""",
         "ann_cosine": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings ORDER BY vec_id LIMIT 3),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     list_cosine_similarity(q.qe, e.embedding) AS cosine,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cosine,
                      row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                       ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
                                 e.vec_id ASC) AS rank
               FROM q CROSS JOIN embeddings e)
-            SELECT query_id, vec_id, rank, round(cosine, 4) AS cosine_r
+            SELECT query_id, vec_id, rank,
+                   CAST(round(cosine, 4) AS DOUBLE) AS cosine_r
             FROM scored WHERE rank <= 5""",
         "embedding_norms": """
             SELECT vec_id,

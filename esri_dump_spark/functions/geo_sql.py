@@ -24,8 +24,11 @@ def derived_lonlat_sql(key: str, lon_mod: int = 36000, lat_mod: int = 18000,
     """(lon_sql, lat_sql): pseudo-uniform 0.01-degree-grid coordinates
     from a bigint key. Defaults span the globe; pass smaller mods and
     offsets to target a window."""
-    lon = f"((({key}) * 7919) % {lon_mod}) / 100.0 + ({lon_off})"
-    lat = f"((({key}) * 104729) % {lat_mod}) / 100.0 + ({lat_off})"
+    # explicit CAST AS DOUBLE: Spark parses bare decimal literals as
+    # DECIMAL type (DuckDB as DOUBLE); the cast pins both engines to
+    # IEEE double arithmetic
+    lon = f"(CAST((({key}) * 7919) % {lon_mod} AS DOUBLE) / 100.0 + ({lon_off}))"
+    lat = f"(CAST((({key}) * 104729) % {lat_mod} AS DOUBLE) / 100.0 + ({lat_off}))"
     return lon, lat
 
 

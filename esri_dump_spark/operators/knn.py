@@ -77,10 +77,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
     right = F.broadcast(p) if broadcast_points else p
     cand = q.join(right, "cell", "inner")
 
-    dist = F.sqrt(
-        (F.col("_qlon") - F.col("_plon")) ** 2
-        + (F.col("_qlat") - F.col("_plat")) ** 2
-    ).alias("dist")
+    dlon = F.col("_qlon") - F.col("_plon")
+    dlat = F.col("_qlat") - F.col("_plat")
+    # multiplication, not pow(x, 2): bit-identical to the SQL oracle
+    dist = F.sqrt(dlon * dlon + dlat * dlat).alias("dist")
     cand = cand.select(query_id, point_id, dist)
 
     w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(),
@@ -99,10 +99,11 @@ def knn_join_exact(queries: DataFrame, points: DataFrame, k: int,
                        F.col(q_lat).alias("_qlat"))
     p = points.select(F.col(point_id), F.col(p_lon).alias("_plon"),
                       F.col(p_lat).alias("_plat"))
+    dlon = F.col("_qlon") - F.col("_plon")
+    dlat = F.col("_qlat") - F.col("_plat")
     cand = q.crossJoin(p).select(
         query_id, point_id,
-        F.sqrt((F.col("_qlon") - F.col("_plon")) ** 2
-               + (F.col("_qlat") - F.col("_plat")) ** 2).alias("dist"))
+        F.sqrt(dlon * dlon + dlat * dlat).alias("dist"))
     w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(),
                                              F.col(point_id).asc())
     return (cand.withColumn("rank", F.row_number().over(w))

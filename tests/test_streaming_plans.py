@@ -1,0 +1,151 @@
+"""Streaming operators + plan-compiler (tilejson/renderer) tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+from esri_dump_spark.streaming.events import (
+    read_events_stream, windowed_counts, run_available_now, sessionize_batch)
+from esri_dump_spark.plans.tilejson import (
+    tilejson, bounds_from_extent, strip_vertical_reference)
+from esri_dump_spark.plans.renderer import (
+    match_expr, step_expr, parse_value, rgba, layer_opacity, pt_to_px,
+    scale_to_zoom, compile_renderer)
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    exp = {(r.window_start, r.event_type): (r.n, r.sum_value)
+           for r in windowed_counts(batch).collect()}
+
+    # the file stream source requires a directory
+    import shutil
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(path, stream_dir / "part-0.parquet")
+    stream = read_events_stream(spark, str(stream_dir))
+    assert stream.isStreaming
+    q = run_available_now(windowed_counts(stream), "win_counts")
+    got = {(r.window_start, r.event_type): (r.n, r.sum_value)
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert got == exp
+
+
+def test_sessionize_batch(spark):
+    pdf = pd.DataFrame({
+        "user_id": [1] * 5 + [2] * 2,
+        "event_id": range(7),
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:20",
+            "2024-01-01 12:00", "2024-01-01 12:10",   # gap -> new session
+            "2024-01-01 09:00", "2024-01-01 09:50",   # user 2: gap 50m
+        ]),
+        "value": [1.0] * 7,
+        "event_type": ["click"] * 7,
+        "props": [""] * 7,
+    })
+    out = sessionize_batch(spark.createDataFrame(pdf), gap_minutes=30)
+    rows = sorted(out.collect(), key=lambda r: (r.user_id, r.session_start))
+    assert [(r.user_id, r.n_events) for r in rows] == [
+        (1, 3), (1, 2), (2, 1), (2, 1)]
+
+
+# ------------------------------------------------------------- tilejson
+
+def test_tilejson_4326_extent_passthrough():
+    meta = {"name": "layer", "geometryType": "esriGeometryPoint",
+            "extent": {"xmin": -10, "ymin": -5, "xmax": 10, "ymax": 5,
+                       "spatialReference": {"wkid": 4326}},
+            "fields": [{"name": "objectid", "type": "esriFieldTypeOID"},
+                       {"name": "shape", "type": "esriFieldTypeGeometry"}]}
+    doc = tilejson(meta, "FeatureServer")
+    assert doc["type"] == "vector"
+    assert doc["bounds"] == [-10, -5, 10, 5]
+    assert doc["center"] == [0, 2.5 - 2.5]
+    assert doc["minzoom"] == 0 and doc["maxzoom"] == 22
+    # geometry fields dropped from vector_layers
+    assert doc["vector_layers"] == [
+        {"id": "out", "fields": {"objectid": "number"}}]
+
+
+def test_tilejson_mercator_reprojection():
+    # 102100 -> 3857 web mercator; reference test checks 1e-6 tolerance
+    meta = {"geometryType": "esriGeometryPolygon",
+            "extent": {"xmin": -13247019.40, "ymin": 4033361.74,
+                       "xmax": -13099616.16, "ymax": 4099536.67,
+                       "spatialReference": {"wkid": 102100,
+                                            "latestWkid": 3857}}}
+    doc = tilejson(meta)
+    b = doc["bounds"]
+    assert b[0] == pytest.approx(-119.0, abs=1e-6)
+    assert b[1] == pytest.approx(34.0339511, abs=1e-6)
+    assert b[2] == pytest.approx(-117.6758541, abs=1e-6)
+    assert b[3] == pytest.approx(34.5251497, abs=1e-6)
+
+
+def test_tilejson_raster_and_zoom_rules():
+    meta = {"serviceDataType": "esriImageServiceDataTypeRGB",
+            "minLOD": 3, "maxLOD": 15,
+            "extent": {"xmin": 0, "ymin": 0, "xmax": 1, "ymax": 1,
+                       "spatialReference": {"wkid": 4326}}}
+    doc = tilejson(meta, "ImageServer")
+    assert doc["type"] == "raster"
+    assert (doc["minzoom"], doc["maxzoom"]) == (3, 15)
+    assert "vector_layers" not in doc
+    # tileInfo.lods wins over LODs
+    meta["tileInfo"] = {"lods": [{"level": 2}, {"level": 9}]}
+    doc2 = tilejson(meta, "ImageServer")
+    assert (doc2["minzoom"], doc2["maxzoom"]) == (2, 9)
+
+
+def test_strip_vertical_reference():
+    wkt = 'PROJCS["x",GEOGCS["y"]],VERTCS["z",DATUM["w"]]'
+    # VERTCS removed, outer content intact
+    assert strip_vertical_reference(wkt) == 'PROJCS["x",GEOGCS["y"]]'
+    assert strip_vertical_reference('PROJCS["x"]') == 'PROJCS["x"]'
+
+
+# ------------------------------------------------------------- renderer
+
+def test_scalar_helpers():
+    assert rgba([255, 0, 0, 255]) == "rgba(255,0,0,1)"
+    assert rgba([0, 0, 0, 128]) == "rgba(0,0,0,0.502)"
+    assert rgba(None) == "rgba(0,0,0,1)"
+    assert layer_opacity(None) == 1
+    assert layer_opacity(25) == 0.75
+    assert pt_to_px(12) == 16.0
+    assert scale_to_zoom(559082264) == 0.0
+    assert scale_to_zoom(545978.77) == pytest.approx(10.0, abs=0.01)
+    assert parse_value("42") == 42
+    assert parse_value("4.5") == 4.5
+    assert parse_value("042") == "042"   # round-trip check fails -> string
+    assert parse_value("abc") == "abc"
+
+
+def test_match_expr_constant_collapse(spark):
+    df = spark.range(5).withColumn("b", F.col("id").cast("string"))
+    # all branches equal fallback -> constant (reference matchExpr parity)
+    col = match_expr(F.col("b"), [("1", "x"), ("2", "x")], "x")
+    vals = {r[0] for r in df.select(col).collect()}
+    assert vals == {"x"}
+    col2 = match_expr(F.col("b"), [("1", "one"), ("2", "two")], "other")
+    got = [r[0] for r in df.select(col2).orderBy("id").collect()]
+    assert got == ["other", "one", "two", "other", "other"]
+
+
+def test_step_expr_and_compile_renderer(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 10.0, 25.0, 99.0]}))
+    col = step_expr(F.col("v"), [(10.0, "mid"), (25.0, "high")], "low")
+    got = [r[0] for r in df.select(col).collect()]
+    assert got == ["low", "mid", "high", "high"]
+
+    uv = {"type": "uniqueValue", "field1": "name",
+          "uniqueValueInfos": [{"value": "a", "label": "A"},
+                               {"value": "b", "label": "B"}]}
+    df2 = spark.createDataFrame(pd.DataFrame({"name": ["a", "b", "c"]}))
+    got2 = [r[0] for r in df2.select(compile_renderer(uv)).collect()]
+    assert got2 == ["A", "B", "other"]
