@@ -333,18 +333,19 @@ def q_extract_synthetic(spark, sf_dir):
 def q_pip_fixture_polygons(spark, sf_dir):
     """J2 on complex fixture polygons (holes, multipolygon, promoted
     hole) over the synthetic image table. Non-SQL: rows-only."""
-    from esri_dump_spark.sources.fixtures import images_pdf, polygons_pdf
-    pts = spark.createDataFrame(
-        images_pdf(2000, with_geo=True)[["image_id", "lon", "lat"]])
+    from esri_dump_spark.sources.fixtures import (ensure_images_parquet,
+                                                  polygons_pdf)
+    pts = spark.read.parquet(ensure_images_parquet(2000)) \
+        .select("image_id", "lon", "lat")
     out = point_in_polygon_join(pts, polygons_pdf(), res=10)
     return out.select("image_id", "poly_id", "poly_name")
 
 
 def q_image_decode_stats(spark, sf_dir):
     """Multimodal: Arrow-batched image decode + stats. Rows-only."""
-    from esri_dump_spark.sources.fixtures import images_pdf
+    from esri_dump_spark.sources.fixtures import ensure_images_parquet
     from esri_dump_spark.operators.multimodal import decode_stats
-    imgs = spark.createDataFrame(images_pdf(500, with_geo=False))
+    imgs = spark.read.parquet(ensure_images_parquet(2000))
     return decode_stats(imgs)
 
 
