@@ -317,6 +317,86 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Dedup: exact word-3-gram Jaccard pairs, JVM expressions only."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Dedup: exact embedding-cosine near-dup pairs (verification-stage
+    twin of the LSH candidate generator)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = D.cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Stateful sessionization (applyInPandas; batch twin of the
+    applyInPandasWithState streaming operator)."""
+    from esri_dump_spark.streaming.events import sessionize_batch
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_minutes=30)
+    return out.select("user_id", "session_start", "session_end", "n_events",
+                      F.round("sum_value", 4).alias("sum_value_r"))
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew: explicit two-phase salted aggregation — identical result
+    to a plain groupBy, no single reducer owns a hot key."""
+    from esri_dump_spark.operators.skew import two_phase_agg
+    li = _t(spark, sf_dir, "lineitem")
+    out = two_phase_agg(li, "l_returnflag",
+                        {"n": "count(*)", "sum_qty": "sum(l_quantity)"},
+                        nsalt=16, hot=["N"])
+    return out.select("l_returnflag", "n",
+                      F.round("sum_qty", 2).alias("sum_qty"))
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew: salted shuffle equi-join (hot keys fanned out both sides),
+    rolled up so the result is key-invariant."""
+    from esri_dump_spark.operators.skew import salted_join
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    # keys declared hot exercise the fan-out path; correctness must be
+    # identical whether or not a key is truly hot
+    j = salted_join(o.withColumnRenamed("o_custkey", "custkey"),
+                    c.withColumnRenamed("c_custkey", "custkey"),
+                    "custkey", nsalt=8, hot=[1, 2, 3])
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_stream_windowed(spark, sf_dir):
+    """Streaming operator's batch twin: tumbling event-time window
+    (same expression tree the writeStream pipeline uses)."""
+    from esri_dump_spark.streaming.events import windowed_counts
+    ev = _t(spark, sf_dir, "events")
+    return windowed_counts(ev, window="1 hour")
+
+
+def q_renderer_compile(spark, sf_dir):
+    """F7: drawingInfo.renderer JSON compiled to a Catalyst CASE WHEN
+    column (the stylejson expression compiler applied to rows)."""
+    from esri_dump_spark.plans.renderer import compile_renderer
+    renderer = {
+        "type": "uniqueValue", "field1": "p_type",
+        "defaultLabel": "other",
+        "uniqueValueInfos": [
+            {"value": "PROMO", "label": "promo-style"},
+            {"value": "ECONOMY", "label": "economy-style"},
+            {"value": "STANDARD", "label": "standard-style"},
+        ]}
+    p = _t(spark, sf_dir, "part")
+    return (p.withColumn("style_class", compile_renderer(renderer))
+            .groupBy("style_class").agg(F.count(F.lit(1)).alias("n")))
+
+
 # --------------------------------------------- rows-only (non-SQL) queries
 
 def q_extract_synthetic(spark, sf_dir):
@@ -369,6 +449,106 @@ def q_ivf_ann(spark, sf_dir):
     return A.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=8)
 
 
+def q_emb_near_dup_lsh(spark, sf_dir):
+    """Random-hyperplane LSH near-dup candidates (scale path of
+    emb_near_dup). Rows-only: LSH recall < 1 by design."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup(emb, "vec_id", "embedding",
+                                threshold=0.4, n_planes=8)
+
+
+def q_extract_bbox(spark, sf_dir):
+    """EP1 via the bbox quadtree strategy (S4): adaptive envelope
+    splitting against count probes, overlap dedup. Rows-only."""
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    srv = SyntheticFeatureServer(n_features=2000, max_record_count=500,
+                                 geometry_type="esriGeometryPolygon")
+    return extract(spark, srv, approach="bbox").select(
+        "id", "geom_type", "geojson")
+
+
+def q_verify_images(spark, sf_dir):
+    """North-rule per-row invariant: decoded dims + phash + PSNR>=40dB
+    roundtrip gate over the image table. Rows-only."""
+    from esri_dump_spark.operators.multimodal import verify_images
+    from esri_dump_spark.sources.fixtures import ensure_images_parquet
+    imgs = spark.read.parquet(ensure_images_parquet(2000))
+    return verify_images(imgs)
+
+
+def q_resize_images(spark, sf_dir):
+    """Multimodal: block-mean resize to 16x16 inside mapInPandas
+    (bytes decoded/re-encoded on executors). Rows-only."""
+    from esri_dump_spark.operators.multimodal import resize_images
+    from esri_dump_spark.sources.fixtures import ensure_images_parquet
+    imgs = spark.read.parquet(ensure_images_parquet(2000)).limit(500)
+    out = resize_images(imgs, 16, 16)
+    return out.select("image_id", "w", "h", "fmt",
+                      F.length("bytes").alias("n_bytes"))
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-dup via phash block-LSH + exact hamming. Rows-only."""
+    from esri_dump_spark.operators.dedup import phash_near_dup
+    from esri_dump_spark.sources.fixtures import ensure_images_parquet
+    imgs = spark.read.parquet(ensure_images_parquet(2000))
+    return phash_near_dup(imgs, max_hamming=8)
+
+
+def q_schema_doc(spark, sf_dir):
+    """EP2: layer metadata -> JSON Schema document (single row)."""
+    from esri_dump_spark.plans.schema import field_to_schema
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    import json as _json
+    srv = SyntheticFeatureServer(n_features=10)
+    doc = field_to_schema(srv.metadata())
+    return spark.createDataFrame(
+        [(_json.dumps(doc, sort_keys=True),)], "schema_json string")
+
+
+def q_tilejson_doc(spark, sf_dir):
+    """EP3: layer metadata -> TileJSON document (single row)."""
+    from esri_dump_spark.plans.tilejson import tilejson
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    import json as _json
+    srv = SyntheticFeatureServer(n_features=10)
+    doc = tilejson(srv.metadata(), resource_type="FeatureServer")
+    return spark.createDataFrame(
+        [(_json.dumps(doc, sort_keys=True),)], "tilejson string")
+
+
+def q_discovery(spark, sf_dir):
+    """S6: recursive folder/service/layer catalog walk. Rows-only."""
+    from esri_dump_spark.sources.discovery import discover_tree
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    meta = SyntheticFeatureServer(n_features=10).metadata()
+    tree = {"folders": {"base": {"services": [
+        {"name": "wildfire", "type": "FeatureServer",
+         "layers": [meta, meta]}]}},
+        "services": [{"name": "roads", "type": "MapServer",
+                      "layers": [meta]}]}
+    return discover_tree(spark, tree)
+
+
+def q_lineage_metrics(spark, sf_dir):
+    """North-rule lineage: per-partition (n_rows, bytes, t_start/t_end,
+    status) records emitted by the extraction, enabling
+    checkpoint-resume via anti-join. Rows-only."""
+    import tempfile
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.operators.lineage import with_lineage, read_lineage
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    srv = SyntheticFeatureServer(n_features=1000, max_record_count=250)
+    sink = tempfile.mkdtemp(prefix="lineage_")
+    feats = with_lineage(extract(spark, srv), "bench-run", sink)
+    n = feats.count()  # materialize -> lineage rows written
+    lin = read_lineage(spark, sink)
+    return lin.groupBy("run_id", "status").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").alias("total_rows"))
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -413,13 +593,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "embedding_norms": q_embedding_norms,
         "events_hourly": q_events_hourly,
+        "ngram_jaccard": q_ngram_jaccard,
+        "emb_near_dup": q_emb_near_dup,
+        "sessionize": q_sessionize,
+        "salted_agg": q_salted_agg,
+        "salted_join": q_salted_join,
+        "stream_windowed": q_stream_windowed,
+        "renderer_compile": q_renderer_compile,
         # rows-only (non-SQL-expressible)
         "extract_synthetic": q_extract_synthetic,
+        "extract_bbox": q_extract_bbox,
         "pip_fixture_polygons": q_pip_fixture_polygons,
         "image_decode_stats": q_image_decode_stats,
+        "verify_images": q_verify_images,
+        "resize_images": q_resize_images,
+        "phash_near_dup": q_phash_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann": q_ivf_ann,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "schema_doc": q_schema_doc,
+        "tilejson_doc": q_tilejson_doc,
+        "discovery": q_discovery,
+        "lineage_metrics": q_lineage_metrics,
     }
 
 
@@ -572,4 +768,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "ngram_jaccard": """
+            WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+                  FROM d, UNNEST(generate_series(1, greatest(len(w) - 2, 1)))
+                       AS t(i)),
+            sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                   FROM g a JOIN g b ON a.gram = b.gram
+                        AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6)
+                   AS jaccard_r
+            FROM sh JOIN sz sa ON sh.id_a = sa.doc_id
+                 JOIN sz sb ON sh.id_b = sb.doc_id
+            WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.5""",
+        "emb_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts) > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sess FROM e)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value_r
+            FROM s GROUP BY user_id, sess""",
+        "salted_agg": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag""",
+        "salted_join": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "stream_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "renderer_compile": """
+            SELECT CASE WHEN p_type = 'PROMO' THEN 'promo-style'
+                        WHEN p_type = 'ECONOMY' THEN 'economy-style'
+                        WHEN p_type = 'STANDARD' THEN 'standard-style'
+                        ELSE 'other' END AS style_class, count(*) AS n
+            FROM part GROUP BY 1""",
     }

@@ -63,26 +63,76 @@ def points_in_ring(points: np.ndarray, ring: np.ndarray) -> np.ndarray:
     are exactly the reference's: for edge (j -> i),
       crossing iff ((yi <= py < yj) or (yj <= py < yi))
                    and px < (xj-xi)*(py-yi)/(yj-yi) + xi
+
+    Two physically different evaluations of the same predicate:
+      * small m*n — one (m,n) broadcast (fewest NumPy dispatches);
+      * large m*n — cache-blocked: loop edges, chunk points so every
+        temporary stays L2-resident. The broadcast form materializes
+        ~6 (m,n) float64 temporaries (67 MB at m=64k, n=128), which
+        saturates DRAM bandwidth and destroys multi-core scaling; the
+        blocked form is pure-compute and scales with cores.
     """
     points = np.atleast_2d(np.asarray(points, dtype=np.float64))
     ring = np.asarray(ring, dtype=np.float64)
-    n = ring.shape[0]
-    if n == 0:
-        return np.zeros(points.shape[0], dtype=bool)
-    px = points[:, 0][:, None]  # (m,1)
-    py = points[:, 1][:, None]
-    xi, yi = ring[:, 0][None, :], ring[:, 1][None, :]  # (1,n) — vertex i
-    # vertex j is the predecessor of i (j starts at n-1, then j = i-1)
-    xj = np.roll(ring[:, 0], 1)[None, :]
-    yj = np.roll(ring[:, 1], 1)[None, :]
+    m, n = points.shape[0], ring.shape[0]
+    if n == 0 or m == 0:
+        return np.zeros(m, dtype=bool)
 
-    y_cond = ((yi <= py) & (py < yj)) | ((yj <= py) & (py < yi))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        x_cross = (xj - xi) * (py - yi) / (yj - yi) + xi
-    x_cond = px < x_cross
-    crossings = y_cond & x_cond
-    # even-odd: odd number of crossings => inside
-    return (crossings.sum(axis=1) % 2).astype(bool)
+    if m * n <= (1 << 18):
+        px = points[:, 0][:, None]  # (m,1)
+        py = points[:, 1][:, None]
+        xi, yi = ring[:, 0][None, :], ring[:, 1][None, :]  # (1,n) vertex i
+        # vertex j is the predecessor of i (j starts at n-1, then j = i-1)
+        xj = np.roll(ring[:, 0], 1)[None, :]
+        yj = np.roll(ring[:, 1], 1)[None, :]
+        y_cond = ((yi <= py) & (py < yj)) | ((yj <= py) & (py < yi))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_cross = (xj - xi) * (py - yi) / (yj - yi) + xi
+        crossings = y_cond & (px < x_cross)
+        return (crossings.sum(axis=1) % 2).astype(bool)
+
+    xs, ys = np.ascontiguousarray(ring[:, 0]), np.ascontiguousarray(ring[:, 1])
+    xjs, yjs = np.roll(xs, 1), np.roll(ys, 1)
+    out = np.zeros(m, dtype=bool)
+    CH = 8192  # 64 KB per float64 temp — L2-resident, under mmap threshold
+    # every buffer preallocated: the inner loop performs no heap
+    # allocation at all (mmap/munmap churn on >=128 KB temporaries
+    # causes cross-core TLB shootdowns that kill scaling)
+    t = np.empty(CH, dtype=np.float64)
+    b1 = np.empty(CH, dtype=bool)
+    b2 = np.empty(CH, dtype=bool)
+    cross = np.empty(CH, dtype=np.int32)
+    for s in range(0, m, CH):
+        px = np.ascontiguousarray(points[s:s + CH, 0])
+        py = np.ascontiguousarray(points[s:s + CH, 1])
+        c = px.shape[0]
+        tv, b1v, b2v, crossv = t[:c], b1[:c], b2[:c], cross[:c]
+        crossv[:] = 0
+        for k in range(n):
+            xi, yi, xj, yj = xs[k], ys[k], xjs[k], yjs[k]
+            if yi == yj:
+                # y_cond is unsatisfiable (half-open interval is empty);
+                # the reference's x_cross division never matters here
+                continue
+            if yj > yi:
+                np.less_equal(yi, py, out=b1v)
+                np.less(py, yj, out=b2v)
+            else:
+                np.less_equal(yj, py, out=b1v)
+                np.less(py, yi, out=b2v)
+            b1v &= b2v
+            # keep the reference's evaluation order bit-exact:
+            # ((xj-xi)*(py-yi)) / (yj-yi) + xi  (IEEE mult commutes)
+            np.subtract(py, yi, out=tv)
+            tv *= xj - xi
+            tv /= yj - yi
+            tv += xi
+            np.less(px, tv, out=b2v)
+            b1v &= b2v
+            crossv += b1v
+        np.bitwise_and(crossv, 1, out=crossv)
+        out[s:s + CH] = crossv.astype(bool)
+    return out
 
 
 def point_in_ring(point, ring) -> bool:

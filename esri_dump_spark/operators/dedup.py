@@ -235,6 +235,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------- embedding / image dup
 
+def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
+                 threshold: float = 0.95) -> DataFrame:
+    """Exact all-pairs embedding cosine near-dup — built-in expressions
+    only (JVM-side, SQL-oracle-able). Quadratic in rows: intended for
+    bounded sets or as the post-LSH verification stage; the scale path
+    is ``embedding_near_dup`` (random-hyperplane LSH candidate gen)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    dot = ("aggregate(zip_with(v_a, v_b, (x, y) -> CAST(x AS DOUBLE) * y), "
+           "0D, (acc, v) -> acc + v)")
+    na = "sqrt(aggregate(v_a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+    nb = "sqrt(aggregate(v_b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+    return (F.broadcast(a).crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.expr(f"{dot} / ({na} * {nb})"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
                        threshold: float = 0.95,
                        n_planes: int = 16, seed: int = 42) -> DataFrame:

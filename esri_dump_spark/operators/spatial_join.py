@@ -38,8 +38,8 @@ from pyspark.sql.functions import pandas_udf
 from ..kernels import cells as C
 from ..kernels.rings import points_in_polygon, close_ring
 
-__all__ = ["attach_cell", "polygon_cell_index", "point_in_polygon_join",
-           "DEFAULT_RES"]
+__all__ = ["attach_cell", "polygon_cell_index", "build_polygon_dim",
+           "point_in_polygon_join", "DEFAULT_RES"]
 
 DEFAULT_RES = 12
 
@@ -62,36 +62,47 @@ def polygon_cell_index(spark: SparkSession, polygons: pd.DataFrame,
     side as pandas: columns (poly_id, rings_json). Computed driver-side
     — polygon counts are thousands, not billions; for larger polygon
     sets run the same kernel in mapInPandas over a polygon DataFrame."""
+    cover_pdf, _ = build_polygon_dim(polygons, res)
+    return spark.createDataFrame(cover_pdf)
+
+
+def build_polygon_dim(polygons: pd.DataFrame, res: int = DEFAULT_RES):
+    """Precompute the static polygon dimension: (cell-cover pdf,
+    rings-by-poly-id dict). At scale this is built once per polygon
+    set and reused across every query/run against it."""
     cells, pids = [], []
     for rec in polygons.itertuples(index=False):
         rings = _parse_rings(rec.rings_json)
         cover = C.polygon_cover(rings, res, exact=True)
         cells.append(cover)
         pids.append(np.full(cover.shape, rec.poly_id, dtype=np.int64))
-    pdf = pd.DataFrame({
+    cover_pdf = pd.DataFrame({
         "cell": np.concatenate(cells) if cells else np.array([], np.int64),
         "poly_id": np.concatenate(pids) if pids else np.array([], np.int64),
     })
-    return spark.createDataFrame(pdf)
+    rings_by_pid = {int(r.poly_id):
+                    [a.tolist() for a in _parse_rings(r.rings_json)]
+                    for r in polygons.itertuples(index=False)}
+    return cover_pdf, rings_by_pid
 
 
 def point_in_polygon_join(points: DataFrame, polygons: pd.DataFrame,
                           lon_col: str = "lon", lat_col: str = "lat",
                           res: int = DEFAULT_RES,
-                          how: str = "inner") -> DataFrame:
+                          how: str = "inner", dim=None) -> DataFrame:
     """Spatial join of a big point table against a small polygon table.
 
     how='inner'      -> point rows x matching poly_id (+name)
     how='left_semi'  -> point rows inside >= 1 polygon (deduped)
     how='left_anti'  -> point rows inside none
+
+    ``dim`` — optional precomputed ``build_polygon_dim`` result so the
+    static dimension isn't rebuilt per query.
     """
     spark = points.sparkSession
-    cell_index = polygon_cell_index(spark, polygons, res)
-
-    # polygon rings shipped to executors via closure (small dim table);
-    # on a real cluster this is a broadcast variable — same mechanics
-    rings_by_pid = {int(r.poly_id): [a.tolist() for a in _parse_rings(r.rings_json)]
-                    for r in polygons.itertuples(index=False)}
+    cover_pdf, rings_by_pid = dim if dim is not None \
+        else build_polygon_dim(polygons, res)
+    cell_index = spark.createDataFrame(cover_pdf)
 
     @pandas_udf("boolean")
     def pip_refine(lon: pd.Series, lat: pd.Series,

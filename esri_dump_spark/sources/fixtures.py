@@ -26,7 +26,8 @@ from ..kernels.image import encode_image, average_phash
 from ..sources.feature_server import DEFAULT_EXTENT
 
 __all__ = ["images_pdf", "polygons_records", "polygons_pdf",
-           "ensure_images_parquet", "FIXTURE_CACHE"]
+           "ensure_images_parquet", "ensure_points_parquet",
+           "bench_polygons_pdf", "FIXTURE_CACHE"]
 
 FIXTURE_CACHE = os.environ.get(
     "SPARK_GRAFT_FIXTURE_CACHE", "/root/repo/.fixtures_cache")
@@ -101,6 +102,60 @@ def ensure_images_parquet(n: int, seed: int = 42) -> str:
         images_pdf(n, seed).to_parquet(tmp, index=False)
         os.replace(tmp, path)
     return path
+
+
+def ensure_points_parquet(spark, n: int, seed: int = 42,
+                          n_files: int = 128) -> str:
+    """Big point-only table (id, lon, lat) for the scaling protocol,
+    generated ON EXECUTORS with pure SQL (xxhash64-derived uniforms) —
+    the generator itself is partition-parallel and deterministic, the
+    property a 10^12-row synthetic input needs. 20% of rows collapse
+    into a tiny hot box (skew), mirroring images_pdf."""
+    os.makedirs(FIXTURE_CACHE, exist_ok=True)
+    path = os.path.join(FIXTURE_CACHE, f"points_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    xmin, ymin, xmax, ymax = DEFAULT_EXTENT
+    df = spark.range(0, n, 1, n_files).selectExpr(
+        "id",
+        f"(cast(xxhash64(id, {seed}) as double) / 9.223372036854776e18"
+        " + 1.0) / 2.0 as u",
+        f"(cast(xxhash64(id, {seed + 1}) as double) / 9.223372036854776e18"
+        " + 1.0) / 2.0 as v",
+    ).selectExpr(
+        "id",
+        f"case when id % 5 = 0 then {xmin} + {xmax - xmin} * (0.25 + 0.002 * u)"
+        f" else {xmin} + {xmax - xmin} * u end as lon",
+        f"case when id % 5 = 0 then {ymin} + {ymax - ymin} * (0.25 + 0.002 * v)"
+        f" else {ymin} + {ymax - ymin} * v end as lat",
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_polygons_pdf(nv: int = 256, nx: int = 6, ny: int = 4,
+                       extent=DEFAULT_EXTENT) -> pd.DataFrame:
+    """Deterministic grid of lumpy many-vertex polygons (realistic
+    vertex counts — admin boundaries run 100s of vertices, which is
+    also what makes the refine stage compute-dense enough to measure
+    scaling instead of memory bandwidth)."""
+    xmin, ymin, xmax, ymax = extent
+    dx, dy = (xmax - xmin) / nx, (ymax - ymin) / ny
+    rows, pid = [], 0
+    for i in range(nx):
+        for j in range(ny):
+            cx = xmin + (i + 0.5) * dx
+            cy = ymin + (j + 0.5) * dy
+            th = np.linspace(0.0, 2.0 * np.pi, nv + 1)[:-1]
+            r = 0.46 * min(dx, dy) * (1.0 + 0.18 * np.sin(5 * th + pid)
+                                      + 0.09 * np.cos(11 * th - pid))
+            ring = np.column_stack([cx + r * np.cos(th), cy + r * np.sin(th)])
+            ring = np.vstack([ring, ring[:1]])
+            rows.append({"poly_id": pid, "name": f"blob{pid}",
+                         "rings_json": json.dumps(
+                             [np.round(ring, 7).tolist()])})
+            pid += 1
+    return pd.DataFrame(rows)
 
 
 def polygons_records(extent=DEFAULT_EXTENT) -> list[dict]:
