@@ -343,6 +343,16 @@ def q_sessionize(spark, sf_dir):
                       F.round("sum_value", 4).alias("sum_value_r"))
 
 
+def q_sessionize_window(spark, sf_dir):
+    """Sessionization JVM-side (lag/cumsum windows, zero Python) —
+    identical semantics to q_sessionize, whole-stage codegen."""
+    from esri_dump_spark.streaming.events import sessionize_window
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_window(ev, gap_minutes=30)
+    return out.select("user_id", "session_start", "session_end", "n_events",
+                      F.round("sum_value", 4).alias("sum_value_r"))
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew: explicit two-phase salted aggregation — identical result
     to a plain groupBy, no single reducer owns a hot key."""
@@ -596,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "emb_near_dup": q_emb_near_dup,
         "sessionize": q_sessionize,
+        "sessionize_window": q_sessionize_window,
         "salted_agg": q_salted_agg,
         "salted_join": q_salted_join,
         "stream_windowed": q_stream_windowed,
@@ -625,7 +636,7 @@ def oracle_sql() -> dict[str, str]:
     diam_rc = raycast_sql(DIAMOND_RING, "lon", "lat")
     pip_src = (f"SELECT c_custkey, {_CLON} AS lon, {_CLAT} AS lat "
                f"FROM customer")
-    return {
+    oracles = {
         "count_probe": "SELECT count(*) AS n_rows FROM lineitem",
         "dedup_first_event": """
             SELECT user_id, event_type, event_id AS first_event FROM (
@@ -827,3 +838,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'other' END AS style_class, count(*) AS n
             FROM part GROUP BY 1""",
     }
+    # the JVM-window sessionizer must equal the applyInPandas one
+    oracles["sessionize_window"] = oracles["sessionize"]
+    return oracles

@@ -69,7 +69,8 @@ def run_headline(spark) -> dict[str, float]:
         "cell_assign", "tile_assign", "pip_rect", "pip_diamond", "knn_geo",
         "token_count", "quality_score", "lang_id", "exact_dedup",
         "ann_cosine", "events_hourly", "minhash_pairs", "ngram_jaccard",
-        "sessionize", "salted_agg", "image_decode_stats", "extract_synthetic",
+        "sessionize_window", "salted_agg", "image_decode_stats",
+        "extract_synthetic",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

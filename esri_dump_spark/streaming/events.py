@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["read_events_stream", "windowed_counts", "run_available_now",
-           "sessionize_batch", "SESSION_SCHEMA"]
+           "sessionize_batch", "sessionize_window", "SESSION_SCHEMA"]
 
 
 def read_events_stream(spark: SparkSession, path: str,
@@ -99,3 +99,27 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .groupBy("user_id")
             .applyInPandas(lambda k, pdf: next(sess(k, iter([pdf]))),
                            schema=SESSION_SCHEMA))
+
+
+def sessionize_window(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization entirely JVM-side (two window passes: lag ->
+    gap flag -> running sum = session id -> rollup). Identical result
+    to ``sessionize_batch``; preferred in batch because it stays in
+    whole-stage codegen with zero Python. The applyInPandas form exists
+    as the batch twin of the applyInPandasWithState streaming operator,
+    where per-key custom state genuinely needs Python."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    flagged = events.withColumn(
+        "_brk", F.when(F.col("ts") - F.lag("ts").over(w) > gap, 1)
+                 .otherwise(0))
+    sess = flagged.withColumn(
+        "_sess", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "_sess")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .drop("_sess"))

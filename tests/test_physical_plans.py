@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions — the scale contract, not just row
+correctness: filters reach the parquet scan, small dims broadcast,
+aggregates have map-side partials, JVM-only operators contain no
+Python eval node, and the refine UDF is Arrow-vectorized (never
+row-at-a-time BatchEvalPython).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    df = E.queries()["where_pushdown"](spark, sf_dir)
+    qe = _full(df)
+    assert "PushedFilters:" in qe
+    assert "GreaterThan(l_quantity" in qe
+    assert "LessThan(l_discount" in qe
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = E.queries()["where_pushdown"](spark, sf_dir)
+    qe = _full(df)
+    # ReadSchema carries only the referenced columns, not all 16
+    read = qe.split("ReadSchema:")[-1].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_shipdate" not in read and "l_comment" not in read
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = E.queries()["join_broadcast"](spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_map_side_partial(spark, sf_dir):
+    df = E.queries()["agg_pricing"](spark, sf_dir)
+    plan = _physical(df)
+    assert "partial_sum" in plan or "partial_" in plan
+
+
+def test_jvm_only_operators_have_no_python_node(spark, sf_dir):
+    for name in ("cell_assign", "tile_assign", "token_count",
+                 "quality_score", "lang_id", "fingerprint",
+                 "sessionize_window", "ngram_jaccard", "emb_near_dup",
+                 "embedding_norms", "salted_agg", "salted_join"):
+        plan = _physical(E.queries()[name](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} has a Python stage"
+        assert "MapInPandas" not in plan, f"{name} has a Python stage"
+
+
+def test_pip_join_is_broadcast_plus_arrow(spark, sf_dir):
+    df = E.queries()["pip_rect"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan          # coarse cell equi-join
+    assert "ArrowEvalPython" in plan            # vectorized refine
+    assert "BatchEvalPython" not in plan        # never row-at-a-time
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_candidates_broadcast(spark, sf_dir):
+    df = E.queries()["knn_geo"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_extract_is_arrow_vectorized(spark, sf_dir):
+    df = E.queries()["extract_synthetic"](spark, sf_dir)
+    plan = _physical(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
