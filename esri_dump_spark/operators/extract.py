@@ -37,8 +37,26 @@ from ..kernels.rings import rings_to_geojson
 from ..kernels.rewind import rewind
 from ..kernels.bbox import BBox, quadtree_partition
 from ..plans.schema import field_to_schema, find_oid_field
+from ..sources.feature_server import TransientServerError
 
-__all__ = ["validate_metadata", "extract", "FEATURE_SCHEMA", "iso8601_ms"]
+__all__ = ["validate_metadata", "extract", "FEATURE_SCHEMA", "iso8601_ms",
+           "MAX_PAGE_RETRIES"]
+
+# E1 parity: <= 5 attempts per page, then hard fail with details
+# (/root/reference/lib/geometry.ts:105-142). Spark task retries
+# (spark.task.maxFailures) remain the outer recovery layer.
+MAX_PAGE_RETRIES = 5
+
+
+def _with_retries(fn, desc: str):
+    last: Exception | None = None
+    for _ in range(MAX_PAGE_RETRIES):
+        try:
+            return fn()
+        except TransientServerError as e:
+            last = e
+    raise RuntimeError(
+        f"{desc}: failed after {MAX_PAGE_RETRIES} attempts: {last}")
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
@@ -182,10 +200,13 @@ def extract(spark: SparkSession, server, approach: str = "iter",
             rows = []
             for rec in b.itertuples(index=False):
                 if rec.kind == "offset":
-                    feats = server.query_page(int(rec.offset))
+                    feats = _with_retries(
+                        lambda: server.query_page(int(rec.offset)),
+                        f"page offset={rec.offset}")
                 else:
-                    feats, _ = server.query_bbox(
-                        (rec.xmin, rec.ymin, rec.xmax, rec.ymax))
+                    env = (rec.xmin, rec.ymin, rec.xmax, rec.ymax)
+                    feats, _ = _with_retries(
+                        lambda: server.query_bbox(env), f"bbox {env}")
                 for esri in feats:
                     row = _decode_feature(esri, geom_type, oid_field,
                                           date_fields)

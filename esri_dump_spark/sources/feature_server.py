@@ -27,7 +27,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["SyntheticFeatureServer", "DEFAULT_EXTENT"]
+__all__ = ["SyntheticFeatureServer", "TransientServerError",
+           "DEFAULT_EXTENT"]
+
+
+class TransientServerError(RuntimeError):
+    """A retryable server failure (the reference sees these as
+    ``data.error`` responses and retries the page up to 5 times,
+    /root/reference/lib/geometry.ts:105-142)."""
 
 # the reference test-suite envelope (test/geometry.test.ts:6-10)
 DEFAULT_EXTENT = (-97.0189932385465, 20.52053000026018,
@@ -59,6 +66,24 @@ class SyntheticFeatureServer:
     extent: tuple = DEFAULT_EXTENT
     capabilities: str = "Map,Query,Data"
     attribute_only_every: int = 97   # rows with no geometry (P3 filter)
+    # failure injection (E1): every ``flaky_every``-th page fails its
+    # first ``flaky_failures`` attempts with a TransientServerError;
+    # the per-process attempt counter makes retries deterministic
+    flaky_every: int = 0
+    flaky_failures: int = 2
+    _attempts: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def _maybe_fail(self, key) -> None:
+        if not self.flaky_every:
+            return
+        page_no = key[1] if key[0] == "page" else hash(key)
+        if (page_no % self.flaky_every) != 1:
+            return
+        k = self._attempts.get(key, 0)
+        if k < self.flaky_failures:
+            self._attempts[key] = k + 1
+            raise TransientServerError(
+                f"synthetic transient failure {key} attempt={k + 1}")
 
     def metadata(self) -> dict:
         xmin, ymin, xmax, ymax = self.extent
@@ -152,6 +177,7 @@ class SyntheticFeatureServer:
     def query_page(self, offset: int, page_size: int | None = None) -> list[dict]:
         """resultOffset paging in OID order."""
         page_size = page_size or self.max_record_count
+        self._maybe_fail(("page", offset // page_size))
         end = min(offset + page_size, self.n_features)
         return [self.feature(i) for i in range(offset, end)]
 
@@ -170,6 +196,7 @@ class SyntheticFeatureServer:
     def query_bbox(self, env) -> tuple[list[dict], bool]:
         """Returns (features, exceeded_transfer_limit). Inclusive edge
         intersection => duplicates across adjacent quadrants."""
+        self._maybe_fail(("bbox", tuple(env)))
         out = []
         for i in range(self.n_features):
             if self._bbox_match(i, env):

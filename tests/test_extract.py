@@ -111,3 +111,27 @@ def test_extract_user_map_hook(spark):
     rows = extract(spark, srv, "iter", map_fn=upper_name).collect()
     assert all(json.loads(r.properties)["name"].startswith("FEAT-")
                for r in rows)
+
+
+def test_extract_retries_transient_failures(spark):
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    flaky = SyntheticFeatureServer(n_features=1000, max_record_count=250,
+                                   flaky_every=2, flaky_failures=2)
+    stable = SyntheticFeatureServer(n_features=1000, max_record_count=250)
+    a = sorted((r.id, r.geojson) for r in
+               extract(spark, flaky).select("id", "geojson").collect())
+    b = sorted((r.id, r.geojson) for r in
+               extract(spark, stable).select("id", "geojson").collect())
+    assert a == b
+
+
+def test_extract_hard_fails_after_max_retries(spark):
+    import pytest as _pytest
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    hopeless = SyntheticFeatureServer(n_features=500, max_record_count=250,
+                                      flaky_every=2, flaky_failures=99)
+    with _pytest.raises(Exception) as ei:
+        extract(spark, hopeless).count()
+    assert "failed after 5 attempts" in str(ei.value)
