@@ -32,18 +32,25 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["LINEAGE_COLUMNS", "with_lineage", "read_lineage",
-           "observe_metrics", "pending_work"]
+           "observe_metrics", "pending_work", "completed_keys"]
 
 LINEAGE_COLUMNS = ["run_id", "partition_id", "work_key", "n_rows",
                    "bytes_in", "t_start", "t_end", "status"]
 
 
 def with_lineage(df: DataFrame, run_id: str, sink_dir: str,
-                 work_key_col: str | None = None) -> DataFrame:
+                 work_key_col: str | None = None,
+                 collect_keys: bool = False) -> DataFrame:
     """Pass-through that records one lineage row per task partition.
 
     ``work_key_col``: optional column identifying the work item (page
-    id, cell id); recorded as min..max range per partition when given.
+    id, cell id, input file); recorded as min..max range per partition,
+    or — with ``collect_keys=True`` — as the comma-joined set of
+    distinct keys seen by the partition. The distinct-set form is what
+    checkpoint-resume consumes (``completed_keys``): when work items
+    never split across partitions (input files below
+    ``spark.sql.files.maxPartitionBytes``; manifest pages), an ok
+    partition certifies every one of its keys complete.
     The data itself is unchanged — downstream plans see the same rows.
     """
     os.makedirs(sink_dir, exist_ok=True)
@@ -59,6 +66,7 @@ def with_lineage(df: DataFrame, run_id: str, sink_dir: str,
         n = 0
         nbytes = 0
         kmin = kmax = None
+        keys: set = set()
         status = "ok"
         try:
             for b in it:
@@ -66,19 +74,31 @@ def with_lineage(df: DataFrame, run_id: str, sink_dir: str,
                 nbytes += int(b.memory_usage(deep=True).sum())
                 if key_idx is not None and len(b):
                     col = b.iloc[:, key_idx]
-                    kmin = col.min() if kmin is None else min(kmin, col.min())
-                    kmax = col.max() if kmax is None else max(kmax, col.max())
+                    if collect_keys:
+                        keys.update(col.unique().tolist())
+                    else:
+                        kmin = col.min() if kmin is None \
+                            else min(kmin, col.min())
+                        kmax = col.max() if kmax is None \
+                            else max(kmax, col.max())
                 yield b
         except Exception:
             status = "error"
             raise
         finally:
+            if collect_keys:
+                work_key = ",".join(sorted(str(k) for k in keys)) \
+                    if keys else None
+            else:
+                work_key = f"{kmin}..{kmax}" if kmin is not None else None
             rec = pd.DataFrame([{
                 "run_id": run_id, "partition_id": pid,
-                "work_key": f"{kmin}..{kmax}" if kmin is not None else None,
+                "work_key": work_key,
                 "n_rows": n, "bytes_in": nbytes,
                 "t_start": t0, "t_end": time.time(), "status": status,
             }])
+            # pin the schema: an all-null work_key must still be string
+            rec["work_key"] = rec["work_key"].astype("string")
             tmp = os.path.join(sink_dir, f".{uuid.uuid4().hex}.tmp")
             rec.to_parquet(tmp, index=False)
             os.replace(tmp, os.path.join(
@@ -96,6 +116,27 @@ def observe_metrics(df: DataFrame, name: str = "metrics") -> tuple[DataFrame, Ob
     obs = Observation(name)
     observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     return observed, obs
+
+
+def completed_keys(spark, sink_dir: str, run_id: str) -> DataFrame:
+    """Work keys certified complete by earlier attempts of ``run_id``:
+    the union of distinct keys from every ok partition recorded with
+    ``collect_keys=True``. Valid whenever a work item never splits
+    across partitions (unsplit input files, manifest rows) — then an
+    ok partition saw *all* rows of each of its keys.
+
+    Returns a one-column ``work_key`` DataFrame (empty if no lineage
+    yet) for a broadcast left_anti against the new run's input.
+    """
+    import glob
+    if not glob.glob(os.path.join(sink_dir, "lineage-*.parquet")):
+        return spark.createDataFrame([], "work_key string")
+    lin = read_lineage(spark, sink_dir).filter(
+        (F.col("run_id") == run_id) & (F.col("status") == "ok")
+        & F.col("work_key").isNotNull())
+    return (lin.select(F.explode(F.split("work_key", ","))
+                       .alias("work_key"))
+            .distinct())
 
 
 def pending_work(manifest: DataFrame, lineage: DataFrame,

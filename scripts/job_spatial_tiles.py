@@ -1,47 +1,72 @@
 #!/usr/bin/env python
 """The north-star job as a spark-submit entry point: image table ->
 point-in-polygon spatial join -> tile assignment -> per-(polygon, tile)
-rollup, with per-partition lineage records and checkpoint-resume.
+rollup, with per-partition lineage records and file-granularity
+checkpoint-resume.
 
 Run: scripts/submit.sh  (packages esri_dump_spark.zip via --py-files)
-Args: [images_parquet] [output_dir] [lineage_dir]
+Args: [images_parquet] [output_dir] [run_id]
+
+Resume model (Iceberg-manifest-like): the work unit is the input file
+(files stay unsplit below spark.sql.files.maxPartitionBytes, so a
+completed scan partition certifies all of its files). Each partition's
+lineage row records the distinct files it processed; on restart with
+the SAME run_id + output_dir, completed files are anti-joined away and
+only the remainder is processed. Partial per-(poly, tile) counts are
+APPENDED; the final assignment table is the sum over appended parts
+(counts are re-aggregatable) — readers do
+``groupBy(poly_id, tile_id).sum(n)``.
 """
 
 from __future__ import annotations
 
 import sys
-import uuid
 
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 
 
-def main() -> None:
-    images_path = sys.argv[1] if len(sys.argv) > 1 else None
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/esri_dump_spark_out"
-    lineage_dir = sys.argv[3] if len(sys.argv) > 3 else f"{out_dir}/_lineage"
-
-    spark = SparkSession.builder.appName("esri-dump-spark-job").getOrCreate()
-
+def run(spark: SparkSession, images_path: str, out_dir: str,
+        run_id: str = "default") -> dict:
     from esri_dump_spark.operators.spatial_join import point_in_polygon_join
     from esri_dump_spark.operators.tiles import assign_tiles
-    from esri_dump_spark.operators.lineage import with_lineage, observe_metrics
-    from esri_dump_spark.sources.fixtures import (polygons_pdf,
-                                                  ensure_images_parquet)
+    from esri_dump_spark.operators.lineage import (completed_keys,
+                                                   observe_metrics,
+                                                   with_lineage)
+    from esri_dump_spark.sources.fixtures import polygons_pdf
 
-    if images_path is None:
-        images_path = ensure_images_parquet(100_000)
+    lineage_dir = f"{out_dir}/_lineage"
 
-    run_id = uuid.uuid4().hex[:12]
-    imgs = spark.read.parquet(images_path).select("image_id", "lon", "lat")
-    joined = point_in_polygon_join(imgs, polygons_pdf(), res=11)
+    imgs = (spark.read.parquet(images_path)
+            .select("image_id", "lon", "lat")
+            .withColumn("work_key", F.input_file_name()))
+
+    done = completed_keys(spark, lineage_dir, run_id)
+    n_done = done.count()
+    pending = imgs.join(F.broadcast(done), "work_key", "left_anti")
+
+    joined = point_in_polygon_join(pending, polygons_pdf(), res=11)
     tiled = assign_tiles(joined, z=13)
-    tiled = with_lineage(tiled, run_id, lineage_dir)
+    tiled = with_lineage(tiled, run_id, lineage_dir,
+                         work_key_col="work_key", collect_keys=True)
     out = tiled.groupBy("poly_id", "tile_id").agg(
         F.count(F.lit(1)).alias("n"))
     observed, obs = observe_metrics(out)
-    observed.write.mode("overwrite").parquet(f"{out_dir}/assignments")
-    print({"run_id": run_id, "metrics": dict(obs.get)})
+    observed.write.mode("append").parquet(f"{out_dir}/assignments")
+    return {"run_id": run_id, "resumed_skipping_files": n_done,
+            "metrics": dict(obs.get)}
+
+
+def main() -> None:
+    images_path = sys.argv[1] if len(sys.argv) > 1 else None
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/esri_dump_spark_out"
+    run_id = sys.argv[3] if len(sys.argv) > 3 else "default"
+
+    spark = SparkSession.builder.appName("esri-dump-spark-job").getOrCreate()
+    if images_path is None:
+        from esri_dump_spark.sources.fixtures import ensure_images_parquet
+        images_path = ensure_images_parquet(100_000)
+    print(run(spark, images_path, out_dir, run_id))
     spark.stop()
 
 
