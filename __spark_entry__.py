@@ -230,6 +230,24 @@ def q_pip_diamond(spark, sf_dir):
     return out.select("c_custkey").orderBy("c_custkey")
 
 
+# CCW hole inside the rectangle (ESRI convention; vertices off-grid)
+HOLE_RING = [[-5.0050, -4.0050], [5.0050, -4.0050], [5.0050, 4.0050],
+             [-5.0050, 4.0050], [-5.0050, -4.0050]]
+
+
+def q_pip_hole(spark, sf_dir):
+    """J2 multi-ring: polygon with a hole — even-odd across rings
+    (inside shell XOR inside hole); exercises the exact hole semantics
+    of the reference assembly in the join predicate."""
+    pts = _pip_points(spark, sf_dir)
+    import json
+    import pandas as pd
+    polys = pd.DataFrame({"poly_id": [0], "name": ["rect_holed"],
+                          "rings_json": [json.dumps([RECT_RING, HOLE_RING])]})
+    out = point_in_polygon_join(pts, polys, res=8)
+    return out.select("c_custkey").orderBy("c_custkey")
+
+
 def q_pip_anti(spark, sf_dir):
     """J5: anti-join — points inside neither polygon."""
     import pandas as pd
@@ -593,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "pip_rect": q_pip_rect,
         "pip_diamond": q_pip_diamond,
+        "pip_hole": q_pip_hole,
         "pip_anti": q_pip_anti,
         "knn_geo": q_knn_geo,
         "token_count": q_token_count,
@@ -722,6 +741,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_anti": f"""
             SELECT c_custkey FROM ({pip_src})
             WHERE NOT ({rect_rc}) AND NOT ({diam_rc})""",
+        "pip_hole": f"""
+            SELECT c_custkey FROM ({pip_src})
+            WHERE ({rect_rc}) <> ({raycast_sql(HOLE_RING, 'lon', 'lat')})
+            ORDER BY c_custkey""",
         "knn_geo": f"""
             WITH pts AS (SELECT c_custkey AS point_id, {_CLON} AS lon,
                                 {_CLAT} AS lat FROM customer),

@@ -219,14 +219,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 1)),"
             f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
         )).alias("gram")).distinct()
+    # referenced three times below (sizes + both join sides): cache so
+    # the explode runs once. At warehouse scale this is a materialized
+    # intermediate table instead of an executor cache.
+    grams = grams.cache()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    a = grams.select(F.col(id_col).alias("id_a"), "gram")
-    b = grams.select(F.col(id_col).alias("id_b"), "gram")
-    shared = (a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b").agg(F.count("*").alias("shared")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
-    return (shared.join(sa, "id_a").join(sb, "id_b")
+    a = grams.select(F.col(id_col).alias("id_a"), "gram") \
+        .join(F.broadcast(sa), "id_a")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram") \
+        .join(F.broadcast(sb), "id_b")
+    # lossless prune before the expensive pair count: J >= t forces
+    # min(na, nb) >= t * max(na, nb); shared <= min also bounds J
+    shared = (a.join(b, "gram")
+              .filter((F.col("id_a") < F.col("id_b"))
+                      & (F.col("na") >= threshold * F.col("nb"))
+                      & (F.col("nb") >= threshold * F.col("na")))
+              .groupBy("id_a", "id_b", "na", "nb")
+              .agg(F.count("*").alias("shared")))
+    return (shared
             .withColumn("jaccard", F.col("shared")
                         / (F.col("na") + F.col("nb") - F.col("shared")))
             .filter(F.col("jaccard") >= threshold)
