@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["read_events_stream", "windowed_counts", "run_available_now",
-           "sessionize_batch", "sessionize_window", "SESSION_SCHEMA"]
+           "sessionize_batch", "sessionize_window", "sessionize_stream",
+           "SESSION_SCHEMA"]
 
 
 def read_events_stream(spark: SparkSession, path: str,
@@ -99,6 +100,75 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .groupBy("user_id")
             .applyInPandas(lambda k, pdf: next(sess(k, iter([pdf]))),
                            schema=SESSION_SCHEMA))
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """The true custom stateful streaming operator (SURVEY.md §2.8):
+    gap sessionization over an unbounded stream via
+    ``applyInPandasWithState``. Per user, the open session lives in the
+    state store across micro-batches; a batch CLOSES a session when a
+    gap larger than ``gap_minutes`` is observed and emits it (append
+    mode). The still-open tail session stays in state.
+
+    The per-batch work is vectorized pandas (sort -> diff -> cumsum ->
+    groupby agg) — no per-row Python. Assumes per-user event-time order
+    across micro-batches (time-sliced input files / a watermarked
+    upstream); same contract as the reference's page-ordered stream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60_000_000
+    state_schema = T.StructType([
+        T.StructField("session_start", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        evs = pd.concat(list(pdfs))
+        if len(evs) == 0:
+            return
+        evs = evs.sort_values("ts")
+        t = (evs["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
+        vals = evs["value"].to_numpy()
+
+        carried = state.get if state.exists else None
+        closed = []  # (start_us, end_us, n, sum)
+        if carried is not None and t[0] - carried[1] > gap_us:
+            closed.append(tuple(carried))
+            carried = None
+
+        # vectorized session split within the batch
+        brk = (t[1:] - t[:-1]) > gap_us
+        sid = pd.Series([0, *brk]).cumsum().to_numpy()
+        g = pd.DataFrame({"sid": sid, "t": t, "v": vals}).groupby("sid")
+        agg = g.agg(start=("t", "min"), end=("t", "max"),
+                    n=("t", "size"), s=("v", "sum"))
+
+        first = agg.iloc[0]
+        if carried is not None:
+            # batch's first session continues the carried open session
+            agg.iloc[0] = (carried[0], first["end"],
+                           carried[2] + first["n"], carried[3] + first["s"])
+        closed.extend(map(tuple, agg.iloc[:-1].itertuples(index=False)))
+        tail = agg.iloc[-1]
+        state.update((int(tail["start"]), int(tail["end"]),
+                      int(tail["n"]), float(tail["s"])))
+
+        out = pd.DataFrame(closed, columns=["start", "end", "n", "s"])
+        yield pd.DataFrame({
+            "user_id": key[0],
+            "session_start": pd.to_datetime(out["start"], unit="us"),
+            "session_end": pd.to_datetime(out["end"], unit="us"),
+            "n_events": out["n"].astype("int64"),
+            "sum_value": out["s"].astype("float64"),
+        })
+
+    return (events.select("user_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, SESSION_SCHEMA, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
 
 
 def sessionize_window(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

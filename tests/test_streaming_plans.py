@@ -149,3 +149,51 @@ def test_step_expr_and_compile_renderer(spark):
     df2 = spark.createDataFrame(pd.DataFrame({"name": ["a", "b", "c"]}))
     got2 = [r[0] for r in df2.select(compile_renderer(uv)).collect()]
     assert got2 == ["A", "B", "other"]
+
+
+def test_sessionize_stream_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState gap sessionization: closed sessions
+    emitted across micro-batches must equal the batch sessionizer's
+    result minus each user's still-open tail session."""
+    import pyspark.sql.functions as F
+    from esri_dump_spark.streaming.events import (sessionize_batch,
+                                                  sessionize_stream)
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("user_id") < 20)
+          .select("user_id", "event_id", "ts", "value"))
+
+    # three time-sliced input files -> per-user event-time order holds
+    # across micro-batches
+    rows = ev.orderBy("ts").collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    inp = str(tmp_path / "stream_in")
+    lo = 0
+    for i, hi in enumerate(cuts):
+        spark.createDataFrame(rows[lo:hi], ev.schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+        lo = hi
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sess_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, "
+        "round(sum_value, 6) AS sv FROM sess_stream").collect())
+
+    batch = sessionize_batch(ev, gap_minutes=30)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    closed = (batch.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") > 1)   # drop each user's open tail
+              .select("user_id", "session_start", "session_end", "n_events",
+                      F.round("sum_value", 6).alias("sv")))
+    exp = sorted(tuple(r) for r in closed.collect())
+    assert len(got) > 0
+    assert got == exp
