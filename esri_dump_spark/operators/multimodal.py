@@ -83,16 +83,26 @@ def decode_stats(images: DataFrame) -> DataFrame:
             .mapInPandas(run, schema=_STATS_SCHEMA))
 
 
-def verify_images(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
-    """Per-row invariant check vs the reference pixels (BASELINE.json):
-    decoded dims match metadata, phash matches the stored column, and
-    for lossy formats the decoded pixels stay within the PSNR gate of
-    a lossless re-encode roundtrip. Emits one row per image with
-    pass/fail + measured PSNR."""
+def verify_images(images: DataFrame, min_psnr_db: float = 40.0,
+                  expected_caption=None) -> DataFrame:
+    """Per-row invariant check vs the reference rows (BASELINE.json):
+    decoded dims match metadata, phash matches the stored column,
+    caption equals the reference regeneration, and for lossy formats
+    the decoded pixels stay within the PSNR gate of a lossless
+    re-encode roundtrip. Emits one row per image with pass/fail +
+    measured PSNR.
+
+    ``expected_caption``: callable image_id -> caption (defaults to the
+    deterministic fixture regeneration — any pure per-row function of
+    the reference dataset works).
+    """
+    if expected_caption is None:
+        from ..sources.fixtures import expected_caption as expected_caption
     schema = T.StructType([
         T.StructField("image_id", T.StringType()),
         T.StructField("dims_ok", T.BooleanType()),
         T.StructField("phash_ok", T.BooleanType()),
+        T.StructField("caption_ok", T.BooleanType()),
         T.StructField("roundtrip_psnr", T.DoubleType()),
         T.StructField("psnr_ok", T.BooleanType()),
     ])
@@ -114,12 +124,15 @@ def verify_images(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
                 rows.append({
                     "image_id": rec.image_id, "dims_ok": dims_ok,
                     "phash_ok": phash_ok,
+                    "caption_ok":
+                        rec.caption == expected_caption(rec.image_id),
                     "roundtrip_psnr": min(p, 99.0),
                     "psnr_ok": p >= min_psnr_db,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
-    return (images.select("image_id", "bytes", "fmt", "w", "h", "phash")
+    return (images.select("image_id", "bytes", "fmt", "w", "h", "phash",
+                          "caption")
             .mapInPandas(run, schema=schema))
 
 

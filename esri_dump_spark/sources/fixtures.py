@@ -66,6 +66,14 @@ def _pixels(i: int, w: int, h: int, seed: int) -> np.ndarray:
     return px
 
 
+def expected_caption(image_id: str) -> str:
+    """Reference caption regeneration: pure function of the row id —
+    the per-row caption-equality invariant (BASELINE.json) checks
+    stored captions against this."""
+    i = int(image_id[3:])
+    return f"caption for img{i} {_ADJ[i % 7]} {_NOUN[i % 11]}"
+
+
 def images_pdf(n: int, seed: int = 42, with_geo: bool = True) -> pd.DataFrame:
     lon, lat = _positions(n, seed)
     rows = []
@@ -74,13 +82,14 @@ def images_pdf(n: int, seed: int = 42, with_geo: bool = True) -> pd.DataFrame:
         h = _SIZES[(i * 7 + 1) % 4]
         fmt = "jpeg" if i % 5 == 4 else "png"  # 20% lossy
         px = _pixels(i, w, h, seed)
+        image_id = f"img{i:012d}"
         rows.append({
-            "image_id": f"img{i:012d}",
+            "image_id": image_id,
             "bytes": encode_image(px, fmt),
             "w": w,
             "h": h,
             "fmt": fmt,
-            "caption": f"caption for img{i} {_ADJ[i % 7]} {_NOUN[i % 11]}",
+            "caption": expected_caption(image_id),
             "phash": average_phash(px),
         })
     pdf = pd.DataFrame(rows)

@@ -197,3 +197,52 @@ def test_sessionize_stream_stateful(spark, sf_dir, tmp_path):
     exp = sorted(tuple(r) for r in closed.collect())
     assert len(got) > 0
     assert got == exp
+
+
+def test_streaming_pip_counts_match_batch(spark, sf_dir, tmp_path):
+    """The PIP join is stateless, so streaming it micro-batch by
+    micro-batch plus a windowed rollup must equal the batch twin."""
+    import json
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from esri_dump_spark.streaming.spatial import streaming_pip_counts
+
+    polys = pd.DataFrame({
+        "poly_id": [0, 1],
+        "rings_json": [
+            json.dumps([[[-95.0, 22.0], [-95.0, 27.0], [-91.0, 27.0],
+                         [-91.0, 22.0], [-95.0, 22.0]]]),
+            json.dumps([[[-97.0, 20.6], [-97.0, 24.0], [-94.0, 24.0],
+                         [-94.0, 20.6], [-97.0, 20.6]]]),
+        ]})
+
+    from esri_dump_spark.functions.geo_sql import derived_lonlat_sql
+    lon, lat = derived_lonlat_sql("event_id", 4000, 3000, -96.0, 21.0)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                      f"{lon} AS lon", f"{lat} AS lat"))
+
+    inp = str(tmp_path / "pts_in")
+    rows = ev.orderBy("event_id").collect()
+    for i in range(2):
+        spark.createDataFrame(rows[i * len(rows) // 2:
+                                   (i + 1) * len(rows) // 2], ev.schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    q = (streaming_pip_counts(stream, polys, res=8, window="1 day")
+         .writeStream.format("memory").queryName("pip_stream")
+         .option("checkpointLocation", str(tmp_path / "pip_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # append mode only emits windows the watermark has closed; compare
+    # those against the batch twin restricted to the same windows
+    got = {(r.window_start, r.poly_id): r.n
+           for r in spark.sql("SELECT * FROM pip_stream").collect()}
+    assert got, "no windows closed — watermark never advanced"
+    batch = streaming_pip_counts(ev, polys, res=8, window="1 day")
+    exp = {(r.window_start, r.poly_id): r.n for r in batch.collect()}
+    for k, v in got.items():
+        assert exp.get(k) == v, (k, v, exp.get(k))
