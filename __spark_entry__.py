@@ -584,6 +584,37 @@ def q_tilejson_doc(spark, sf_dir):
         [(_json.dumps(doc, sort_keys=True),)], "tilejson string")
 
 
+def q_stylejson_doc(spark, sf_dir):
+    """EP3: drawingInfo renderer -> MapLibre style document (single
+    row; match/step expression compilation). Rows-only."""
+    from esri_dump_spark.plans.stylejson import stylejson
+    import json as _json
+    meta = {"name": "synthetic-layer", "drawingInfo": {
+        "transparency": 20,
+        "renderer": {
+            "type": "classBreaks", "field": "value",
+            "classBreakInfos": [
+                {"classMaxValue": 100.0, "symbol": {
+                    "type": "esriSFS", "color": [254, 240, 217, 255],
+                    "style": "esriSFSSolid",
+                    "outline": {"color": [0, 0, 0, 255], "width": 0.4,
+                                "style": "esriSLSSolid"}}},
+                {"classMaxValue": 1000.0, "symbol": {
+                    "type": "esriSFS", "color": [252, 141, 89, 255],
+                    "style": "esriSFSSolid",
+                    "outline": {"color": [0, 0, 0, 255], "width": 0.4,
+                                "style": "esriSLSSolid"}}},
+            ]},
+        "labelingInfo": [{
+            "labelExpression": "[name]",
+            "labelPlacement": "esriServerPointLabelPlacementAboveCenter",
+            "symbol": {"type": "esriTS", "color": [50, 50, 50, 255],
+                       "font": {"family": "Arial", "size": 10}}}]}}
+    doc = stylejson(meta)
+    return spark.createDataFrame(
+        [(_json.dumps(doc, sort_keys=True),)], "stylejson string")
+
+
 def q_discovery(spark, sf_dir):
     """S6: recursive folder/service/layer catalog walk. Rows-only."""
     from esri_dump_spark.sources.discovery import discover_tree
@@ -684,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "schema_doc": q_schema_doc,
         "tilejson_doc": q_tilejson_doc,
+        "stylejson_doc": q_stylejson_doc,
         "discovery": q_discovery,
         "lineage_metrics": q_lineage_metrics,
     }
