@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the flagship
+queries, so the scan pushdown / broadcast / Arrow boundaries are
+reviewable without running Spark. Run: python scripts/dump_plans.py"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    ("where_pushdown", "P4 — filter + column pruning pushed to the scan"),
+    ("join_broadcast", "star join — every dimension broadcast"),
+    ("agg_pricing", "hash aggregate with map-side partials"),
+    ("pip_rect", "J2 — broadcast cell join + Arrow ray-cast refine"),
+    ("knn_geo", "J3 — grid-disk candidates + window top-k"),
+    ("tile_assign", "J4 — JVM tile id + rollup (no Python)"),
+    ("salted_agg", "skew — two-phase salted aggregation"),
+    ("extract_synthetic", "EP1 — manifest -> mapInPandas decode -> dedup"),
+]
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from esri_dump_spark.session import get_spark
+
+    spark = get_spark(app_name="dump-plans", cores=4, shuffle_partitions=8)
+    qs = E.queries()
+    out = ["# PLANS — physical plans of the flagship queries",
+           "",
+           "Regenerate with `python scripts/dump_plans.py` (sf0.001).",
+           "What to look for: `PushedFilters` / trimmed `ReadSchema` at "
+           "the scans, `BroadcastHashJoin` (never SortMergeJoin) for dim "
+           "joins, `ArrowEvalPython`/`MapInPandas` only where a kernel "
+           "genuinely needs Python, `HashAggregate` partial/final pairs.",
+           ""]
+    for name, blurb in QUERIES:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        out += [f"## {name}", "", blurb, "", "```", plan.rstrip(), "```", ""]
+    spark.stop()
+    with open(f"{REPO}/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {REPO}/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

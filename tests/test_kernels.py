@@ -188,16 +188,15 @@ def test_rewind_idempotent_and_recursive():
         assert ring_signed_sum(poly[0]) < 0
 
 
-@pytest.mark.skipif(not os.path.isdir(f"{REFERENCE}/test/fixtures/rewind"),
-                    reason="reference fixtures unavailable")
 @pytest.mark.parametrize("name", ["featuregood", "flip", "collection",
                                   "geomcollection", "multipolygon", "rev",
                                   "near-zero"])
 def test_rewind_reference_golden_pairs(name):
     """Structural equality with the reference's 7 golden input/output
-    pairs, including the near-zero sliver that catches naive (non-
-    compensated) area summation."""
-    base = f"{REFERENCE}/test/fixtures/rewind"
+    pairs (vendored verbatim from the reference test suite into
+    tests/fixtures/rewind), including the near-zero sliver that catches
+    naive (non-compensated) area summation."""
+    base = os.path.join(os.path.dirname(__file__), "fixtures", "rewind")
     with open(f"{base}/{name}.input.geojson") as f:
         gj = json.load(f)
     with open(f"{base}/{name}.output.geojson") as f:
