@@ -8,8 +8,8 @@ Default run (what the driver does):
     parallelism (absolute rows/sec)
   * the scaling protocol (BASELINE.md): the identical job at N and 4N
     cores (default local[4] vs local[16], env SPARK_GRAFT_SCALE_PAIR),
-    median of $SPARK_GRAFT_SCALE_REPS (3) interleavable reps; writes
-    rows/sec at both + efficiency = (rps_hi/rps_lo)/4 to
+    interleaved passes, fastest rep per level; writes rows/sec at both
+    + efficiency = (rps_hi/rps_lo)/4 to
     BENCH/BASELINE.md. 4->16 is used instead of 8->32 because the
     32-vCPU host saturates shared memory bandwidth / all-core turbo
     near full subscription — a single-box artifact; on a multi-node
@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
