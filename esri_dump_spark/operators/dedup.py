@@ -213,11 +213,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     >= 1 n-gram; Jaccard = |共| / (|A| + |B| - |共|) computed from
     per-pair shared-gram counts. Quadratic in rows sharing a gram —
     intended for post-LSH verification or keyed subsets."""
+    # hoist the word split into a column: inside the lambda it would be
+    # re-evaluated per gram (no common-subexpression elimination across
+    # higher-order-function bodies), turning tokenization O(words^2)
     grams = df.select(
         F.col(id_col),
+        F.expr(f"split(lower({text_col}), ' ')").alias("_w")
+    ).select(
+        F.col(id_col),
         F.explode(F.expr(
-            f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 1)),"
-            f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
+            f"transform(sequence(1, greatest(size(_w) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(_w, i, {n})))"
         )).alias("gram")).distinct()
     # referenced three times below (sizes + both join sides): cache so
     # the explode runs once. At warehouse scale this is a materialized
