@@ -248,6 +248,19 @@ def q_pip_hole(spark, sf_dir):
     return out.select("c_custkey").orderBy("c_custkey")
 
 
+def q_pip_multi(spark, sf_dir):
+    """J2 multi-polygon: one output row per (point, matching polygon) —
+    points inside both polygons appear twice with distinct poly_ids."""
+    import json
+    import pandas as pd
+    pts = _pip_points(spark, sf_dir)
+    polys = pd.DataFrame({
+        "poly_id": [0, 1], "name": ["rect", "diamond"],
+        "rings_json": [json.dumps([RECT_RING]), json.dumps([DIAMOND_RING])]})
+    out = point_in_polygon_join(pts, polys, res=8)
+    return out.select("c_custkey", "poly_id")
+
+
 def q_pip_anti(spark, sf_dir):
     """J5: anti-join — points inside neither polygon."""
     import pandas as pd
@@ -270,6 +283,38 @@ def q_knn_geo(spark, sf_dir):
     # exclude self-match rank 1 noise: keep ids + rank (dist rounded)
     return out.select("query_id", "point_id", "rank",
                       F.round("dist", 6).alias("dist_r"))
+
+
+def q_knn_geo_shuffle(spark, sf_dir):
+    """J3 without the broadcast hint: AQE picks the join strategy from
+    runtime sizes (shuffle join at scale, broadcast at test scale) —
+    results must be identical to the hinted knn_geo either way."""
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS point_id", f"{_CLON} AS lon", f"{_CLAT} AS lat")
+    queries = (pts.orderBy("point_id").limit(20)
+               .selectExpr("point_id AS query_id", "lon", "lat"))
+    out = knn_join(queries, pts, k=5, res=4, broadcast_points=False)
+    return out.select("query_id", "point_id", "rank",
+                      F.round("dist", 6).alias("dist_r"))
+
+
+def q_running_total(spark, sf_dir):
+    """Window running sum: cumulative revenue per customer by order."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (o.withColumn("cum_spend", F.round(F.sum("o_totalprice").over(w), 2))
+            .select("o_custkey", "o_orderkey", "cum_spend"))
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (JVM percentile)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99")))
 
 
 def q_token_count(spark, sf_dir):
@@ -681,8 +726,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect": q_pip_rect,
         "pip_diamond": q_pip_diamond,
         "pip_hole": q_pip_hole,
+        "pip_multi": q_pip_multi,
         "pip_anti": q_pip_anti,
         "knn_geo": q_knn_geo,
+        "knn_geo_shuffle": q_knn_geo_shuffle,
+        "running_total": q_running_total,
+        "value_quantiles": q_value_quantiles,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -817,6 +866,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM ({pip_src})
             WHERE ({rect_rc}) <> ({raycast_sql(HOLE_RING, 'lon', 'lat')})
             ORDER BY c_custkey""",
+        "pip_multi": f"""
+            SELECT c_custkey, 0 AS poly_id FROM ({pip_src})
+            WHERE {rect_rc}
+            UNION ALL
+            SELECT c_custkey, 1 AS poly_id FROM ({pip_src})
+            WHERE {diam_rc}""",
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+                   AS cum_spend
+            FROM orders""",
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type""",
         "knn_geo": f"""
             WITH pts AS (SELECT c_custkey AS point_id, {_CLON} AS lon,
                                 {_CLAT} AS lat FROM customer),
@@ -959,4 +1026,6 @@ def oracle_sql() -> dict[str, str]:
     }
     # the JVM-window sessionizer must equal the applyInPandas one
     oracles["sessionize_window"] = oracles["sessionize"]
+    # shuffle-path kNN must equal the broadcast-path plan
+    oracles["knn_geo_shuffle"] = oracles["knn_geo"]
     return oracles
