@@ -42,10 +42,12 @@ from ..sources.feature_server import TransientServerError
 __all__ = ["validate_metadata", "extract", "FEATURE_SCHEMA", "iso8601_ms",
            "MAX_PAGE_RETRIES"]
 
-# E1 parity: <= 5 attempts per page, then hard fail with details
-# (/root/reference/lib/geometry.ts:105-142). Spark task retries
+# E1 parity: up to 6 attempts per page, then hard fail with details —
+# the reference's loop is `attempts = 0; while (attempts <= 5) {
+# attempts++; ...}` (/root/reference/lib/geometry.ts:94-142), i.e. six
+# fetches before `attempts > 5` errors out. Spark task retries
 # (spark.task.maxFailures) remain the outer recovery layer.
-MAX_PAGE_RETRIES = 5
+MAX_PAGE_RETRIES = 6
 
 
 def _with_retries(fn, desc: str):

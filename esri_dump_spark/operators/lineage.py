@@ -3,60 +3,101 @@
 checkpoint-resumable runs").
 
 Mechanics:
-  * ``with_lineage(df, run_id, sink)`` wraps a DataFrame in a
-    mapInPandas pass-through that appends one lineage row per task
-    partition — (run_id, partition_id, n_rows, bytes_in, t_start,
-    t_end, status) — to a parquet lineage sink, written atomically per
+  * ``with_lineage(df, run_id, sink_dir, attempt_id=...)`` wraps a
+    DataFrame in a mapInPandas pass-through that appends one lineage
+    row per task partition — (run_id, attempt_id, partition_id,
+    work_key range, work_keys set, n_rows, bytes_in, t_start, t_end,
+    status) — to a parquet lineage sink, written atomically per
     partition (tmp file + rename) so a killed run leaves only complete
     records.
+  * ``commit_attempt(sink_dir, run_id, attempt_id)`` — the durable
+    "output landed" marker. Lineage rows are written during the SHUFFLE
+    MAP stage, i.e. before the job's sink write commits; trusting them
+    alone would let a crash between the map stage and the write mark
+    work complete that produced no output. Resume therefore trusts only
+    attempts whose marker exists, and the caller writes the marker
+    strictly AFTER its sink write returns.
   * ``observe_metrics(df, name)`` attaches driver-visible aggregate
-    metrics (row counts, null geometry counts) via df.observe — the
-    zero-cost path for whole-job counters.
-  * ``pending_work(manifest, lineage, key)`` is the resume operator:
-    anti-join the work manifest against completed lineage — only
+    metrics (row counts) via df.observe — the zero-cost path for
+    whole-job counters.
+  * ``completed_keys`` / ``pending_work`` are the resume operators:
+    anti-join the work manifest against committed lineage — only
     unfinished work items survive. A restarted job re-plans exactly the
     missing partitions (the reference's LIFO bbox stack made this
     implicit; here it is explicit and durable).
+
+Work keys are stored as a parquet ``list<string>`` column (never a
+joined string): keys are file paths / cell ids and may legally contain
+any delimiter character.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import time
 import uuid
 from typing import Iterator
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["LINEAGE_COLUMNS", "with_lineage", "read_lineage",
+__all__ = ["LINEAGE_COLUMNS", "new_attempt_id", "with_lineage",
+           "read_lineage", "commit_attempt", "committed_attempts",
            "observe_metrics", "pending_work", "completed_keys"]
 
-LINEAGE_COLUMNS = ["run_id", "partition_id", "work_key", "n_rows",
-                   "bytes_in", "t_start", "t_end", "status"]
+LINEAGE_COLUMNS = ["run_id", "attempt_id", "partition_id", "work_key",
+                   "work_keys", "n_rows", "bytes_in", "t_start", "t_end",
+                   "status"]
+
+# explicit arrow schema: an empty/None work_keys cell must still be
+# list<string> so Spark's parquet schema merge never sees a null type
+_LINEAGE_PA_SCHEMA = pa.schema([
+    ("run_id", pa.string()),
+    ("attempt_id", pa.string()),
+    ("partition_id", pa.int64()),
+    ("work_key", pa.string()),
+    ("work_keys", pa.list_(pa.string())),
+    ("n_rows", pa.int64()),
+    ("bytes_in", pa.int64()),
+    ("t_start", pa.float64()),
+    ("t_end", pa.float64()),
+    ("status", pa.string()),
+])
+
+
+def new_attempt_id() -> str:
+    """Fresh attempt id; pass it to ``with_lineage`` and, after the
+    sink write succeeds, to ``commit_attempt``."""
+    return uuid.uuid4().hex
 
 
 def with_lineage(df: DataFrame, run_id: str, sink_dir: str,
                  work_key_col: str | None = None,
-                 collect_keys: bool = False) -> DataFrame:
+                 collect_keys: bool = False,
+                 attempt_id: str | None = None) -> DataFrame:
     """Pass-through that records one lineage row per task partition.
 
     ``work_key_col``: optional column identifying the work item (page
     id, cell id, input file); recorded as min..max range per partition,
-    or — with ``collect_keys=True`` — as the comma-joined set of
-    distinct keys seen by the partition. The distinct-set form is what
-    checkpoint-resume consumes (``completed_keys``): when work items
-    never split across partitions (input files below
+    or — with ``collect_keys=True`` — as the distinct-key set seen by
+    the partition (``work_keys`` array column). The distinct-set form
+    is what checkpoint-resume consumes (``completed_keys``): when work
+    items never split across partitions (input files below
     ``spark.sql.files.maxPartitionBytes``; manifest pages), an ok
-    partition certifies every one of its keys complete.
+    partition certifies every one of its keys complete — once the
+    attempt is committed (``commit_attempt``).
     The data itself is unchanged — downstream plans see the same rows.
     """
     os.makedirs(sink_dir, exist_ok=True)
     schema = df.schema
     cols = list(df.columns)
     key_idx = cols.index(work_key_col) if work_key_col else None
+    attempt_id = attempt_id or new_attempt_id()
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -75,7 +116,7 @@ def with_lineage(df: DataFrame, run_id: str, sink_dir: str,
                 if key_idx is not None and len(b):
                     col = b.iloc[:, key_idx]
                     if collect_keys:
-                        keys.update(col.unique().tolist())
+                        keys.update(str(k) for k in col.unique().tolist())
                     else:
                         kmin = col.min() if kmin is None \
                             else min(kmin, col.min())
@@ -86,29 +127,46 @@ def with_lineage(df: DataFrame, run_id: str, sink_dir: str,
             status = "error"
             raise
         finally:
-            if collect_keys:
-                work_key = ",".join(sorted(str(k) for k in keys)) \
-                    if keys else None
-            else:
-                work_key = f"{kmin}..{kmax}" if kmin is not None else None
-            rec = pd.DataFrame([{
-                "run_id": run_id, "partition_id": pid,
-                "work_key": work_key,
-                "n_rows": n, "bytes_in": nbytes,
-                "t_start": t0, "t_end": time.time(), "status": status,
-            }])
-            # pin the schema: an all-null work_key must still be string
-            rec["work_key"] = rec["work_key"].astype("string")
+            work_key = f"{kmin}..{kmax}" if kmin is not None else None
+            work_keys = sorted(keys) if keys else None
+            tbl = pa.table({
+                "run_id": [run_id], "attempt_id": [attempt_id],
+                "partition_id": [pid], "work_key": [work_key],
+                "work_keys": [work_keys],
+                "n_rows": [n], "bytes_in": [nbytes],
+                "t_start": [t0], "t_end": [time.time()],
+                "status": [status],
+            }, schema=_LINEAGE_PA_SCHEMA)
             tmp = os.path.join(sink_dir, f".{uuid.uuid4().hex}.tmp")
-            rec.to_parquet(tmp, index=False)
+            pq.write_table(tbl, tmp)
             os.replace(tmp, os.path.join(
-                sink_dir, f"lineage-{run_id}-{pid}-{uuid.uuid4().hex}.parquet"))
+                sink_dir,
+                f"lineage-{run_id}-{pid}-{uuid.uuid4().hex}.parquet"))
 
     return df.mapInPandas(run, schema=schema)
 
 
 def read_lineage(spark, sink_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sink_dir, "lineage-*.parquet"))
+
+
+def commit_attempt(sink_dir: str, run_id: str, attempt_id: str) -> None:
+    """Durably mark ``attempt_id``'s output as committed. Call ONLY
+    after the job's sink write has returned — this is the write-ahead
+    ordering that makes resume crash-safe (lineage rows land during the
+    map stage; the marker certifies the reduce/write stage finished)."""
+    os.makedirs(sink_dir, exist_ok=True)
+    tmp = os.path.join(sink_dir, f".{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{time.time()}\n")
+    os.replace(tmp, os.path.join(
+        sink_dir, f"committed-{run_id}-{attempt_id}.marker"))
+
+
+def committed_attempts(sink_dir: str, run_id: str) -> list[str]:
+    pre = f"committed-{run_id}-"
+    return [os.path.basename(p)[len(pre):-len(".marker")]
+            for p in glob.glob(os.path.join(sink_dir, f"{pre}*.marker"))]
 
 
 def observe_metrics(df: DataFrame, name: str = "metrics") -> tuple[DataFrame, Observation]:
@@ -120,22 +178,25 @@ def observe_metrics(df: DataFrame, name: str = "metrics") -> tuple[DataFrame, Ob
 
 def completed_keys(spark, sink_dir: str, run_id: str) -> DataFrame:
     """Work keys certified complete by earlier attempts of ``run_id``:
-    the union of distinct keys from every ok partition recorded with
-    ``collect_keys=True``. Valid whenever a work item never splits
+    the union of distinct keys from every ok partition of every
+    COMMITTED attempt (lineage rows from attempts whose sink write
+    never finished are ignored — their output does not exist, so their
+    keys must be reprocessed). Valid whenever a work item never splits
     across partitions (unsplit input files, manifest rows) — then an
     ok partition saw *all* rows of each of its keys.
 
-    Returns a one-column ``work_key`` DataFrame (empty if no lineage
-    yet) for a broadcast left_anti against the new run's input.
+    Returns a one-column ``work_key`` DataFrame (empty if no committed
+    lineage yet) for a broadcast left_anti against the new run's input.
     """
-    import glob
-    if not glob.glob(os.path.join(sink_dir, "lineage-*.parquet")):
+    attempts = committed_attempts(sink_dir, run_id)
+    if not attempts or not glob.glob(
+            os.path.join(sink_dir, "lineage-*.parquet")):
         return spark.createDataFrame([], "work_key string")
     lin = read_lineage(spark, sink_dir).filter(
         (F.col("run_id") == run_id) & (F.col("status") == "ok")
-        & F.col("work_key").isNotNull())
-    return (lin.select(F.explode(F.split("work_key", ","))
-                       .alias("work_key"))
+        & F.col("attempt_id").isin(attempts)
+        & F.col("work_keys").isNotNull())
+    return (lin.select(F.explode("work_keys").alias("work_key"))
             .distinct())
 
 

@@ -77,7 +77,9 @@ class SyntheticFeatureServer:
         if not self.flaky_every:
             return
         page_no = key[1] if key[0] == "page" else hash(key)
-        if (page_no % self.flaky_every) != 1:
+        # every flaky_every-th page starting at page 1; the `1 %` keeps
+        # flaky_every=1 meaning "every page" (n % 1 == 0 for all n)
+        if (page_no % self.flaky_every) != (1 % self.flaky_every):
             return
         k = self._attempts.get(key, 0)
         if k < self.flaky_failures:

@@ -126,9 +126,12 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     ])
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        evs = pd.concat(list(pdfs))
-        if len(evs) == 0:
+        # an empty batch iterator is legal (e.g. timeout-triggered keys);
+        # pd.concat([]) raises, so it must be a no-op, not a crash
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
             return
+        evs = pd.concat(chunks)
         evs = evs.sort_values("ts")
         t = (evs["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
         vals = evs["value"].to_numpy()

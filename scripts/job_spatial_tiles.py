@@ -30,17 +30,23 @@ def run(spark: SparkSession, images_path: str, out_dir: str,
         run_id: str = "default") -> dict:
     from esri_dump_spark.operators.spatial_join import point_in_polygon_join
     from esri_dump_spark.operators.tiles import assign_tiles
-    from esri_dump_spark.operators.lineage import (completed_keys,
+    from esri_dump_spark.operators.lineage import (commit_attempt,
+                                                   completed_keys,
+                                                   new_attempt_id,
                                                    observe_metrics,
                                                    with_lineage)
     from esri_dump_spark.sources.fixtures import polygons_pdf
 
     lineage_dir = f"{out_dir}/_lineage"
+    attempt_id = new_attempt_id()
 
     imgs = (spark.read.parquet(images_path)
             .select("image_id", "lon", "lat")
             .withColumn("work_key", F.input_file_name()))
 
+    # trust only COMMITTED attempts: lineage rows land during the map
+    # stage, so a crash before the parquet append below must not mark
+    # those files done (their counts never reached the sink)
     done = completed_keys(spark, lineage_dir, run_id)
     n_done = done.count()
     pending = imgs.join(F.broadcast(done), "work_key", "left_anti")
@@ -48,11 +54,16 @@ def run(spark: SparkSession, images_path: str, out_dir: str,
     joined = point_in_polygon_join(pending, polygons_pdf(), res=11)
     tiled = assign_tiles(joined, z=13)
     tiled = with_lineage(tiled, run_id, lineage_dir,
-                         work_key_col="work_key", collect_keys=True)
+                         work_key_col="work_key", collect_keys=True,
+                         attempt_id=attempt_id)
     out = tiled.groupBy("poly_id", "tile_id").agg(
         F.count(F.lit(1)).alias("n"))
     observed, obs = observe_metrics(out)
     observed.write.mode("append").parquet(f"{out_dir}/assignments")
+    # write ordering is the crash-safety invariant: the marker that
+    # promotes this attempt's lineage to "completed" lands strictly
+    # after the sink write returned
+    commit_attempt(lineage_dir, run_id, attempt_id)
     return {"run_id": run_id, "resumed_skipping_files": n_done,
             "metrics": dict(obs.get)}
 

@@ -134,4 +134,6 @@ def test_extract_hard_fails_after_max_retries(spark):
                                       flaky_every=2, flaky_failures=99)
     with _pytest.raises(Exception) as ei:
         extract(spark, hopeless).count()
-    assert "failed after 5 attempts" in str(ei.value)
+    # reference parity: 6 attempts (geometry.ts:94-142 — attempts=0;
+    # while attempts<=5 {attempts++...} fetches six times)
+    assert "failed after 6 attempts" in str(ei.value)

@@ -60,3 +60,58 @@ def test_job_resumes_from_file_lineage(spark, tmp_path):
     ref = job.run(spark, inp, ref_out, run_id="fresh")
     assert ref["resumed_skipping_files"] == 0
     assert _totals(spark, out) == _totals(spark, ref_out)
+
+
+def test_crash_before_sink_write_does_not_certify_files(spark, tmp_path):
+    """Lineage rows land during the shuffle MAP stage; if the job dies
+    before the sink write commits, those rows must NOT mark files done
+    (no output exists for them). Simulated by materializing the lineage-
+    wrapped pipeline without ever writing the sink / committing."""
+    from esri_dump_spark.operators.lineage import (completed_keys,
+                                                   new_attempt_id,
+                                                   read_lineage,
+                                                   with_lineage)
+    from esri_dump_spark.operators.spatial_join import point_in_polygon_join
+    from esri_dump_spark.operators.tiles import assign_tiles
+    from esri_dump_spark.sources.fixtures import polygons_pdf
+    import pyspark.sql.functions as F
+
+    inp = str(tmp_path / "points")
+    out = str(tmp_path / "out")
+    lineage_dir = f"{out}/_lineage"
+    _write_points(spark, inp, 0, 2000, 2)
+
+    # crashed attempt: map stage (and its lineage rows) completes, the
+    # reduce/sink write never happens -> no commit marker
+    imgs = (spark.read.parquet(inp).select("image_id", "lon", "lat")
+            .withColumn("work_key", F.input_file_name()))
+    tiled = assign_tiles(point_in_polygon_join(imgs, polygons_pdf(),
+                                               res=11), z=13)
+    wrapped = with_lineage(tiled, "r", lineage_dir,
+                           work_key_col="work_key", collect_keys=True,
+                           attempt_id=new_attempt_id())
+    wrapped.count()  # durable lineage rows exist now...
+    assert read_lineage(spark, lineage_dir).count() > 0
+    # ...but without a commit marker they certify nothing
+    assert completed_keys(spark, lineage_dir, "r").count() == 0
+
+    # the restarted run reprocesses everything and matches a fresh run
+    r = job.run(spark, inp, out, run_id="r")
+    assert r["resumed_skipping_files"] == 0
+    ref_out = str(tmp_path / "ref_out")
+    job.run(spark, inp, ref_out, run_id="fresh")
+    assert _totals(spark, out) == _totals(spark, ref_out)
+
+
+def test_resume_with_comma_in_file_path(spark, tmp_path):
+    """Work keys are file paths and may contain commas; they are stored
+    as an array<string> column, so resume must not fragment them."""
+    inp = str(tmp_path / "pts,v=1,final")
+    out = str(tmp_path / "out")
+    _write_points(spark, inp, 0, 1000, 2)
+
+    r1 = job.run(spark, inp, out, run_id="c")
+    assert r1["resumed_skipping_files"] == 0
+    r2 = job.run(spark, inp, out, run_id="c")
+    assert r2["resumed_skipping_files"] == 2
+    assert r2["metrics"]["n_rows"] == 0
