@@ -298,6 +298,21 @@ def q_knn_geo_shuffle(spark, sf_dir):
                       F.round("dist", 6).alias("dist_r"))
 
 
+def q_knn_geo_sparse(spark, sf_dir):
+    """J3 correctness bound: a sparse point set where the res-9 3x3
+    grid disk holds fewer than k candidates — the escalation loop
+    (safe-radius check + coarser re-run of stragglers) must still
+    reproduce the brute-force oracle exactly."""
+    pts = _t(spark, sf_dir, "customer") \
+        .filter(F.expr("c_custkey % 37 = 0")).selectExpr(
+            "c_custkey AS point_id", f"{_CLON} AS lon", f"{_CLAT} AS lat")
+    queries = (pts.orderBy("point_id").limit(10)
+               .selectExpr("point_id AS query_id", "lon", "lat"))
+    out = knn_join(queries, pts, k=5, res=9, broadcast_points=True)
+    return out.select("query_id", "point_id", "rank",
+                      F.round("dist", 6).alias("dist_r"))
+
+
 def q_running_total(spark, sf_dir):
     """Window running sum: cumulative revenue per customer by order."""
     from pyspark.sql import Window
@@ -730,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti": q_pip_anti,
         "knn_geo": q_knn_geo,
         "knn_geo_shuffle": q_knn_geo_shuffle,
+        "knn_geo_sparse": q_knn_geo_sparse,
         "running_total": q_running_total,
         "value_quantiles": q_value_quantiles,
         "token_count": q_token_count,
@@ -889,6 +905,23 @@ def oracle_sql() -> dict[str, str]:
                                 {_CLAT} AS lat FROM customer),
             qs AS (SELECT point_id AS query_id, lon AS qlon, lat AS qlat
                    FROM pts ORDER BY point_id LIMIT 20),
+            scored AS (
+              SELECT q.query_id, p.point_id,
+                     sqrt((q.qlon - p.lon) * (q.qlon - p.lon)
+                        + (q.qlat - p.lat) * (q.qlat - p.lat)) AS dist,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY sqrt((q.qlon - p.lon) * (q.qlon - p.lon)
+                            + (q.qlat - p.lat) * (q.qlat - p.lat)) ASC,
+                            p.point_id ASC) AS rank
+              FROM qs q CROSS JOIN pts p)
+            SELECT query_id, point_id, rank, round(dist, 6) AS dist_r
+            FROM scored WHERE rank <= 5""",
+        "knn_geo_sparse": f"""
+            WITH pts AS (SELECT c_custkey AS point_id, {_CLON} AS lon,
+                                {_CLAT} AS lat FROM customer
+                         WHERE c_custkey % 37 = 0),
+            qs AS (SELECT point_id AS query_id, lon AS qlon, lat AS qlat
+                   FROM pts ORDER BY point_id LIMIT 10),
             scored AS (
               SELECT q.query_id, p.point_id,
                      sqrt((q.qlon - p.lon) * (q.qlon - p.lon)

@@ -7,25 +7,56 @@ candidate phase stays in whole-stage codegen. The refine is a plain
 euclidean-in-degrees distance (built-in functions, no UDF), and the
 top-k cut is a window ``row_number() <= k``.
 
-Correctness bound: the grid-disk candidate set is exact as long as the
-true k-th neighbor lies within one cell pitch of the query point.
-``knn_join`` picks the resolution from the data density for that and
-``knn_join_exact`` (brute force, crossJoin) is the oracle at test
-scale. Queries landing in sparse cells can fall short of k — callers
-at scale re-run stragglers at a coarser res (the returned frame keeps
-the per-query hit count so stragglers are an anti-join away).
+Correctness bound (enforced, not assumed): the 3x3 grid-disk around a
+query covers at least the axis-aligned rectangle +-cell_w x +-cell_h
+around it, so every point within ``safe_radius(res) = 180 / 2**res``
+degrees (the smaller cell pitch) is guaranteed to be a candidate. A
+query is *resolved* at a resolution only when it found >= k candidates
+AND its k-th distance <= safe_radius — then no closer point can hide
+outside the disk and the top-k is exact (same argument as the
+reference's adapt-to-density bbox refinement, lib/geometry.ts:180-190,
+applied to the kNN disk). Unresolved stragglers are anti-joined out
+and re-run at coarser resolutions (cells 2x wider per step) until all
+resolve; res 0 is one 9-cell world scan, so termination is total and
+the final result always equals the brute-force oracle, including
+dist/id tie-breaks.
+
+``res=None`` derives the starting resolution from observed density:
+the finest res whose expected 3x3-disk population still covers ~4k
+points, so the common case resolves in one pass.
 
 Tie-breaking is deterministic: ORDER BY dist, neighbor id.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernels import cells as C
 
-__all__ = ["knn_join", "knn_join_exact", "neighbor_cells_expr"]
+__all__ = ["knn_join", "knn_join_exact", "neighbor_cells_expr",
+           "safe_radius", "density_res"]
+
+
+def safe_radius(res: int) -> float:
+    """Degrees within which the 3x3 grid-disk at ``res`` is guaranteed
+    to contain every point (the lat cell pitch; lon pitch is 2x)."""
+    return 180.0 / (1 << res)
+
+
+def density_res(n_points: int, k: int, max_res: int = 12) -> int:
+    """Finest resolution whose expected 3x3-disk population
+    (9 * n / 4^res, uniform) is still >= 4k — queries then resolve in
+    one pass with high probability; stragglers escalate anyway."""
+    if n_points <= 0:
+        return 0
+    for r in range(max_res, -1, -1):
+        if 9.0 * n_points / (4.0 ** r) >= 4.0 * max(k, 1):
+            return r
+    return 0
 
 
 def neighbor_cells_expr(lon_col: str, lat_col: str, res: int) -> str:
@@ -46,20 +77,12 @@ def neighbor_cells_expr(lon_col: str, lat_col: str, res: int) -> str:
     return "array(" + ", ".join(cells) + ")"
 
 
-def knn_join(queries: DataFrame, points: DataFrame, k: int,
-             query_id: str = "query_id", point_id: str = "point_id",
-             res: int = 9,
-             q_lon: str = "lon", q_lat: str = "lat",
-             p_lon: str = "lon", p_lat: str = "lat",
-             broadcast_points: bool | None = None) -> DataFrame:
-    """k nearest ``points`` for each row of ``queries``.
-
-    Output: (query_id, point_id, dist, rank). Plan shape:
-      queries -> explode(grid_disk cells)  [fan-out x9, JVM]
-      points  -> cell id                    [JVM]
-      equi-join on cell (broadcast if the points side is small,
-      shuffle hash otherwise) -> distance -> window top-k per query.
-    """
+def _knn_at_res(queries: DataFrame, points: DataFrame, k: int,
+                query_id: str, point_id: str, res: int,
+                q_lon: str, q_lat: str, p_lon: str, p_lat: str,
+                broadcast_points: bool) -> DataFrame:
+    """One candidate-join pass: (query_id, point_id, dist, rank,
+    n_hits) for the k best candidates per query at ``res``."""
     q = queries.select(
         F.col(query_id),
         F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat"),
@@ -72,8 +95,6 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
         F.expr(C.cell_sql_expr(p_lon, p_lat, res)).alias("cell"),
     )
 
-    if broadcast_points is None:
-        broadcast_points = False
     right = F.broadcast(p) if broadcast_points else p
     cand = q.join(right, "cell", "inner")
 
@@ -85,8 +106,69 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
 
     w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(),
                                              F.col(point_id).asc())
+    wall = Window.partitionBy(query_id)
     return (cand.withColumn("rank", F.row_number().over(w))
+            .withColumn("n_hits", F.count(F.lit(1)).over(wall))
             .filter(F.col("rank") <= k))
+
+
+def knn_join(queries: DataFrame, points: DataFrame, k: int,
+             query_id: str = "query_id", point_id: str = "point_id",
+             res: int | None = 9,
+             q_lon: str = "lon", q_lat: str = "lat",
+             p_lon: str = "lon", p_lat: str = "lat",
+             broadcast_points: bool | None = None,
+             res_step: int = 2) -> DataFrame:
+    """Exact k nearest ``points`` for each row of ``queries``.
+
+    Output: (query_id, point_id, dist, rank). Plan shape per pass:
+      queries -> explode(grid_disk cells)  [fan-out x9, JVM]
+      points  -> cell id                    [JVM]
+      equi-join on cell (broadcast if the points side is small,
+      shuffle hash otherwise) -> distance -> window top-k per query;
+    then the resolved-check (n_hits >= k AND d_k <= safe_radius) splits
+    exact results from stragglers, and only stragglers re-run
+    ``res_step`` resolutions coarser. Each escalation shrinks the query
+    set, so at scale the coarse passes touch a vanishing fraction of
+    queries while the bulk resolves at the density-matched resolution.
+
+    ``res=None`` derives the starting resolution from the points count.
+    """
+    if broadcast_points is None:
+        broadcast_points = False
+    if res is None:
+        res = density_res(points.count(), k)
+
+    remaining = queries
+    resolved_parts: list[DataFrame] = []
+    r = res
+    while True:
+        out = _knn_at_res(remaining, points, k, query_id, point_id, r,
+                          q_lon, q_lat, p_lon, p_lat, broadcast_points)
+        if r <= 0:
+            # world-sized cells: the disk is a full scan -> always exact
+            resolved_parts.append(
+                out.select(query_id, point_id, "dist", "rank").cache())
+            break
+        wq = Window.partitionBy(query_id)
+        flagged = out.withColumn(
+            "_resolved",
+            (F.col("n_hits") >= k)
+            & (F.max("dist").over(wq) <= F.lit(safe_radius(r)))).cache()
+        resolved_parts.append(
+            flagged.filter(F.col("_resolved"))
+            .select(query_id, point_id, "dist", "rank").cache())
+        solved_ids = (flagged.filter(F.col("_resolved"))
+                      .select(query_id).distinct())
+        remaining = remaining.join(solved_ids, query_id, "left_anti").cache()
+        if remaining.isEmpty():
+            break
+        r = max(r - res_step, 0)
+
+    result = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        result = result.unionByName(part)
+    return result
 
 
 def knn_join_exact(queries: DataFrame, points: DataFrame, k: int,

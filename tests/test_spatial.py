@@ -93,6 +93,43 @@ def test_knn_matches_exact_oracle(spark):
     assert g == e
 
 
+def test_knn_escalates_on_sparse_cells(spark):
+    """Correctness-bound enforcement: points scattered so far apart
+    that at res=9 a 3x3 disk holds (at most) the query itself — a
+    fixed-resolution join would silently return short or wrong top-k.
+    The escalation loop must coarsen until the safe-radius condition
+    holds and reproduce brute force exactly, tie-breaks included."""
+    pdf = images_pdf(1500, with_geo=True)[["image_id", "lon", "lat"]]
+    sparse = pdf.iloc[::40]  # ~38 points over the full extent
+    pts = spark.createDataFrame(sparse).withColumnRenamed(
+        "image_id", "point_id")
+    q = spark.createDataFrame(
+        sparse.iloc[:8].rename(columns={"image_id": "query_id"}))
+    got = knn_join(q, pts, k=5, res=9, broadcast_points=True)
+    exact = knn_join_exact(q, pts, k=5)
+    g = {(r.query_id, r.rank): (r.point_id, round(r.dist, 9))
+         for r in got.collect()}
+    e = {(r.query_id, r.rank): (r.point_id, round(r.dist, 9))
+         for r in exact.collect()}
+    assert g == e
+    assert len(g) == 8 * 5  # full k for every query, never short
+
+
+def test_knn_density_derived_res(spark):
+    """res=None derives the starting resolution from the points count
+    and still matches brute force."""
+    pdf = images_pdf(1200, with_geo=True)[["image_id", "lon", "lat"]]
+    pts = spark.createDataFrame(pdf).withColumnRenamed(
+        "image_id", "point_id")
+    q = spark.createDataFrame(
+        pdf.iloc[::100].rename(columns={"image_id": "query_id"}))
+    got = knn_join(q, pts, k=3, res=None, broadcast_points=True)
+    exact = knn_join_exact(q, pts, k=3)
+    g = {(r.query_id, r.rank): r.point_id for r in got.collect()}
+    e = {(r.query_id, r.rank): r.point_id for r in exact.collect()}
+    assert g == e
+
+
 def test_tile_assignment_matches_numpy(spark):
     pdf = images_pdf(500, with_geo=True)[["image_id", "lon", "lat"]]
     z = 10
