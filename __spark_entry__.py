@@ -441,6 +441,18 @@ def q_ngram_jaccard(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Dedup scale path: gram max-df cap bounds the candidate
+    self-join at O(max_df^2) per gram; Jaccard of surviving pairs is
+    re-counted over FULL gram sets, so values stay exact. The SQL twin
+    implements the identical two-stage semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                threshold=0.5, max_df=25)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard_r"))
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Dedup: exact embedding-cosine near-dup pairs (verification-stage
     twin of the LSH candidate generator)."""
@@ -577,10 +589,12 @@ def q_ivf_ann(spark, sf_dir):
 
 def q_emb_near_dup_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup candidates (scale path of
-    emb_near_dup). Rows-only: LSH recall < 1 by design."""
+    emb_near_dup), OR-of-ANDs: 16 bands x 4 planes -> expected recall
+    ~0.96 at threshold 0.45 (tests/test_dedup.py asserts >= 0.9 vs the
+    exact cosine_pairs twin). Rows-only: LSH recall < 1 by design."""
     emb = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dup(emb, "vec_id", "embedding",
-                                threshold=0.4, n_planes=8)
+                                threshold=0.45, bands=16, rows_per_band=4)
 
 
 def q_extract_bbox(spark, sf_dir):
@@ -759,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "supplier_volume": q_supplier_volume,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "emb_near_dup": q_emb_near_dup,
         "sessionize": q_sessionize,
         "sessionize_window": q_sessionize_window,
@@ -1017,6 +1032,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sh JOIN sz sa ON sh.id_a = sa.doc_id
                  JOIN sz sb ON sh.id_b = sb.doc_id
             WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.5""",
+        "ngram_jaccard_capped": """
+            WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+                  FROM d, UNNEST(generate_series(1, greatest(len(w) - 2, 1)))
+                       AS t(i)),
+            sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            rare AS (SELECT gram FROM g GROUP BY gram
+                     HAVING count(*) <= 25),
+            cg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sa.n_grams AS na, sb.n_grams AS nb
+              FROM cg a JOIN cg b ON a.gram = b.gram
+                   AND a.doc_id < b.doc_id
+              JOIN sz sa ON a.doc_id = sa.doc_id
+              JOIN sz sb ON b.doc_id = sb.doc_id
+              WHERE sa.n_grams >= 0.5 * sb.n_grams
+                AND sb.n_grams >= 0.5 * sa.n_grams),
+            sh AS (SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS shared
+                   FROM cand c
+                   JOIN g ga ON ga.doc_id = c.id_a
+                   JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+                   GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   round(shared * 1.0 / (na + nb - shared), 6) AS jaccard_r
+            FROM sh
+            WHERE shared * 1.0 / (na + nb - shared) >= 0.5""",
         "emb_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(

@@ -110,9 +110,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     sigd = minhash_signature(df.select(id_col, text_col), text_col,
                              num_hashes, shingle_n).cache()
 
+    # shuffle-width discipline: the exploded band self-join carries ONLY
+    # (id, band_idx, band_hash) — never the 64-long signature array,
+    # which would otherwise cross the exchange 2 x bands times per row.
+    # Signatures are re-attached AFTER the pair dedup by id equi-joins
+    # (output-bounded: one lookup per surviving candidate pair).
     banded = sigd.select(
         F.col(id_col),
-        F.col("minhash"),
         F.posexplode(
             F.array(*[
                 F.hash(F.slice("minhash", i * rows_per_band + 1,
@@ -121,21 +125,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             ])
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("minhash").alias("sig_a"),
-                      "band_idx", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("minhash").alias("sig_b"),
-                      "band_idx", "band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     pairs = (a.join(b, ["band_idx", "band_hash"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b")
+             .select("id_a", "id_b")
              .dropDuplicates(["id_a", "id_b"]))
 
-    est = pairs.withColumn(
-        "est_jaccard",
-        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
-        / F.lit(num_hashes)).drop("sig_a", "sig_b")
+    sig_a = sigd.select(F.col(id_col).alias("id_a"),
+                        F.col("minhash").alias("sig_a"))
+    sig_b = sigd.select(F.col(id_col).alias("id_b"),
+                        F.col("minhash").alias("sig_b"))
+    est = (pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+           .withColumn(
+               "est_jaccard",
+               F.expr("size(filter(zip_with(sig_a, sig_b, "
+                      "(x, y) -> x = y), v -> v))") / F.lit(num_hashes))
+           .select("id_a", "id_b", "est_jaccard"))
     if threshold is not None:
         est = est.filter(F.col("est_jaccard") >= threshold)
     return est
@@ -206,13 +212,26 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 # -------------------------------------------------------- ngram jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs — word n-grams via
     built-in expressions only (split / transform / explode), so the
     whole operator is JVM-side and SQL-oracle-able. Candidates share
-    >= 1 n-gram; Jaccard = |共| / (|A| + |B| - |共|) computed from
-    per-pair shared-gram counts. Quadratic in rows sharing a gram —
-    intended for post-LSH verification or keyed subsets."""
+    >= 1 n-gram; Jaccard = |shared| / (|A| + |B| - |shared|) computed
+    from per-pair shared-gram counts.
+
+    ``max_df=None`` (default) is exact but quadratic in rows sharing a
+    gram: a corpus-common gram joins every pair of documents containing
+    it, O(df^2) candidate rows. That is fine for post-LSH verification
+    or keyed subsets; the SCALE PATH sets ``max_df``: grams whose
+    document frequency exceeds the cap are excluded from CANDIDATE
+    GENERATION (bounding the self-join at O(max_df^2) per gram), and
+    the Jaccard of surviving pairs is then re-counted over the FULL
+    gram sets, so reported values stay exact. The cap is a recall
+    bound, not an approximation of the metric: a threshold-J pair is
+    missed only if every gram it shares is corpus-hot (df > max_df) —
+    rare for near-duplicate text, and the standard max-df trade in
+    dedup pipelines."""
     # hoist the word split into a column: inside the lambda it would be
     # re-evaluated per gram (no common-subexpression elimination across
     # higher-order-function bodies), turning tokenization O(words^2)
@@ -232,18 +251,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
-    a = grams.select(F.col(id_col).alias("id_a"), "gram") \
+
+    # candidate-generation gram set: optionally drop corpus-hot grams
+    cand_grams = grams
+    if max_df is not None:
+        rare = (grams.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("gram"))
+        cand_grams = grams.join(rare, "gram")
+
+    a = cand_grams.select(F.col(id_col).alias("id_a"), "gram") \
         .join(F.broadcast(sa), "id_a")
-    b = grams.select(F.col(id_col).alias("id_b"), "gram") \
+    b = cand_grams.select(F.col(id_col).alias("id_b"), "gram") \
         .join(F.broadcast(sb), "id_b")
     # lossless prune before the expensive pair count: J >= t forces
     # min(na, nb) >= t * max(na, nb); shared <= min also bounds J
-    shared = (a.join(b, "gram")
-              .filter((F.col("id_a") < F.col("id_b"))
-                      & (F.col("na") >= threshold * F.col("nb"))
-                      & (F.col("nb") >= threshold * F.col("na")))
-              .groupBy("id_a", "id_b", "na", "nb")
-              .agg(F.count("*").alias("shared")))
+    cand = (a.join(b, "gram")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.col("na") >= threshold * F.col("nb"))
+                    & (F.col("nb") >= threshold * F.col("na"))))
+    if max_df is None:
+        shared = cand.groupBy("id_a", "id_b", "na", "nb") \
+            .agg(F.count("*").alias("shared"))
+    else:
+        # exact re-count over FULL gram sets for surviving candidates:
+        # pair list is output-bounded, so this is two id equi-joins +
+        # a gram equi-match, not another quadratic blow-up
+        pair_ids = cand.select("id_a", "id_b", "na", "nb").distinct()
+        fa = grams.select(F.col(id_col).alias("id_a"), "gram")
+        fb = grams.select(F.col(id_col).alias("_idb"),
+                          F.col("gram").alias("_gram_b"))
+        shared = (pair_ids.join(fa, "id_a")
+                  .join(fb, (F.col("id_b") == F.col("_idb"))
+                        & (F.col("gram") == F.col("_gram_b")))
+                  .groupBy("id_a", "id_b", "na", "nb")
+                  .agg(F.count("*").alias("shared")))
     return (shared
             .withColumn("jaccard", F.col("shared")
                         / (F.col("na") + F.col("nb") - F.col("shared")))
@@ -274,36 +317,58 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
                        threshold: float = 0.95,
-                       n_planes: int = 16, seed: int = 42) -> DataFrame:
+                       bands: int = 8, rows_per_band: int = 8,
+                       seed: int = 42) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
-    Candidate gen: random-hyperplane LSH bucket (sign pattern of
-    ``n_planes`` fixed projections) — one equi-join key; verify with
-    exact cosine via built-in aggregate/zip_with expressions."""
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    Candidate gen: random-hyperplane LSH in OR-of-ANDs form — ``bands``
+    independent band keys, each the sign pattern of ``rows_per_band``
+    fixed projections; a pair is a candidate if ANY band key matches.
+    With p = 1 - theta/pi, P(candidate) = 1 - (1 - p^r)^b — the
+    multi-band union keeps recall high near the threshold, where a
+    single AND-only sign bucket collapses (P = p^16 is tiny at
+    moderate angles). Verification is exact cosine via built-in
+    aggregate/zip_with expressions, run only on deduped candidates.
 
-    @pandas_udf("long")
-    def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())          # (b, d)
-        signs = (m @ planes.T) > 0             # (b, p)
-        key = np.zeros(len(vecs), dtype=np.int64)
-        for p in range(n_planes):
-            key |= signs[:, p].astype(np.int64) << p
-        return pd.Series(key)
+    Shuffle shape: the exploded band self-join carries only (id,
+    band_idx, band_key); vectors are re-attached per surviving pair.
+    The projection planes are derived deterministically from (seed,
+    dim) inside the UDF — no driver round-trip to read the dimension,
+    and every executor materializes bit-identical planes.
+    """
+    n_planes = bands * rows_per_band
 
-    with_b = df.select(id_col, vec_col).withColumn("bucket",
-                                                   bucket(F.col(vec_col)))
-    a = with_b.select(F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("v_a"), "bucket")
-    b = with_b.select(F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("v_b"), "bucket")
+    @pandas_udf("array<long>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())                  # (n, d)
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_planes, m.shape[1]))
+        signs = (m @ planes.T) > 0                     # (n, b*r)
+        weights = (np.uint64(1) << np.arange(
+            rows_per_band, dtype=np.uint64))
+        keys = np.empty((len(m), bands), dtype=np.int64)
+        for bi in range(bands):
+            chunk = signs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            keys[:, bi] = (chunk.astype(np.uint64) @ weights).astype(np.int64)
+        return pd.Series(list(keys))
+
+    slim = df.select(id_col, vec_col)
+    keyed = slim.select(
+        F.col(id_col),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band_idx", "band_key"))
+    a = keyed.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    pairs = (a.join(b, ["band_idx", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+
+    va = slim.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = slim.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     dot = "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     na = "sqrt(aggregate(v_a, 0D, (acc, v) -> acc + v * v))"
     nb = "sqrt(aggregate(v_b, 0D, (acc, v) -> acc + v * v))"
-    return (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
             .withColumn("cosine", F.expr(f"{dot} / ({na} * {nb})"))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

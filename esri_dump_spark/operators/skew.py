@@ -31,11 +31,27 @@ __all__ = ["hot_keys", "salted_repartition", "two_phase_agg", "salted_join"]
 
 
 def hot_keys(df: DataFrame, key: str, threshold_frac: float = 0.01,
-             min_count: int = 1000) -> list:
+             min_count: int = 1000,
+             sample_frac: float | None = None, seed: int = 42) -> list:
     """Keys holding more than ``threshold_frac`` of rows (and at least
-    ``min_count``). One cheap pre-pass; at scale run it on a sample."""
+    ``min_count``).
+
+    ``sample_frac=None`` scans the full table — exact, test-scale.
+    The SCALE PATH sets ``sample_frac`` (e.g. 0.001): the histogram
+    runs on a Bernoulli sample and the thresholds scale by the
+    fraction, so detection costs one sampled scan instead of two full
+    ones. A key at threshold_frac of 10^12 rows appears ~10^7 times in
+    a 0.001 sample — detection is effectively certain; only keys
+    hovering at the threshold can flip, and both salting decisions are
+    correct there (salting a near-hot key is harmless)."""
+    if sample_frac is not None:
+        df = df.sample(withReplacement=False, fraction=sample_frac,
+                       seed=seed)
+        scale = sample_frac
+    else:
+        scale = 1.0
     total = df.count()
-    thresh = max(int(total * threshold_frac), min_count)
+    thresh = max(int(total * threshold_frac), min_count * scale)
     rows = (df.groupBy(key).count()
             .filter(F.col("count") >= thresh)
             .select(key).collect())

@@ -136,16 +136,62 @@ def test_embedding_near_dup(spark):
         rows.append({"vec_id": 2 * i + 1, "embedding": dup.tolist()})
     df = spark.createDataFrame(pd.DataFrame(rows))
     pairs = D.embedding_near_dup(df, "vec_id", "embedding",
-                                 threshold=0.98, n_planes=8)
+                                 threshold=0.98, bands=8, rows_per_band=4)
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
-    # most perturbed twins land in the same LSH bucket
+    # perturbed twins are near-parallel (theta ~ 0): every band key
+    # matches with p ~ 1, so the OR-construction finds essentially all
     hits = sum(1 for i in range(20) if (2 * i, 2 * i + 1) in found)
-    assert hits >= 15
+    assert hits >= 18
     # no false positives vs brute force at the same threshold
     for a, b in found:
         va = np.array(rows[a]["embedding"]); vb = np.array(rows[b]["embedding"])
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert cos >= 0.98 - 1e-6
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """The OR-of-ANDs recall bound near the threshold — the regime
+    where the old single AND-only bucket collapsed. 16 bands x 4
+    planes at threshold 0.45: expected recall 1-(1-p^4)^16 ~ 0.96
+    (p = 1 - theta/pi ~ 0.65); assert >= 0.9 against the exact
+    cosine_pairs twin on the sf0.001 embeddings fixture."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in D.cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45).collect()}
+    lsh = {(r.id_a, r.id_b) for r in D.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.45,
+        bands=16, rows_per_band=4).collect()}
+    assert lsh <= exact          # verification stage: no false positives
+    assert exact, "fixture must contain threshold pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
+
+
+def test_ngram_jaccard_max_df_exact_values(spark):
+    """Capped candidate generation must re-count Jaccard over the FULL
+    gram sets: any pair it reports carries the exact uncapped value."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat sat on the mat today",
+                 "the cat sat on the mat yesterday",
+                 "dogs run in the park",
+                 "dogs run in the park often"],
+    })
+    df = spark.createDataFrame(pdf)
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                                           threshold=0.3).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in D.ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                                             threshold=0.3,
+                                             max_df=3).collect()}
+    # max_df=3 excludes no gram shared by a pair here -> identical
+    assert capped == full
+    # a cap of 1 kills all candidate grams shared by >= 2 docs: recall
+    # bound bites, but values (none here) would still be exact
+    none = D.ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                                 threshold=0.3, max_df=1).collect()
+    assert none == []
 
 
 def test_phash_near_dup_on_images(spark):

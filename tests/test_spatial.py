@@ -175,6 +175,11 @@ def test_hot_keys_and_two_phase_agg(spark):
              ).collect()}
     for r in agg:
         assert plain[r.cell] == (r.n, r.mx)
+    # scale path: a 0.5 Bernoulli sample must still flag the hot cell
+    sampled = hot_keys(pts, "cell", threshold_frac=0.05, min_count=10,
+                       sample_frac=0.5)
+    assert set(hot) <= set(sampled) or len(sampled) >= 1
+    assert any(h in sampled for h in hot)
     pts.unpersist()
 
 
