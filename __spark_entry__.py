@@ -269,7 +269,8 @@ def q_pip_anti(spark, sf_dir):
     polys = pd.DataFrame({
         "poly_id": [0, 1], "name": ["rect", "diamond"],
         "rings_json": [json.dumps([RECT_RING]), json.dumps([DIAMOND_RING])]})
-    out = point_in_polygon_join(pts, polys, res=8, how="left_anti")
+    out = point_in_polygon_join(pts, polys, res=8, how="left_anti",
+                                id_col="c_custkey")
     return out.select("c_custkey")
 
 
@@ -535,6 +536,24 @@ def q_renderer_compile(spark, sf_dir):
             .groupBy("style_class").agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_topfeatures_extract(spark, sf_dir):
+    """S5: /queryTopFeatures endpoint semantics — the per-group top-k
+    reduction happens SERVER-side during paging (reference swaps only
+    the URL fragment, lib/geometry.ts:74). Oracled: the synthetic
+    layer's attributes are pure formulas of the feature index, so
+    DuckDB reproduces the reduction from generate_series — rotation
+    groups (i % 360), top-2 by value (i * 0.5) DESC, attribute-only
+    rows (i % 97 == 5) dropped by the client-side decode (P3)."""
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    srv = SyntheticFeatureServer(n_features=1000, max_record_count=250,
+                                 geometry_type="esriGeometryPolygon")
+    top = {"groupByFields": "rotation", "topCount": 2,
+           "orderByFields": "value DESC"}
+    out = extract(spark, srv, approach="top_features_iter", top_filter=top)
+    return out.select("id").orderBy("id")
+
+
 # --------------------------------------------- rows-only (non-SQL) queries
 
 def q_extract_synthetic(spark, sf_dir):
@@ -574,8 +593,11 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash block-LSH near-dup pairs on documents. Rows-only."""
-    docs = _t(spark, sf_dir, "documents").limit(2000)
+    """SimHash block-LSH near-dup pairs on documents. Oracled: with
+    max_hamming < blocks the pigeonhole candidate gen is lossless, so
+    the DuckDB twin recomputes the identical 60-bit md5-derived simhash
+    in SQL and brute-forces the all-pairs hamming filter."""
+    docs = _t(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -781,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "stream_windowed": q_stream_windowed,
         "renderer_compile": q_renderer_compile,
+        "topfeatures_extract": q_topfeatures_extract,
         # rows-only (non-SQL-expressible)
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1094,6 +1117,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "topfeatures_extract": """
+            WITH f AS (SELECT i, i + 1 AS id, i % 360 AS rotation,
+                              round(i * 0.5, 2) AS value
+                       FROM generate_series(0, 999) AS t(i)),
+            ranked AS (SELECT id, i,
+                              row_number() OVER (PARTITION BY rotation
+                                ORDER BY value DESC, id ASC) AS rn
+                       FROM f)
+            SELECT id FROM ranked
+            WHERE rn <= 2 AND i % 97 <> 5
+            ORDER BY id""",
+        "simhash_pairs": f"""
+            WITH {D.simhash_sql_cte()}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM _sh a JOIN _sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "renderer_compile": """
             SELECT CASE WHEN p_type = 'PROMO' THEN 'promo-style'
                         WHEN p_type = 'ECONOMY' THEN 'economy-style'

@@ -27,7 +27,8 @@ from pyspark.sql.functions import pandas_udf
 __all__ = [
     "exact_dedup", "exact_dedup_by_hash", "shingle_set", "minhash_signature",
     "minhash_lsh_pairs", "minhash_dedup", "simhash", "simhash_pairs",
-    "ngram_jaccard_pairs", "embedding_near_dup", "phash_near_dup",
+    "simhash_sql_cte", "ngram_jaccard_pairs", "embedding_near_dup",
+    "phash_near_dup",
 ]
 
 
@@ -159,17 +160,36 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 
 # --------------------------------------------------------------- simhash
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed 64-bit in every engine
+
+
+def _md5_shingle_hashes(text: str, n: int) -> np.ndarray:
+    """uint64 hashes of distinct character n-grams: the low 60 bits of
+    md5 (first 15 hex chars). md5 — not blake2b like minhash — because
+    the whole derivation is reproducible in ANSI SQL (DuckDB:
+    CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT)), which makes
+    the simhash operator oracle-able end to end."""
+    import hashlib
+    t = (text or "").lower()
+    if len(t) < n:
+        t = t.ljust(n)
+    grams = {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
+    return np.array([int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                     for g in grams], dtype=np.uint64)
+
+
 def simhash(df: DataFrame, text_col: str, out: str = "simhash",
             shingle_n: int = 4) -> DataFrame:
-    """64-bit SimHash over character shingles (Arrow-batched)."""
+    """60-bit SimHash over character shingles (Arrow-batched); bit b is
+    set when the gram-majority vote of md5-hash bit b is positive."""
 
     @pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
         vals = np.empty(len(texts), dtype=np.int64)
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]
         for i, t in enumerate(texts):
-            h = _shingle_hashes(t or "", shingle_n)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
+            h = _md5_shingle_hashes(t, shingle_n)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             score = (2 * bits - 1).sum(axis=0)
             v = np.uint64(0)
             for b in np.where(score > 0)[0]:
@@ -180,13 +200,45 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash",
     return df.withColumn(out, sh(F.col(text_col)))
 
 
+def simhash_sql_cte(id_col: str = "doc_id", text_col: str = "text",
+                    table: str = "documents", shingle_n: int = 4) -> str:
+    """DuckDB CTE chain computing the identical 60-bit simhash per row
+    of ``table`` — the independent SQL twin of the pandas UDF above.
+    Yields a relation (id_col, simhash)."""
+    n = shingle_n
+    bit_terms = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS))
+    return f"""
+        _t0 AS (SELECT {id_col},
+                       rpad(lower(coalesce({text_col}, '')),
+                            CAST(greatest(length(lower(coalesce({text_col}, ''))),
+                                          {n}) AS INTEGER), ' ') AS _t
+                FROM {table}),
+        _g AS (SELECT DISTINCT {id_col},
+                      substr(_t, CAST(i AS INTEGER), {n}) AS gram
+               FROM _t0,
+                    UNNEST(generate_series(1, greatest(length(_t) - {n - 1}, 1)))
+                    AS u(i)),
+        _h AS (SELECT {id_col},
+                      CAST(CAST(concat('0x', substr(md5(gram), 1, 15))
+                                AS UBIGINT) AS BIGINT) AS hv
+               FROM _g),
+        _sh AS (SELECT {id_col}, ({bit_terms}) AS simhash
+                FROM _h GROUP BY {id_col})"""
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3, blocks: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash block LSH: split the 64-bit hash into
+    """Near-dup pairs by SimHash block LSH: split the 60-bit hash into
     ``blocks`` chunks; pairs within hamming distance < blocks share at
     least one exact chunk (pigeonhole), so candidate gen is an
-    equi-join on (block_idx, chunk). Verified with exact popcount."""
-    width = 64 // blocks
+    equi-join on (block_idx, chunk) AND — for max_hamming < blocks —
+    provably lossless: the output equals the brute-force all-pairs
+    hamming filter, which is what the SQL oracle computes. Verified
+    with exact popcount."""
+    width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
     hashed = simhash(df.select(id_col, text_col), text_col)
     chunks = hashed.select(

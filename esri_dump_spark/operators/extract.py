@@ -151,16 +151,33 @@ def _decode_feature(esri: dict, geom_type: str, oid_field: str,
 
 
 def extract(spark: SparkSession, server, approach: str = "iter",
-            map_fn: Callable[[dict], dict] | None = None) -> DataFrame:
+            map_fn: Callable[[dict], dict] | None = None,
+            top_filter: dict | None = None) -> DataFrame:
     """Full extraction pipeline; returns the feature DataFrame.
 
     ``map_fn`` is the engine's version of the reference's per-feature
     user hook — but applied batch-wise inside the page decode (it
     receives and returns a feature dict; still vectorized at the Arrow
     batch level, no extra pass over the data).
+
+    ``top_filter`` (required for the top_features_* approaches; dict of
+    groupByFields / topCount / orderByFields) is forwarded to the
+    server's /queryTopFeatures endpoint — the per-group top-k reduction
+    happens SERVER-side during paging, exactly like the reference's
+    URL-fragment swap (/root/reference/lib/geometry.ts:74,
+    index.ts:19-20); the count probe and every page run against the
+    reduced feature set.
     """
     metadata = server.metadata()
     validate_metadata(metadata)
+
+    if approach in ("top_features_iter", "top_features_bbox"):
+        if top_filter is None:
+            raise ValueError(
+                "top_features approaches require a top_filter "
+                "(groupByFields, topCount, orderByFields)")
+    else:
+        top_filter = None
 
     geom_type = metadata["geometryType"]
     oid_field = find_oid_field(metadata["fields"])
@@ -169,7 +186,8 @@ def extract(spark: SparkSession, server, approach: str = "iter",
                    if v.get("format") == "date-time"}
 
     if approach in ("iter", "top_features_iter"):
-        count = server.query_count()
+        count = server.query_count(top_filter) if top_filter is not None \
+            else server.query_count()
         page = server.max_record_count
         manifest = spark.range(0, count, page).toDF("offset") \
             .withColumn("kind", F.lit("offset"))
@@ -185,7 +203,10 @@ def extract(spark: SparkSession, server, approach: str = "iter",
         # driver-side quadtree refinement — the reference's adaptive
         # partitioner, run against cheap count probes only
         leaves = quadtree_partition(
-            root, server.query_bbox_count, server.max_record_count)
+            root,
+            (lambda env: server.query_bbox_count(env, top_filter))
+            if top_filter is not None else server.query_bbox_count,
+            server.max_record_count)
         manifest = spark.createDataFrame(
             [("bbox", None, *b) for b in leaves],
             "kind string, offset long, xmin double, ymin double, "
@@ -203,12 +224,14 @@ def extract(spark: SparkSession, server, approach: str = "iter",
             for rec in b.itertuples(index=False):
                 if rec.kind == "offset":
                     feats = _with_retries(
-                        lambda: server.query_page(int(rec.offset)),
+                        lambda: server.query_page(int(rec.offset),
+                                                  top_filter=top_filter),
                         f"page offset={rec.offset}")
                 else:
                     env = (rec.xmin, rec.ymin, rec.xmax, rec.ymax)
                     feats, _ = _with_retries(
-                        lambda: server.query_bbox(env), f"bbox {env}")
+                        lambda: server.query_bbox(env, top_filter=top_filter),
+                        f"bbox {env}")
                 for esri in feats:
                     row = _decode_feature(esri, geom_type, oid_field,
                                           date_fields)

@@ -156,12 +156,16 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 h, w = px.shape[:2]
                 ys = (np.arange(out_h + 1) * h) // out_h
                 xs = (np.arange(out_w + 1) * w) // out_w
-                small = np.empty((out_h, out_w, 3), dtype=np.uint8)
-                for i in range(out_h):
-                    for j in range(out_w):
-                        small[i, j] = px[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                         xs[j]:max(xs[j + 1], xs[j] + 1)] \
-                            .mean(axis=(0, 1)).round()
+                # block mean as two reduceat folds — O(h*w) C-speed
+                # instead of O(out_h*out_w) Python-loop blocks; a
+                # degenerate (upsampled) segment where start == next
+                # start yields the single row/col px[start], matching
+                # the at-least-one-pixel block rule
+                ry = np.add.reduceat(px, ys[:-1], axis=0)
+                cy = np.maximum(np.diff(ys), 1)[:, None, None]
+                rxy = np.add.reduceat(ry, xs[:-1], axis=1)
+                cx = np.maximum(np.diff(xs), 1)[None, :, None]
+                small = (rxy / (cy * cx)).round().astype(np.uint8)
                 rows.append({"image_id": rec.image_id,
                              "bytes": encode_image(small, "png"),
                              "w": out_w, "h": out_h, "fmt": "png"})

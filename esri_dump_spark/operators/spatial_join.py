@@ -89,12 +89,18 @@ def build_polygon_dim(polygons: pd.DataFrame, res: int = DEFAULT_RES):
 def point_in_polygon_join(points: DataFrame, polygons: pd.DataFrame,
                           lon_col: str = "lon", lat_col: str = "lat",
                           res: int = DEFAULT_RES,
-                          how: str = "inner", dim=None) -> DataFrame:
+                          how: str = "inner", dim=None,
+                          id_col: str | None = None) -> DataFrame:
     """Spatial join of a big point table against a small polygon table.
 
     how='inner'      -> point rows x matching poly_id (+name)
     how='left_semi'  -> point rows inside >= 1 polygon (deduped)
     how='left_anti'  -> point rows inside none
+
+    ``id_col`` — the point-identity column the semi/anti variants key
+    on; defaults to the first column of ``points`` (the historical
+    convention), but callers whose id is not leftmost must pass it —
+    keying on position silently breaks under column reorder.
 
     ``dim`` — optional precomputed ``build_polygon_dim`` result so the
     static dimension isn't rebuilt per query.
@@ -127,10 +133,12 @@ def point_in_polygon_join(points: DataFrame, polygons: pd.DataFrame,
                 .withColumnRenamed("name", "poly_name")
             matched = matched.join(F.broadcast(names), "poly_id", "left")
         return matched.drop("cell")
+    key = id_col if id_col is not None else points.columns[0]
+    if key not in points.columns:
+        raise ValueError(f"id_col {key!r} not in points columns")
     if how == "left_semi":
-        keys = matched.select(*points.columns).dropDuplicates(points.columns[:1])
-        return keys
+        return matched.select(*points.columns).dropDuplicates([key])
     if how == "left_anti":
-        matched_ids = matched.select(points.columns[0]).distinct()
-        return points.join(matched_ids, points.columns[0], "left_anti")
+        matched_ids = matched.select(key).distinct()
+        return points.join(matched_ids, key, "left_anti")
     raise ValueError(f"unknown how={how!r}")

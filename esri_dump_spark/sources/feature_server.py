@@ -172,14 +172,51 @@ class SyntheticFeatureServer:
 
     # ------------------------------------------------------------ queries
 
-    def query_count(self) -> int:
-        """returnCountOnly=true."""
+    def query_count(self, top_filter: dict | None = None) -> int:
+        """returnCountOnly=true (optionally against /queryTopFeatures)."""
+        if top_filter is not None:
+            return len(self.top_feature_indices(top_filter))
         return self.n_features
 
-    def query_page(self, offset: int, page_size: int | None = None) -> list[dict]:
-        """resultOffset paging in OID order."""
+    def top_feature_indices(self, top_filter: dict) -> list[int]:
+        """S5 / queryTopFeatures server semantics: the top ``topCount``
+        rows per ``groupByFields`` group ordered by ``orderByFields``
+        (ties broken by OID ascending, nulls last — ArcGIS behavior),
+        returned as feature indices in stable OID order for paging.
+        The reference only swaps the URL fragment
+        (/root/reference/lib/geometry.ts:74) and forwards the client's
+        topFilter param — the reduction itself is server-side, which is
+        what this replays."""
+        group_fields = [s.strip()
+                        for s in str(top_filter["groupByFields"]).split(",")]
+        fld, _, dirn = str(top_filter.get("orderByFields", "")) \
+            .strip().partition(" ")
+        desc = dirn.strip().upper() == "DESC"
+        k = int(top_filter["topCount"])
+        groups: dict[tuple, list] = {}
+        for i in range(self.n_features):
+            at = self.feature(i)["attributes"]
+            key = tuple(at.get(g) for g in group_fields)
+            v = at.get(fld)
+            groups.setdefault(key, []).append((v, at["objectid"], i))
+        keep: list[int] = []
+        for rows in groups.values():
+            rows.sort(key=lambda r: (
+                r[0] is None,
+                (-r[0] if desc else r[0]) if r[0] is not None else 0,
+                r[1]))
+            keep.extend(idx for _, _, idx in rows[:k])
+        return sorted(keep)
+
+    def query_page(self, offset: int, page_size: int | None = None,
+                   top_filter: dict | None = None) -> list[dict]:
+        """resultOffset paging in OID order (/query, or
+        /queryTopFeatures when ``top_filter`` is given)."""
         page_size = page_size or self.max_record_count
         self._maybe_fail(("page", offset // page_size))
+        if top_filter is not None:
+            idxs = self.top_feature_indices(top_filter)
+            return [self.feature(i) for i in idxs[offset:offset + page_size]]
         end = min(offset + page_size, self.n_features)
         return [self.feature(i) for i in range(offset, end)]
 
@@ -192,15 +229,25 @@ class SyntheticFeatureServer:
         xmin, ymin, xmax, ymax = env
         return not (fb[2] < xmin or fb[0] > xmax or fb[3] < ymin or fb[1] > ymax)
 
-    def query_bbox_count(self, env) -> int:
-        return sum(1 for i in range(self.n_features) if self._bbox_match(i, env))
+    def _candidate_indices(self, top_filter: dict | None):
+        if top_filter is not None:
+            return self.top_feature_indices(top_filter)
+        return range(self.n_features)
 
-    def query_bbox(self, env) -> tuple[list[dict], bool]:
+    def query_bbox_count(self, env, top_filter: dict | None = None) -> int:
+        return sum(1 for i in self._candidate_indices(top_filter)
+                   if self._bbox_match(i, env))
+
+    def query_bbox(self, env,
+                   top_filter: dict | None = None) -> tuple[list[dict], bool]:
         """Returns (features, exceeded_transfer_limit). Inclusive edge
-        intersection => duplicates across adjacent quadrants."""
+        intersection => duplicates across adjacent quadrants. With
+        ``top_filter`` the envelope scans the /queryTopFeatures-reduced
+        set (top-k reduction precedes the spatial filter, as on the
+        live endpoint)."""
         self._maybe_fail(("bbox", tuple(env)))
         out = []
-        for i in range(self.n_features):
+        for i in self._candidate_indices(top_filter):
             if self._bbox_match(i, env):
                 out.append(self.feature(i))
                 if len(out) > self.max_record_count:

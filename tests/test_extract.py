@@ -113,6 +113,46 @@ def test_extract_user_map_hook(spark):
                for r in rows)
 
 
+def test_top_features_extract_matches_reduction(spark):
+    """S5: the server-side per-group top-k reduction — paged extraction
+    over /queryTopFeatures must equal the reduction computed directly,
+    minus client-side-filtered attribute-only rows; the bbox strategy
+    must produce the identical set."""
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    srv = SyntheticFeatureServer(n_features=700, max_record_count=100,
+                                 geometry_type="esriGeometryPoint")
+    top = {"groupByFields": "rotation", "topCount": 2,
+           "orderByFields": "value DESC"}
+
+    # independent expectation from the raw attribute formulas
+    groups: dict = {}
+    for i in range(700):
+        groups.setdefault(i % 360, []).append(i)
+    exp = set()
+    for rows in groups.values():
+        rows.sort(key=lambda i: (-i * 0.5, i + 1))
+        exp.update(i + 1 for i in rows[:2] if i % 97 != 5)
+
+    got_iter = {r.id for r in
+                extract(spark, srv, "top_features_iter", top_filter=top)
+                .select("id").collect()}
+    assert got_iter == exp
+    got_bbox = {r.id for r in
+                extract(spark, srv, "top_features_bbox", top_filter=top)
+                .select("id").collect()}
+    assert got_bbox == exp
+
+
+def test_top_features_requires_filter(spark):
+    import pytest as _pytest
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    srv = SyntheticFeatureServer(n_features=10)
+    with _pytest.raises(ValueError, match="top_filter"):
+        extract(spark, srv, "top_features_iter")
+
+
 def test_extract_retries_transient_failures(spark):
     from esri_dump_spark.operators.extract import extract
     from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
