@@ -1,0 +1,1143 @@
+"""Self-contained CRS engine: ESRI WKT parsing + ellipsoidal map
+projections (forward and inverse), replacing the reference's
+proj4js dependency (/root/reference/lib/tilejson.ts:2,119-128) for
+extent reprojection to EPSG:4326.
+
+Scope = what proj4js's WKT path supports, which is the reference's
+effective behavior: the projection families below transform; anything
+else (Krovak, Hotine oblique Mercator, IGAC planes, Eckert/Winkel
+pseudocylindricals...) raises ``UnsupportedProjectionError`` — the
+same inputs make proj4js throw inside the reference, so an error IS
+parity there.
+
+All formulas are the public standards from Snyder, "Map Projections —
+A Working Manual" (USGS PP 1395): series/iteration forms for the
+ellipsoid, closed spherical forms where the family is defined on the
+sphere. No datum shifts: the WKTs in the reference's table carry no
+TOWGS84, and proj4 treats such CRS as WGS84-compatible — matching
+that is required for numeric parity with the reference's test vectors.
+
+Every projection here implements BOTH directions and is validated by
+round-trip property tests over the real parameter sets from the wkid
+table (tests/test_proj.py), plus the reference's own golden LCC
+vector (test/tilejson.test.ts:98-122, wkid 103191).
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = ["parse_wkt", "crs_from_wkt", "inverse_to_lonlat",
+           "forward_from_lonlat", "projection_for",
+           "UnsupportedProjectionError", "SUPPORTED_PROJECTIONS"]
+
+
+class UnsupportedProjectionError(NotImplementedError):
+    """Raised for projection families outside the supported set —
+    parity with proj4js throwing on the same WKT."""
+
+
+# --------------------------------------------------------------- WKT parse
+
+def parse_wkt(s: str):
+    """ESRI WKT -> (keyword, [args]) tree; args are floats, strings or
+    nested nodes. Tolerant of whitespace; quotes per the spec."""
+    pos = 0
+
+    def skip_ws():
+        nonlocal pos
+        while pos < len(s) and s[pos] in " \t\r\n":
+            pos += 1
+
+    def parse_node():
+        nonlocal pos
+        skip_ws()
+        start = pos
+        while pos < len(s) and (s[pos].isalnum() or s[pos] == "_"):
+            pos += 1
+        keyword = s[start:pos]
+        skip_ws()
+        if pos >= len(s) or s[pos] != "[":
+            raise ValueError(f"expected '[' after {keyword!r} at {pos}")
+        pos += 1
+        args = []
+        while True:
+            skip_ws()
+            ch = s[pos]
+            if ch == "]":
+                pos += 1
+                return (keyword, args)
+            if ch == ",":
+                pos += 1
+                continue
+            if ch == '"':
+                pos += 1
+                q = s.index('"', pos)
+                args.append(s[pos:q])
+                pos = q + 1
+            elif ch.isdigit() or ch in "+-.":
+                start = pos
+                while pos < len(s) and s[pos] not in ",]":
+                    pos += 1
+                args.append(float(s[start:pos].strip()))
+            else:
+                args.append(parse_node())
+
+    node = parse_node()
+    return node
+
+
+def _find(node, keyword):
+    for a in node[1]:
+        if isinstance(a, tuple) and a[0].upper() == keyword:
+            return a
+    return None
+
+
+def _find_all(node, keyword):
+    return [a for a in node[1]
+            if isinstance(a, tuple) and a[0].upper() == keyword]
+
+
+def crs_from_wkt(wkt: str) -> dict:
+    """ESRI WKT -> compact parameter dict:
+    {kind: 'projected'|'geographic', name, a, rf, primem_deg,
+     unit_to_m, projection, params: {lower_name: value}}"""
+    node = parse_wkt(wkt)
+    kw = node[0].upper()
+    if kw == "GEOGCS":
+        geog, proj = node, None
+    elif kw == "PROJCS":
+        proj = node
+        geog = _find(node, "GEOGCS")
+        if geog is None:
+            raise ValueError("PROJCS without GEOGCS")
+    else:
+        raise ValueError(f"unsupported WKT root {node[0]!r}")
+
+    datum = _find(geog, "DATUM")
+    sph = _find(datum, "SPHEROID") if datum else None
+    if sph is None:
+        raise ValueError("missing SPHEROID")
+    a, rf = float(sph[1][1]), float(sph[1][2])
+    primem = _find(geog, "PRIMEM")
+    primem_deg = float(primem[1][1]) if primem else 0.0
+
+    out = {"name": node[1][0] if node[1] else "",
+           "a": a, "rf": rf, "primem_deg": primem_deg}
+    if proj is None:
+        out.update({"kind": "geographic", "unit_to_m": 1.0,
+                    "projection": None, "params": {}})
+        return out
+
+    pr = _find(proj, "PROJECTION")
+    unit = None
+    # the PROJCS-level UNIT (linear); GEOGCS's angular UNIT is nested
+    for u in _find_all(proj, "UNIT"):
+        unit = u
+    params = {}
+    for p in _find_all(proj, "PARAMETER"):
+        params[str(p[1][0]).lower()] = float(p[1][1])
+    out.update({
+        "kind": "projected",
+        "projection": pr[1][0] if pr else None,
+        "params": params,
+        "unit_to_m": float(unit[1][1]) if unit else 1.0,
+    })
+    return out
+
+
+# ---------------------------------------------------------- common pieces
+
+def _e2(rf: float) -> float:
+    if rf == 0:
+        return 0.0
+    f = 1.0 / rf
+    return 2 * f - f * f
+
+
+def _msfn(sinphi, cosphi, e2):
+    return cosphi / math.sqrt(1.0 - e2 * sinphi * sinphi)
+
+
+def _tsfn(phi, sinphi, e):
+    con = e * sinphi
+    return (math.tan(math.pi / 4 - phi / 2)
+            / ((1.0 - con) / (1.0 + con)) ** (e / 2))
+
+
+def _phi_from_ts(ts, e):
+    """Inverse of _tsfn by fixed-point iteration (Snyder 7-9)."""
+    phi = math.pi / 2 - 2 * math.atan(ts)
+    for _ in range(15):
+        con = e * math.sin(phi)
+        new = math.pi / 2 - 2 * math.atan(
+            ts * ((1.0 - con) / (1.0 + con)) ** (e / 2))
+        if abs(new - phi) < 1e-12:
+            return new
+        phi = new
+    return phi
+
+
+def _mlfn(phi, e2, a):
+    """Meridional arc M (Snyder 3-21)."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+                - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+                + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+                - (35 * e6 / 3072) * math.sin(6 * phi))
+
+
+def _footpoint(M, e2, a):
+    """Footpoint latitude from meridional arc (Snyder 7-19, 3-26)."""
+    mu = M / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 ** 3 / 256))
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    return (mu
+            + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * math.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * math.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * math.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * math.sin(8 * mu))
+
+
+def _qsfn(sinphi, e, e2):
+    """Authalic q (Snyder 3-12)."""
+    if e < 1e-10:
+        return 2.0 * sinphi
+    con = e * sinphi
+    return (1 - e2) * (sinphi / (1 - con * con)
+                       - (1 / (2 * e)) * math.log((1 - con) / (1 + con)))
+
+
+def _phi_from_q(q, e, e2):
+    """Inverse authalic latitude by Newton iteration (Snyder 3-16)."""
+    if e < 1e-10:
+        return math.asin(max(-1.0, min(1.0, q / 2)))
+    qp = _qsfn(1.0, e, e2)
+    if abs(abs(q) - abs(qp)) < 1e-12:
+        return math.copysign(math.pi / 2, q)
+    phi = math.asin(max(-1.0, min(1.0, q / 2)))
+    for _ in range(15):
+        sinphi = math.sin(phi)
+        con = e * sinphi
+        dphi = ((1 - con * con) ** 2 / (2 * math.cos(phi))
+                * (q / (1 - e2) - sinphi / (1 - con * con)
+                   + (1 / (2 * e)) * math.log((1 - con) / (1 + con))))
+        phi += dphi
+        if abs(dphi) < 1e-12:
+            break
+    return phi
+
+
+def _rad(deg):
+    return deg * math.pi / 180.0
+
+
+def _newton_inverse(proj, x, y, lon, lat):
+    """Generic 2-D Newton inversion of ``proj.fwd`` with a numeric
+    Jacobian — the fallback when an analytic inverse series is
+    ill-conditioned. Converges quadratically from any footpoint-grade
+    seed; tolerance ~1e-9 m."""
+    h = 1e-7
+    for _ in range(25):
+        fx, fy = proj.fwd(lon, lat)
+        dx, dy = x - fx, y - fy
+        if abs(dx) < 1e-9 and abs(dy) < 1e-9:
+            break
+        fx1, fy1 = proj.fwd(lon + h, lat)
+        fx2, fy2 = proj.fwd(lon, lat + h)
+        j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
+        j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
+        det = j11 * j22 - j12 * j21
+        if det == 0.0:
+            break
+        lon += (dx * j22 - dy * j12) / det
+        lat += (dy * j11 - dx * j21) / det
+    return lon, lat
+
+
+# -------------------------------------------------- projection families
+# Each family provides fwd(lon, lat) -> (x, y) and inv(x, y) ->
+# (lon, lat), angles in RADIANS, x/y in METERS, lon relative to
+# Greenwich already (central meridian handled inside).
+
+class _Proj:
+    def __init__(self, crs: dict):
+        p = crs["params"]
+        self.a = crs["a"]
+        self.e2 = _e2(crs["rf"])
+        self.e = math.sqrt(self.e2)
+        self.x0 = p.get("false_easting", 0.0) * crs["unit_to_m"]
+        self.y0 = p.get("false_northing", 0.0) * crs["unit_to_m"]
+        self.lon0 = _rad(p.get("central_meridian",
+                               p.get("longitude_of_center", 0.0)))
+        self.lat0 = _rad(p.get("latitude_of_origin",
+                               p.get("latitude_of_center", 0.0)))
+        self.k0 = p.get("scale_factor", 1.0)
+        self.p = p
+
+
+class _TMerc(_Proj):
+    """Transverse Mercator (Snyder ch. 8); also Gauss-Kruger and the
+    'Complex' variant (Krueger series agrees to sub-mm in-zone)."""
+
+    def fwd(self, lon, lat):
+        a, e2, e = self.a, self.e2, self.e
+        ep2 = e2 / (1 - e2)
+        sinp, cosp = math.sin(lat), math.cos(lat)
+        N = a / math.sqrt(1 - e2 * sinp * sinp)
+        T = (sinp / cosp) ** 2 if cosp else 0.0
+        C = ep2 * cosp * cosp
+        A = (lon - self.lon0) * cosp
+        M = _mlfn(lat, e2, a)
+        M0 = _mlfn(self.lat0, e2, a)
+        x = self.k0 * N * (A + (1 - T + C) * A ** 3 / 6
+                           + (5 - 18 * T + T * T + 72 * C - 58 * ep2)
+                           * A ** 5 / 120)
+        y = self.k0 * (M - M0 + N * (sinp / cosp if cosp else 0.0)
+                       * (A * A / 2 + (5 - T + 9 * C + 4 * C * C) * A ** 4 / 24
+                          + (61 - 58 * T + T * T + 600 * C - 330 * ep2)
+                          * A ** 6 / 720))
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        a, e2, e = self.a, self.e2, self.e
+        ep2 = e2 / (1 - e2)
+        M = _mlfn(self.lat0, e2, a) + (y - self.y0) / self.k0
+        phi1 = _footpoint(M, e2, a)
+        if abs(abs(phi1) - math.pi / 2) < 1e-11:
+            return self.lon0, phi1
+        sin1, cos1 = math.sin(phi1), math.cos(phi1)
+        C1 = ep2 * cos1 * cos1
+        T1 = (sin1 / cos1) ** 2
+        N1 = a / math.sqrt(1 - e2 * sin1 * sin1)
+        R1 = a * (1 - e2) / (1 - e2 * sin1 * sin1) ** 1.5
+        D = (x - self.x0) / (N1 * self.k0)
+        lat = phi1 - (N1 * sin1 / cos1 / R1) * (
+            D * D / 2
+            - (5 + 3 * T1 + 10 * C1 - 4 * C1 * C1 - 9 * ep2) * D ** 4 / 24
+            + (61 + 90 * T1 + 298 * C1 + 45 * T1 * T1 - 252 * ep2
+               - 3 * C1 * C1) * D ** 6 / 720)
+        lon = self.lon0 + (D - (1 + 2 * T1 + C1) * D ** 3 / 6
+                           + (5 - 2 * C1 + 28 * T1 - 3 * C1 * C1 + 8 * ep2
+                              + 24 * T1 * T1) * D ** 5 / 120) / cos1
+        return lon, lat
+
+
+class _LCC(_Proj):
+    """Lambert Conformal Conic, 1SP/2SP (Snyder ch. 15)."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        p = self.p
+        e, e2 = self.e, self.e2
+        phi1 = _rad(p.get("standard_parallel_1",
+                          p.get("latitude_of_origin", 0.0)))
+        phi2 = _rad(p["standard_parallel_2"]) \
+            if "standard_parallel_2" in p else phi1
+        m1 = _msfn(math.sin(phi1), math.cos(phi1), e2)
+        t1 = _tsfn(phi1, math.sin(phi1), e)
+        if abs(phi1 - phi2) > 1e-10:
+            m2 = _msfn(math.sin(phi2), math.cos(phi2), e2)
+            t2 = _tsfn(phi2, math.sin(phi2), e)
+            self.n = math.log(m1 / m2) / math.log(t1 / t2)
+        else:
+            self.n = math.sin(phi1)
+        self.F = self.k0 * m1 / (self.n * t1 ** self.n)
+        t0 = _tsfn(self.lat0, math.sin(self.lat0), e)
+        self.rho0 = self.a * self.F * t0 ** self.n
+
+    def fwd(self, lon, lat):
+        t = _tsfn(lat, math.sin(lat), self.e)
+        rho = self.a * self.F * t ** self.n
+        th = self.n * (lon - self.lon0)
+        return (self.x0 + rho * math.sin(th),
+                self.y0 + self.rho0 - rho * math.cos(th))
+
+    def inv(self, x, y):
+        dx = x - self.x0
+        dy = self.rho0 - (y - self.y0)
+        rho = math.hypot(dx, dy)
+        if self.n < 0:
+            rho, dx, dy = -rho, -dx, -dy
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        lat = _phi_from_ts(t, self.e)
+        lon = self.lon0 + math.atan2(dx, dy) / self.n
+        return lon, lat
+
+
+class _Albers(_Proj):
+    """Albers Equal-Area Conic (Snyder ch. 14)."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        p, e, e2 = self.p, self.e, self.e2
+        phi1 = _rad(p.get("standard_parallel_1", 29.5))
+        phi2 = _rad(p.get("standard_parallel_2",
+                          p.get("standard_parallel_1", 45.5)))
+        m1 = _msfn(math.sin(phi1), math.cos(phi1), e2)
+        q1 = _qsfn(math.sin(phi1), e, e2)
+        if abs(phi1 - phi2) > 1e-10:
+            m2 = _msfn(math.sin(phi2), math.cos(phi2), e2)
+            q2 = _qsfn(math.sin(phi2), e, e2)
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        else:
+            self.n = math.sin(phi1)
+        self.C = m1 * m1 + self.n * q1
+        q0 = _qsfn(math.sin(self.lat0), e, e2)
+        self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
+
+    def fwd(self, lon, lat):
+        q = _qsfn(math.sin(lat), self.e, self.e2)
+        rho = self.a * math.sqrt(self.C - self.n * q) / self.n
+        th = self.n * (lon - self.lon0)
+        return (self.x0 + rho * math.sin(th),
+                self.y0 + self.rho0 - rho * math.cos(th))
+
+    def inv(self, x, y):
+        dx = x - self.x0
+        dy = self.rho0 - (y - self.y0)
+        rho = math.hypot(dx, dy)
+        if self.n < 0:
+            rho, dx, dy = -rho, -dx, -dy
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        lat = _phi_from_q(q, self.e, self.e2)
+        lon = self.lon0 + math.atan2(dx, dy) / self.n
+        return lon, lat
+
+
+class _Merc(_Proj):
+    """Mercator (Snyder ch. 7); Standard_Parallel_1 sets the scale.
+    The Auxiliary_Sphere variant is spherical on a (web mercator)."""
+
+    def __init__(self, crs, spherical=False):
+        super().__init__(crs)
+        self.spherical = spherical or self.e < 1e-10
+        sp = _rad(self.p.get("standard_parallel_1", 0.0))
+        if self.spherical:
+            self.k = math.cos(sp)
+        else:
+            self.k = _msfn(math.sin(sp), math.cos(sp), self.e2) \
+                if abs(sp) > 1e-12 else self.k0
+
+    def fwd(self, lon, lat):
+        ak = self.a * self.k
+        x = ak * (lon - self.lon0)
+        if self.spherical:
+            y = ak * math.log(math.tan(math.pi / 4 + lat / 2))
+        else:
+            y = -ak * math.log(_tsfn(lat, math.sin(lat), self.e))
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        ak = self.a * self.k
+        lon = self.lon0 + (x - self.x0) / ak
+        if self.spherical:
+            lat = math.pi / 2 - 2 * math.atan(math.exp(-(y - self.y0) / ak))
+        else:
+            lat = _phi_from_ts(math.exp(-(y - self.y0) / ak), self.e)
+        return lon, lat
+
+
+class _Eqc(_Proj):
+    """Equidistant Cylindrical / Plate Carree (spherical on a —
+    proj4 eqc behavior)."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        self.cosp1 = math.cos(_rad(self.p.get("standard_parallel_1", 0.0)))
+
+    def fwd(self, lon, lat):
+        return (self.x0 + self.a * (lon - self.lon0) * self.cosp1,
+                self.y0 + self.a * (lat - self.lat0))
+
+    def inv(self, x, y):
+        return (self.lon0 + (x - self.x0) / (self.a * self.cosp1),
+                self.lat0 + (y - self.y0) / self.a)
+
+
+class _CEA(_Proj):
+    """Cylindrical Equal Area (Snyder ch. 10, ellipsoidal); Behrmann =
+    standard parallel 30."""
+
+    def __init__(self, crs, phi_s=None):
+        super().__init__(crs)
+        sp = _rad(self.p.get("standard_parallel_1", 0.0)) \
+            if phi_s is None else _rad(phi_s)
+        self.k = _msfn(math.sin(sp), math.cos(sp), self.e2) \
+            if self.e > 1e-10 else math.cos(sp)
+
+    def fwd(self, lon, lat):
+        q = _qsfn(math.sin(lat), self.e, self.e2)
+        return (self.x0 + self.a * self.k * (lon - self.lon0),
+                self.y0 + self.a * q / (2 * self.k))
+
+    def inv(self, x, y):
+        q = 2 * (y - self.y0) * self.k / self.a
+        return (self.lon0 + (x - self.x0) / (self.a * self.k),
+                _phi_from_q(q, self.e, self.e2))
+
+
+class _Miller(_Proj):
+    """Miller Cylindrical (spherical, Snyder ch. 11)."""
+
+    def fwd(self, lon, lat):
+        return (self.x0 + self.a * (lon - self.lon0),
+                self.y0 + self.a * math.log(
+                    math.tan(math.pi / 4 + 0.4 * lat)) / 0.8)
+
+    def inv(self, x, y):
+        return (self.lon0 + (x - self.x0) / self.a,
+                2.5 * math.atan(math.exp(0.8 * (y - self.y0) / self.a))
+                - 0.625 * math.pi)
+
+
+class _Gall(_Proj):
+    """Gall Stereographic (spherical)."""
+
+    def fwd(self, lon, lat):
+        return (self.x0 + self.a * (lon - self.lon0) / math.sqrt(2),
+                self.y0 + self.a * (1 + math.sqrt(2) / 2)
+                * math.tan(lat / 2))
+
+    def inv(self, x, y):
+        return (self.lon0 + (x - self.x0) * math.sqrt(2) / self.a,
+                2 * math.atan((y - self.y0)
+                              / (self.a * (1 + math.sqrt(2) / 2))))
+
+
+class _Sinusoidal(_Proj):
+    """Sinusoidal (Snyder ch. 30, ellipsoidal)."""
+
+    def fwd(self, lon, lat):
+        sinp = math.sin(lat)
+        x = (self.a * (lon - self.lon0) * math.cos(lat)
+             / math.sqrt(1 - self.e2 * sinp * sinp))
+        return self.x0 + x, self.y0 + _mlfn(lat, self.e2, self.a)
+
+    def inv(self, x, y):
+        lat = _footpoint(y - self.y0, self.e2, self.a)
+        sinp = math.sin(lat)
+        cosp = math.cos(lat)
+        if abs(cosp) < 1e-11:
+            return self.lon0, lat
+        lon = self.lon0 + ((x - self.x0)
+                           * math.sqrt(1 - self.e2 * sinp * sinp)
+                           / (self.a * cosp))
+        return lon, lat
+
+
+class _Mollweide(_Proj):
+    """Mollweide (spherical, Snyder ch. 31)."""
+
+    def fwd(self, lon, lat):
+        th = lat
+        for _ in range(15):
+            d = -(th + math.sin(th) - math.pi * math.sin(lat)) \
+                / (1 + math.cos(th))
+            th += d
+            if abs(d) < 1e-12:
+                break
+        th /= 2
+        return (self.x0 + math.sqrt(8) / math.pi * self.a
+                * (lon - self.lon0) * math.cos(th),
+                self.y0 + math.sqrt(2) * self.a * math.sin(th))
+
+    def inv(self, x, y):
+        th = math.asin(max(-1.0, min(1.0, (y - self.y0)
+                                     / (math.sqrt(2) * self.a))))
+        lat = math.asin(max(-1.0, min(
+            1.0, (2 * th + math.sin(2 * th)) / math.pi)))
+        if abs(math.cos(th)) < 1e-11:
+            return self.lon0, lat
+        lon = self.lon0 + math.pi * (x - self.x0) \
+            / (math.sqrt(8) * self.a * math.cos(th))
+        return lon, lat
+
+
+class _LAEA(_Proj):
+    """Lambert Azimuthal Equal-Area (Snyder ch. 24, ellipsoidal via
+    authalic latitude)."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        e, e2 = self.e, self.e2
+        self.qp = _qsfn(1.0, e, e2)
+        self.Rq = self.a * math.sqrt(self.qp / 2)
+        q1 = _qsfn(math.sin(self.lat0), e, e2)
+        self.beta1 = math.asin(max(-1.0, min(1.0, q1 / self.qp)))
+        self.D = (self.a * _msfn(math.sin(self.lat0),
+                                 math.cos(self.lat0), e2)
+                  / (self.Rq * math.cos(self.beta1))) \
+            if abs(math.cos(self.beta1)) > 1e-11 else 1.0
+
+    def fwd(self, lon, lat):
+        q = _qsfn(math.sin(lat), self.e, self.e2)
+        beta = math.asin(max(-1.0, min(1.0, q / self.qp)))
+        sb1, cb1 = math.sin(self.beta1), math.cos(self.beta1)
+        sb, cb = math.sin(beta), math.cos(beta)
+        dl = lon - self.lon0
+        den = 1 + sb1 * sb + cb1 * cb * math.cos(dl)
+        B = self.Rq * math.sqrt(2 / den)
+        x = B * self.D * cb * math.sin(dl)
+        y = (B / self.D) * (cb1 * sb - sb1 * cb * math.cos(dl))
+        return self.x0 + x, self.y0 + y
+
+    def inv(self, x, y):
+        dx = (x - self.x0) / self.D
+        dy = (y - self.y0) * self.D
+        rho = math.hypot(dx, dy)
+        if rho < 1e-10:
+            return self.lon0, self.lat0
+        ce = 2 * math.asin(max(-1.0, min(1.0, rho / (2 * self.Rq))))
+        sce, cce = math.sin(ce), math.cos(ce)
+        sb1, cb1 = math.sin(self.beta1), math.cos(self.beta1)
+        beta = math.asin(max(-1.0, min(
+            1.0, cce * sb1 + dy * sce * cb1 / rho)))
+        q = self.qp * math.sin(beta)
+        lat = _phi_from_q(q, self.e, self.e2)
+        lon = self.lon0 + math.atan2(
+            dx * sce, rho * cb1 * cce - dy * sb1 * sce)
+        return lon, lat
+
+
+class _Stere(_Proj):
+    """Stereographic (Snyder ch. 21): ellipsoidal polar forms for the
+    North/South pole variants; oblique/equatorial via conformal
+    latitude (proj4 stere)."""
+
+    def __init__(self, crs, forced_pole=None):
+        super().__init__(crs)
+        if forced_pole == "north":
+            self.lat0 = _rad(self.p.get("standard_parallel_1", 90.0))
+            self.mode = "n"
+        elif forced_pole == "south":
+            self.lat0 = _rad(self.p.get("standard_parallel_1", -90.0))
+            self.mode = "s"
+        elif abs(self.lat0 - math.pi / 2) < 1e-10:
+            self.mode = "n"
+        elif abs(self.lat0 + math.pi / 2) < 1e-10:
+            self.mode = "s"
+        else:
+            self.mode = "o"
+        e, e2 = self.e, self.e2
+        if self.mode in "ns":
+            phi_f = abs(self.lat0)
+            if abs(phi_f - math.pi / 2) > 1e-10:
+                # scale from the true-scale parallel
+                tf = _tsfn(phi_f, math.sin(phi_f), e)
+                mf = _msfn(math.sin(phi_f), math.cos(phi_f), e2)
+                self.k0 = mf * math.sqrt(
+                    (1 + e) ** (1 + e) * (1 - e) ** (1 - e)) / (2 * tf)
+        else:
+            # conformal latitude of the origin
+            sinp = math.sin(self.lat0)
+            self.chi0 = 2 * math.atan(
+                math.tan(math.pi / 4 + self.lat0 / 2)
+                * ((1 - e * sinp) / (1 + e * sinp)) ** (e / 2)) \
+                - math.pi / 2
+
+    def fwd(self, lon, lat):
+        a, e, k0 = self.a, self.e, self.k0
+        if self.mode in "ns":
+            sign = 1.0 if self.mode == "n" else -1.0
+            t = _tsfn(sign * lat, math.sin(sign * lat), e)
+            rho = 2 * a * k0 * t / math.sqrt(
+                (1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+            dl = sign * (lon - self.lon0)
+            return (self.x0 + rho * math.sin(dl),
+                    self.y0 - sign * rho * math.cos(dl))
+        sinp = math.sin(lat)
+        chi = 2 * math.atan(math.tan(math.pi / 4 + lat / 2)
+                            * ((1 - e * sinp) / (1 + e * sinp)) ** (e / 2)) \
+            - math.pi / 2
+        sc0, cc0 = math.sin(self.chi0), math.cos(self.chi0)
+        sc, cc = math.sin(chi), math.cos(chi)
+        dl = lon - self.lon0
+        A = 2 * a * k0 / (1 + sc0 * sc + cc0 * cc * math.cos(dl))
+        return (self.x0 + A * cc * math.sin(dl),
+                self.y0 + A * (cc0 * sc - sc0 * cc * math.cos(dl)))
+
+    def inv(self, x, y):
+        a, e, k0 = self.a, self.e, self.k0
+        dx, dy = x - self.x0, y - self.y0
+        if self.mode in "ns":
+            sign = 1.0 if self.mode == "n" else -1.0
+            rho = math.hypot(dx, dy)
+            t = rho * math.sqrt(
+                (1 + e) ** (1 + e) * (1 - e) ** (1 - e)) / (2 * a * k0)
+            lat = sign * _phi_from_ts(t, e)
+            lon = self.lon0 + sign * math.atan2(dx, -sign * dy)
+            return lon, lat
+        rho = math.hypot(dx, dy)
+        ce = 2 * math.atan2(rho, 2 * a * k0)
+        sce, cce = math.sin(ce), math.cos(ce)
+        sc0, cc0 = math.sin(self.chi0), math.cos(self.chi0)
+        if rho < 1e-10:
+            chi = self.chi0
+            lon = self.lon0
+        else:
+            chi = math.asin(max(-1.0, min(
+                1.0, cce * sc0 + dy * sce * cc0 / rho)))
+            lon = self.lon0 + math.atan2(
+                dx * sce, rho * cc0 * cce - dy * sc0 * sce)
+        # conformal -> geodetic latitude iteration
+        lat = chi
+        for _ in range(15):
+            sinp = math.sin(lat)
+            new = 2 * math.atan(
+                math.tan(math.pi / 4 + chi / 2)
+                * ((1 + e * sinp) / (1 - e * sinp)) ** (e / 2)) \
+                - math.pi / 2
+            if abs(new - lat) < 1e-12:
+                break
+            lat = new
+        return lon, lat
+
+
+class _Cass(_Proj):
+    """Cassini-Soldner (Snyder ch. 13, ellipsoidal series)."""
+
+    def fwd(self, lon, lat):
+        a, e2 = self.a, self.e2
+        sinp, cosp = math.sin(lat), math.cos(lat)
+        N = a / math.sqrt(1 - e2 * sinp * sinp)
+        T = (sinp / cosp) ** 2 if cosp else 0.0
+        A = (lon - self.lon0) * cosp
+        C = e2 * cosp * cosp / (1 - e2)
+        x = N * (A - T * A ** 3 / 6 - (8 - T + 8 * C) * T * A ** 5 / 120)
+        M = _mlfn(lat, e2, a) - _mlfn(self.lat0, e2, a)
+        y = M + N * (sinp / cosp if cosp else 0.0) \
+            * (A * A / 2 + (5 - T + 6 * C) * A ** 4 / 24)
+        return self.x0 + x, self.y0 + y
+
+    def inv(self, x, y):
+        a, e2 = self.a, self.e2
+        M = _mlfn(self.lat0, e2, a) + (y - self.y0)
+        phi1 = _footpoint(M, e2, a)
+        if abs(abs(phi1) - math.pi / 2) < 1e-11:
+            return self.lon0, phi1
+        sin1, cos1 = math.sin(phi1), math.cos(phi1)
+        T1 = (sin1 / cos1) ** 2
+        N1 = a / math.sqrt(1 - e2 * sin1 * sin1)
+        R1 = a * (1 - e2) / (1 - e2 * sin1 * sin1) ** 1.5
+        D = (x - self.x0) / N1
+        lat = phi1 - (N1 * sin1 / cos1 / R1) \
+            * (D * D / 2 - (1 + 3 * T1) * D ** 4 / 24)
+        lon = self.lon0 + (D - T1 * D ** 3 / 3
+                           + (1 + 3 * T1) * T1 * D ** 5 / 15) / cos1
+        return lon, lat
+
+
+class _Poly(_Proj):
+    """American Polyconic (Snyder ch. 18)."""
+
+    def fwd(self, lon, lat):
+        a, e2 = self.a, self.e2
+        if abs(lat) < 1e-10:
+            return (self.x0 + a * (lon - self.lon0),
+                    self.y0 - _mlfn(self.lat0, e2, a))
+        sinp = math.sin(lat)
+        N = a / math.sqrt(1 - e2 * sinp * sinp)
+        E = (lon - self.lon0) * sinp
+        cot = math.cos(lat) / sinp
+        x = N * cot * math.sin(E)
+        y = (_mlfn(lat, e2, a) - _mlfn(self.lat0, e2, a)
+             + N * cot * (1 - math.cos(E)))
+        return self.x0 + x, self.y0 + y
+
+    def inv(self, x, y):
+        a, e2 = self.a, self.e2
+        dx = x - self.x0
+        dy = y - self.y0
+        if abs(_mlfn(self.lat0, e2, a) + dy) < 1e-7 * a:
+            return self.lon0 + dx / a, 0.0
+        # seed from the footpoint, then generic Newton on the forward
+        # (Snyder's 18-18 series is ill-conditioned near the equator)
+        lat = _footpoint(_mlfn(self.lat0, e2, a) + dy, e2, a)
+        lon = self.lon0 + dx / (a * max(math.cos(lat), 1e-8))
+        return _newton_inverse(self, x, y, lon, lat)
+
+
+class _Eqdc(_Proj):
+    """Equidistant Conic (Snyder ch. 16, ellipsoidal)."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        p, a, e2 = self.p, self.a, self.e2
+        phi1 = _rad(p.get("standard_parallel_1", 0.0))
+        phi2 = _rad(p.get("standard_parallel_2",
+                          p.get("standard_parallel_1", 0.0)))
+        m1 = _msfn(math.sin(phi1), math.cos(phi1), e2)
+        M1 = _mlfn(phi1, e2, a) / a
+        if abs(phi1 - phi2) > 1e-10:
+            m2 = _msfn(math.sin(phi2), math.cos(phi2), e2)
+            M2 = _mlfn(phi2, e2, a) / a
+            self.n = (m1 - m2) / (M2 - M1)
+        else:
+            self.n = math.sin(phi1)
+        self.G = m1 / self.n + M1
+        self.rho0 = a * (self.G - _mlfn(self.lat0, e2, a) / a)
+
+    def fwd(self, lon, lat):
+        rho = self.a * (self.G - _mlfn(lat, self.e2, self.a) / self.a)
+        th = self.n * (lon - self.lon0)
+        return (self.x0 + rho * math.sin(th),
+                self.y0 + self.rho0 - rho * math.cos(th))
+
+    def inv(self, x, y):
+        dx = x - self.x0
+        dy = self.rho0 - (y - self.y0)
+        rho = math.hypot(dx, dy)
+        if self.n < 0:
+            rho, dx, dy = -rho, -dx, -dy
+        M = self.a * (self.G - rho / self.a)
+        lat = _footpoint(M, self.e2, self.a)
+        lon = self.lon0 + math.atan2(dx, dy) / self.n
+        return lon, lat
+
+
+class _AEQD(_Proj):
+    """Azimuthal Equidistant (spherical form, Snyder ch. 25 — proj4's
+    ellipsoidal refinement differs by < the corner-fold tolerance for
+    the regional CRS that use it)."""
+
+    def fwd(self, lon, lat):
+        s0, c0 = math.sin(self.lat0), math.cos(self.lat0)
+        s, c = math.sin(lat), math.cos(lat)
+        dl = lon - self.lon0
+        cosc = s0 * s + c0 * c * math.cos(dl)
+        cosc = max(-1.0, min(1.0, cosc))
+        cang = math.acos(cosc)
+        k = 1.0 if cang < 1e-10 else cang / math.sin(cang)
+        return (self.x0 + self.a * k * c * math.sin(dl),
+                self.y0 + self.a * k * (c0 * s - s0 * c * math.cos(dl)))
+
+    def inv(self, x, y):
+        dx, dy = (x - self.x0) / self.a, (y - self.y0) / self.a
+        rho = math.hypot(dx, dy)
+        if rho < 1e-10:
+            return self.lon0, self.lat0
+        cang = rho
+        s0, c0 = math.sin(self.lat0), math.cos(self.lat0)
+        sc, cc = math.sin(cang), math.cos(cang)
+        lat = math.asin(max(-1.0, min(1.0, cc * s0 + dy * sc * c0 / rho)))
+        lon = self.lon0 + math.atan2(
+            dx * sc, rho * c0 * cc - dy * s0 * sc)
+        return lon, lat
+
+
+class _Ortho(_Proj):
+    """Orthographic (spherical, Snyder ch. 20)."""
+
+    def fwd(self, lon, lat):
+        s0, c0 = math.sin(self.lat0), math.cos(self.lat0)
+        s, c = math.sin(lat), math.cos(lat)
+        dl = lon - self.lon0
+        return (self.x0 + self.a * c * math.sin(dl),
+                self.y0 + self.a * (c0 * s - s0 * c * math.cos(dl)))
+
+    def inv(self, x, y):
+        dx, dy = (x - self.x0) / self.a, (y - self.y0) / self.a
+        rho = math.hypot(dx, dy)
+        if rho < 1e-10:
+            return self.lon0, self.lat0
+        cang = math.asin(max(-1.0, min(1.0, rho)))
+        sc, cc = math.sin(cang), math.cos(cang)
+        s0, c0 = math.sin(self.lat0), math.cos(self.lat0)
+        lat = math.asin(max(-1.0, min(1.0, cc * s0 + dy * sc * c0 / rho)))
+        lon = self.lon0 + math.atan2(
+            dx * sc, rho * c0 * cc - dy * s0 * sc)
+        return lon, lat
+
+
+class _Bonne(_Proj):
+    """Bonne (Snyder ch. 19, ellipsoidal)."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        self.phi1 = _rad(self.p.get("standard_parallel_1",
+                                    self.p.get("latitude_of_origin", 45.0)))
+        a, e2 = self.a, self.e2
+        self.m1 = _msfn(math.sin(self.phi1), math.cos(self.phi1), e2)
+        self.M1 = _mlfn(self.phi1, e2, a)
+
+    def fwd(self, lon, lat):
+        a, e2 = self.a, self.e2
+        m = _msfn(math.sin(lat), math.cos(lat), e2)
+        M = _mlfn(lat, e2, a)
+        rho = a * self.m1 / math.sin(self.phi1) + self.M1 - M
+        E = a * m * (lon - self.lon0) / rho
+        return (self.x0 + rho * math.sin(E),
+                self.y0 + a * self.m1 / math.sin(self.phi1)
+                - rho * math.cos(E))
+
+    def inv(self, x, y):
+        a, e2 = self.a, self.e2
+        am1 = a * self.m1 / math.sin(self.phi1)
+        dx = x - self.x0
+        dy = am1 - (y - self.y0)
+        rho = math.copysign(math.hypot(dx, dy), self.phi1)
+        M = am1 + self.M1 - rho
+        lat = _footpoint(M, e2, a)
+        m = _msfn(math.sin(lat), math.cos(lat), e2)
+        if abs(m) < 1e-11:
+            return self.lon0, lat
+        lon = self.lon0 + rho * math.atan2(
+            dx, math.copysign(dy, self.phi1)) / (a * m)
+        return lon, lat
+
+
+class _Omerc(_Proj):
+    """Hotine Oblique Mercator (Snyder ch. 9): Azimuth_Natural_Origin
+    (variant A), Azimuth_Center (variant B, u-offset at the projection
+    center), and Rectified_Skew_Orthomorphic (explicit rectification
+    angle via XY_Plane_Rotation)."""
+
+    def __init__(self, crs, centered=False):
+        super().__init__(crs)
+        p, a, e, e2 = self.p, self.a, self.e, self.e2
+        self.alpha = _rad(p.get("azimuth", 0.0))
+        phi0 = self.lat0
+        sin0, cos0 = math.sin(phi0), math.cos(phi0)
+        self.B = math.sqrt(1 + e2 * cos0 ** 4 / (1 - e2))
+        self.A = (a * self.B * self.k0 * math.sqrt(1 - e2)
+                  / (1 - e2 * sin0 * sin0))
+        t0 = _tsfn(phi0, sin0, e)
+        D = self.B * math.sqrt(1 - e2) / (cos0 * math.sqrt(
+            1 - e2 * sin0 * sin0))
+        D2 = max(D * D, 1.0)
+        F = D + math.copysign(math.sqrt(D2 - 1), phi0)
+        self.E = F * t0 ** self.B
+        G = (F - 1.0 / F) / 2
+        self.gamma0 = math.asin(max(-1.0, min(
+            1.0, math.sin(self.alpha) / D)))
+        self.lam0 = self.lon0 - math.asin(max(-1.0, min(
+            1.0, G * math.tan(self.gamma0)))) / self.B
+        # rectification angle: RSO carries it explicitly; otherwise γ0
+        self.gammac = _rad(p["xy_plane_rotation"]) \
+            if "xy_plane_rotation" in p else self.gamma0
+        self.u0 = 0.0
+        if centered:
+            self.u0 = math.copysign(
+                (self.A / self.B) * math.atan2(
+                    math.sqrt(D2 - 1), math.cos(self.alpha)), phi0)
+
+    def fwd(self, lon, lat):
+        B, A, E = self.B, self.A, self.E
+        t = _tsfn(lat, math.sin(lat), self.e)
+        Q = E / t ** B
+        S = (Q - 1.0 / Q) / 2
+        T = (Q + 1.0 / Q) / 2
+        dl = lon - self.lam0
+        V = math.sin(B * dl)
+        U = (-V * math.cos(self.gamma0) + S * math.sin(self.gamma0)) / T
+        v = A * math.log((1 - U) / (1 + U)) / (2 * B)
+        u = (A / B) * math.atan2(
+            S * math.cos(self.gamma0) + V * math.sin(self.gamma0),
+            math.cos(B * dl)) - self.u0
+        cg, sg = math.cos(self.gammac), math.sin(self.gammac)
+        return (self.x0 + v * cg + u * sg, self.y0 + u * cg - v * sg)
+
+    def inv(self, x, y):
+        B, A, E = self.B, self.A, self.E
+        dx, dy = x - self.x0, y - self.y0
+        cg, sg = math.cos(self.gammac), math.sin(self.gammac)
+        v = dx * cg - dy * sg
+        u = dy * cg + dx * sg + self.u0
+        Q = math.exp(-B * v / A)
+        S = (Q - 1.0 / Q) / 2
+        T = (Q + 1.0 / Q) / 2
+        V = math.sin(B * u / A)
+        U = (V * math.cos(self.gamma0) + S * math.sin(self.gamma0)) / T
+        t = (E / math.sqrt((1 + U) / (1 - U))) ** (1.0 / B)
+        lat = _phi_from_ts(t, self.e)
+        lon = self.lam0 - math.atan2(
+            S * math.cos(self.gamma0) - V * math.sin(self.gamma0),
+            math.cos(B * u / A)) / B
+        return lon, lat
+
+
+class _Krovak(_Proj):
+    """Krovak oblique conformal conic (EPSG method 9819); handles the
+    ESRI x_scale / y_scale / xy_plane_rotation axis conventions."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        p, a, e, e2 = self.p, self.a, self.e, self.e2
+        self.azim = _rad(p.get("azimuth", 30.28813972222222))
+        self.sp = _rad(p.get("pseudo_standard_parallel_1", 78.5))
+        self.xs = p.get("x_scale", 1.0)
+        self.ys = p.get("y_scale", 1.0)
+        self.rot = _rad(p.get("xy_plane_rotation", 0.0))
+        phi0 = self.lat0
+        sin0, cos0 = math.sin(phi0), math.cos(phi0)
+        self.A_ = a * math.sqrt(1 - e2) / (1 - e2 * sin0 * sin0)
+        self.B = math.sqrt(1 + e2 * cos0 ** 4 / (1 - e2))
+        self.g0 = math.asin(sin0 / self.B)
+        self.t0 = (math.tan(math.pi / 4 + self.g0 / 2)
+                   * ((1 + e * sin0) / (1 - e * sin0)) ** (e * self.B / 2)
+                   / math.tan(math.pi / 4 + phi0 / 2) ** self.B)
+        self.n = math.sin(self.sp)
+        self.r0 = self.k0 * self.A_ / math.tan(self.sp)
+
+    def _fwd_core(self, lon, lat):
+        e, B = self.e, self.B
+        sinp = math.sin(lat)
+        U = 2 * (math.atan(
+            self.t0 * math.tan(lat / 2 + math.pi / 4) ** B
+            / ((1 + e * sinp) / (1 - e * sinp)) ** (e * B / 2))
+            - math.pi / 4)
+        dv = B * (self.lon0 - lon)
+        sa, ca = math.sin(self.azim), math.cos(self.azim)
+        S = math.asin(max(-1.0, min(
+            1.0, ca * math.sin(U) + sa * math.cos(U) * math.cos(dv))))
+        D = math.asin(max(-1.0, min(
+            1.0, math.cos(U) * math.sin(dv) / math.cos(S))))
+        th = self.n * D
+        r = (self.r0 * math.tan(math.pi / 4 + self.sp / 2) ** self.n
+             / math.tan(S / 2 + math.pi / 4) ** self.n)
+        # EPSG axes: southing (X) / westing (Y)
+        return r * math.cos(th), r * math.sin(th)
+
+    def fwd(self, lon, lat):
+        Xp, Yp = self._fwd_core(lon, lat)
+        # ESRI axis handling: v = (-westing, -southing), scaled then
+        # rotated by xy_plane_rotation; rot=0/xs=ys=1 is the classic
+        # negative-southing/negative-westing S-JTSK plane
+        v1, v2 = -Yp, -Xp
+        cr, sr = math.cos(self.rot), math.sin(self.rot)
+        return (self.x0 + self.xs * (cr * v1 - sr * v2),
+                self.y0 + self.ys * (sr * v1 + cr * v2))
+
+    def inv(self, x, y):
+        cr, sr = math.cos(self.rot), math.sin(self.rot)
+        xr = (x - self.x0) / self.xs
+        yr = (y - self.y0) / self.ys
+        v1 = cr * xr + sr * yr
+        v2 = -sr * xr + cr * yr
+        Yp = -v1
+        Xp = -v2
+        e, B = self.e, self.B
+        r = math.hypot(Xp, Yp)
+        th = math.atan2(Yp, Xp)
+        D = th / math.sin(self.sp)
+        S = 2 * (math.atan(
+            (self.r0 / r) ** (1 / self.n)
+            * math.tan(math.pi / 4 + self.sp / 2)) - math.pi / 4)
+        sa, ca = math.sin(self.azim), math.cos(self.azim)
+        U = math.asin(max(-1.0, min(
+            1.0, ca * math.sin(S) - sa * math.cos(S) * math.cos(D))))
+        dv = math.asin(max(-1.0, min(
+            1.0, math.cos(S) * math.sin(D) / math.cos(U))))
+        lon = self.lon0 - dv / B
+        lat = U
+        for _ in range(20):
+            sinp = math.sin(lat)
+            new = 2 * (math.atan(
+                self.t0 ** (-1 / B)
+                * math.tan(U / 2 + math.pi / 4) ** (1 / B)
+                * ((1 + e * sinp) / (1 - e * sinp)) ** (e / 2))
+                - math.pi / 4)
+            if abs(new - lat) < 1e-12:
+                break
+            lat = new
+        return lon, lat
+
+
+class _Gnomonic(_Proj):
+    """Gnomonic (spherical, Snyder ch. 22)."""
+
+    def fwd(self, lon, lat):
+        s0, c0 = math.sin(self.lat0), math.cos(self.lat0)
+        s, c = math.sin(lat), math.cos(lat)
+        dl = lon - self.lon0
+        cosc = s0 * s + c0 * c * math.cos(dl)
+        k = 1.0 / cosc
+        return (self.x0 + self.a * k * c * math.sin(dl),
+                self.y0 + self.a * k * (c0 * s - s0 * c * math.cos(dl)))
+
+    def inv(self, x, y):
+        dx, dy = (x - self.x0) / self.a, (y - self.y0) / self.a
+        rho = math.hypot(dx, dy)
+        if rho < 1e-10:
+            return self.lon0, self.lat0
+        cang = math.atan(rho)
+        sc, cc = math.sin(cang), math.cos(cang)
+        s0, c0 = math.sin(self.lat0), math.cos(self.lat0)
+        lat = math.asin(max(-1.0, min(1.0, cc * s0 + dy * sc * c0 / rho)))
+        lon = self.lon0 + math.atan2(
+            dx * sc, rho * c0 * cc - dy * s0 * sc)
+        return lon, lat
+
+
+SUPPORTED_PROJECTIONS = {
+    "transverse_mercator": _TMerc,
+    "gauss_kruger": _TMerc,
+    "transverse_mercator_complex": _TMerc,
+    "lambert_conformal_conic": _LCC,
+    "albers": _Albers,
+    "mercator": _Merc,
+    "mercator_auxiliary_sphere":
+        lambda crs: _Merc(crs, spherical=True),
+    "equidistant_cylindrical": _Eqc,
+    "plate_carree": _Eqc,
+    "cylindrical_equal_area": _CEA,
+    "behrmann": lambda crs: _CEA(crs, phi_s=30.0),
+    "miller_cylindrical": _Miller,
+    "gall_stereographic": _Gall,
+    "sinusoidal": _Sinusoidal,
+    "mollweide": _Mollweide,
+    "lambert_azimuthal_equal_area": _LAEA,
+    "stereographic": _Stere,
+    "double_stereographic": _Stere,
+    "stereographic_north_pole":
+        lambda crs: _Stere(crs, forced_pole="north"),
+    "stereographic_south_pole":
+        lambda crs: _Stere(crs, forced_pole="south"),
+    "cassini": _Cass,
+    "polyconic": _Poly,
+    "equidistant_conic": _Eqdc,
+    "azimuthal_equidistant": _AEQD,
+    "orthographic": _Ortho,
+    "bonne": _Bonne,
+    "hotine_oblique_mercator_azimuth_natural_origin": _Omerc,
+    "rectified_skew_orthomorphic_natural_origin": _Omerc,
+    "hotine_oblique_mercator_azimuth_center":
+        lambda crs: _Omerc(crs, centered=True),
+    "krovak": _Krovak,
+    "gnomonic": _Gnomonic,
+}
+
+
+def projection_for(crs: dict):
+    """Instantiate the projection for a parsed CRS dict; raises
+    UnsupportedProjectionError outside the supported set."""
+    name = (crs.get("projection") or "").lower()
+    impl = SUPPORTED_PROJECTIONS.get(name)
+    if impl is None:
+        raise UnsupportedProjectionError(
+            f"projection {crs.get('projection')!r} is not in the "
+            f"supported set (proj4js would equally fail to transform it)")
+    return impl(crs)
+
+
+def inverse_to_lonlat(crs: dict, x: float, y: float) -> tuple[float, float]:
+    """Projected (x, y) in CRS units -> (lon, lat) degrees EPSG:4326
+    (no datum shift — the table's WKTs carry no TOWGS84)."""
+    if crs["kind"] == "geographic":
+        return x + crs["primem_deg"], y
+    u = crs["unit_to_m"]
+    proj = projection_for(crs)
+    lon, lat = proj.inv(x * u, y * u)
+    return (math.degrees(lon) + crs["primem_deg"], math.degrees(lat))
+
+
+def forward_from_lonlat(crs: dict, lon: float, lat: float) -> tuple[float, float]:
+    """(lon, lat) degrees -> projected (x, y) in CRS units (testing
+    twin of inverse_to_lonlat)."""
+    if crs["kind"] == "geographic":
+        return lon - crs["primem_deg"], lat
+    proj = projection_for(crs)
+    x, y = proj.fwd(_rad(lon - crs["primem_deg"]), _rad(lat))
+    u = crs["unit_to_m"]
+    return x / u, y / u

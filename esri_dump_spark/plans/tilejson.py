@@ -7,16 +7,27 @@ else min/maxLOD else [0, 22]), vector_layers field map (drops
 Geometry/Blob/Raster types), raster typing for ImageServer /
 serviceDataType.
 
-Reprojection: pyproj is not installed, so the engine ships exact
-formulas for the two projections the reference's tests exercise
-(EPSG:3857 / 102100 Web Mercator) and treats anything else as an
-error — a lookup-table seam where production plugs in pyproj with the
-same 4-corner min/max fold.
+Reprojection: pyproj is not installed; the engine ships its own WKT
+parser + ellipsoidal projection kernels (kernels/proj.py) and a
+compact parameter table derived from the reference's full public
+wkid lookup (lib/wkid.json, 4582 CRS — rebuilt by
+scripts/build_wkid_table.py). The 4-corner min/max fold matches
+lib/tilejson.ts:119-135; WKT in spatialReference is parsed directly
+(VERTCS-stripped first); web-mercator wkids absent from the table
+(102100/900913/102113) use the built-in spherical formulas, the same
+role proj4js's built-in EPSG:3857 definition plays. Projection
+families proj4js cannot transform raise UnsupportedProjectionError —
+the reference throws on those too.
 """
 
 from __future__ import annotations
 
+import json as _json
 import math
+import os
+
+from ..kernels.proj import (UnsupportedProjectionError, crs_from_wkt,
+                            inverse_to_lonlat)
 
 __all__ = ["tilejson", "bounds_from_extent", "strip_vertical_reference"]
 
@@ -70,6 +81,41 @@ def _extent_from_metadata(metadata: dict):
     return None
 
 
+_WKID_TABLE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "wkid_params.json")
+_WKID_TABLE: dict | None = None
+
+
+def _wkid_table() -> dict:
+    global _WKID_TABLE
+    if _WKID_TABLE is None:
+        with open(_WKID_TABLE_PATH) as f:
+            _WKID_TABLE = _json.load(f)
+    return _WKID_TABLE
+
+
+def _crs_for_wkid(wkid: int) -> dict | None:
+    tab = _wkid_table()
+    e = tab["entries"].get(str(int(wkid)))
+    if e is None:
+        return None
+    pname = tab["projections"][e[0]]
+    return {"kind": "projected" if pname else "geographic",
+            "projection": pname or None, "a": e[1], "rf": e[2],
+            "primem_deg": e[3], "unit_to_m": e[4], "params": e[5]}
+
+
+def _fold_corners(transform, extent):
+    corners = [
+        transform(extent["xmin"], extent["ymin"]),
+        transform(extent["xmin"], extent["ymax"]),
+        transform(extent["xmax"], extent["ymin"]),
+        transform(extent["xmax"], extent["ymax"]),
+    ]
+    return [min(c[0] for c in corners), min(c[1] for c in corners),
+            max(c[0] for c in corners), max(c[1] for c in corners)]
+
+
 def bounds_from_extent(extent: dict | None):
     if not extent:
         return None
@@ -79,19 +125,29 @@ def bounds_from_extent(extent: dict | None):
     if not sr or wkid == 4326 or latest == 4326:
         return [extent["xmin"], extent["ymin"], extent["xmax"], extent["ymax"]]
 
+    # reference's projectionDefinition order (lib/tilejson.ts:84-103):
+    # explicit WKT first, then latestWkid, then wkid table lookups
+    if sr.get("wkt"):
+        crs = crs_from_wkt(strip_vertical_reference(str(sr["wkt"])))
+        return _fold_corners(
+            lambda x, y: inverse_to_lonlat(crs, x, y), extent)
+
     candidates = [c for c in (latest, wkid) if isinstance(c, (int, float))]
+    for c in candidates:
+        if int(c) == 4326:
+            return [extent["xmin"], extent["ymin"],
+                    extent["xmax"], extent["ymax"]]
+        crs = _crs_for_wkid(int(c))
+        if crs is not None:
+            return _fold_corners(
+                lambda x, y: inverse_to_lonlat(crs, x, y), extent)
+    # proj4's built-in EPSG:3857 role for web-mercator ids the table
+    # doesn't carry
     if any(int(c) in _MERCATOR_WKIDS for c in candidates):
-        corners = [
-            _mercator_to_lonlat(extent["xmin"], extent["ymin"]),
-            _mercator_to_lonlat(extent["xmin"], extent["ymax"]),
-            _mercator_to_lonlat(extent["xmax"], extent["ymin"]),
-            _mercator_to_lonlat(extent["xmax"], extent["ymax"]),
-        ]
-        return [min(c[0] for c in corners), min(c[1] for c in corners),
-                max(c[0] for c in corners), max(c[1] for c in corners)]
-    raise NotImplementedError(
-        f"CRS {candidates or sr.get('wkt', '')!r} requires pyproj; "
-        "only 4326 and Web Mercator are built in")
+        return _fold_corners(_mercator_to_lonlat, extent)
+    raise UnsupportedProjectionError(
+        f"CRS {candidates or sr!r}: no wkid-table definition and no "
+        "built-in fallback (proj4js would equally fail)")
 
 
 def _zoom_range(metadata: dict) -> tuple[int, int]:
