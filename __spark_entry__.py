@@ -602,7 +602,11 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    """IVF-bucketed approximate NN. Rows-only (recall-bounded)."""
+    """IVF-bucketed ANN. Oracled: with nprobe == n_centroids every
+    bucket is probed, so the bucketed plan must reproduce the exact
+    brute-force top-k bit-for-bit (the plan exercises the centroid
+    assign + bucket equi-join + per-bucket re-rank machinery; recall
+    at nprobe < n_centroids is covered by tests/test_pipeline_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
@@ -804,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed": q_stream_windowed,
         "renderer_compile": q_renderer_compile,
         "topfeatures_extract": q_topfeatures_extract,
+        "ivf_ann": q_ivf_ann,
+        "simhash_pairs": q_simhash_pairs,
         # rows-only (non-SQL-expressible)
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -813,8 +819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "phash_near_dup": q_phash_near_dup,
         "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ivf_ann": q_ivf_ann,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "schema_doc": q_schema_doc,
         "tilejson_doc": q_tilejson_doc,
@@ -1001,6 +1005,20 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e)
             SELECT query_id, vec_id, rank,
                    CAST(round(cosine, 4) AS DOUBLE) AS cosine_r
+            FROM scored WHERE rank <= 5""",
+        "ivf_ann": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                e.vec_id ASC) AS rank
+              FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id,
+                   CAST(round(c, 6) AS DOUBLE) AS cosine, rank
             FROM scored WHERE rank <= 5""",
         "embedding_norms": """
             SELECT vec_id,

@@ -221,7 +221,53 @@ def main() -> None:
         out[f"rows_per_sec_local{lo}"] = scaling[lo]["rows_per_sec"]
         out[f"rows_per_sec_local{hi}"] = scaling[hi]["rows_per_sec"]
         out["rows_per_sec_local32"] = abs32["rows_per_sec"]
+    archive_run(out)
     print(json.dumps(out))
+
+
+def archive_run(out: dict) -> None:
+    """Per-round bookkeeping so regressions are diffable: write
+    BENCH/r<N>.json (N = next free index) and append a per-query delta
+    table vs the previous archive to BENCH/HISTORY.md."""
+    import glob
+    import re
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    runs = sorted(glob.glob(f"{REPO}/BENCH/r*.json"))
+    prev = None
+    n = 1
+    if runs:
+        last = runs[-1]
+        n = int(re.search(r"r(\d+)\.json$", last).group(1)) + 1
+        with open(last) as f:
+            prev = json.load(f)
+    elif os.path.exists(f"{REPO}/BENCH_r01.json"):
+        with open(f"{REPO}/BENCH_r01.json") as f:
+            prev = json.load(f)
+        # the driver's record wraps the bench line under "parsed"
+        prev = prev.get("parsed") or prev
+        n = 2
+    with open(f"{REPO}/BENCH/r{n:02d}.json", "w") as f:
+        json.dump(out, f, indent=1)
+    lines = [f"\n## run r{n:02d}  (suite {out['value']}s at sf{out['sf']})\n"]
+    if prev and prev.get("queries"):
+        lines.append("| query | prev s | now s | delta |\n|---|---|---|---|\n")
+        for q, t in sorted(out["queries"].items()):
+            p = prev["queries"].get(q)
+            if p is None:
+                lines.append(f"| {q} | new | {t} | — |\n")
+            else:
+                lines.append(f"| {q} | {p} | {t} | {t - p:+.3f}s |\n")
+        pv, nv = prev.get("value"), out.get("value")
+        if pv:
+            lines.append(f"\nsuite total: {pv}s -> {nv}s "
+                         f"({nv - pv:+.3f}s); scaling eff "
+                         f"{prev.get('scaling_efficiency')} -> "
+                         f"{out.get('scaling_efficiency')}\n")
+    mode = "a" if os.path.exists(f"{REPO}/BENCH/HISTORY.md") else "w"
+    with open(f"{REPO}/BENCH/HISTORY.md", mode) as f:
+        if mode == "w":
+            f.write("# Per-round bench history (archived by bench.py)\n")
+        f.writelines(lines)
 
 
 if __name__ == "__main__":
