@@ -587,9 +587,15 @@ def q_image_decode_stats(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash LSH near-dup candidate pairs on documents. Rows-only."""
-    docs = _t(spark, sf_dir, "documents").limit(2000)
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6)
+    """MinHash banded-LSH near-dup pairs on documents. Oracled: the
+    signature family is md5-gram + linear-congruential permutations
+    mod 2^31-1, all reproducible in DuckDB SQL; band_key='exact' joins
+    on literal signature slices so candidate generation matches the
+    SQL twin bit-for-bit (the 'hash' mode is the narrower-shuffle
+    scale path with identical semantics modulo murmur collisions)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6,
+                               band_key="exact")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -810,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topfeatures_extract": q_topfeatures_extract,
         "ivf_ann": q_ivf_ann,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_pairs": q_minhash_pairs,
         # rows-only (non-SQL-expressible)
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -818,7 +825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_images": q_verify_images,
         "resize_images": q_resize_images,
         "phash_near_dup": q_phash_near_dup,
-        "minhash_pairs": q_minhash_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "schema_doc": q_schema_doc,
         "tilejson_doc": q_tilejson_doc,
@@ -1135,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "minhash_pairs": D.minhash_pairs_oracle_sql(threshold=0.6),
         "topfeatures_extract": """
             WITH f AS (SELECT i, i + 1 AS id, i % 360 AS rotation,
                               round(i * 0.5, 2) AS value

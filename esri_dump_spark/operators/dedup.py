@@ -26,9 +26,10 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "exact_dedup", "exact_dedup_by_hash", "shingle_set", "minhash_signature",
-    "minhash_lsh_pairs", "minhash_dedup", "simhash", "simhash_pairs",
-    "simhash_sql_cte", "ngram_jaccard_pairs", "embedding_near_dup",
-    "phash_near_dup",
+    "minhash_lsh_pairs", "minhash_dedup", "minhash_sql_cte",
+    "minhash_pairs_oracle_sql", "minhash_permutation_consts",
+    "simhash", "simhash_pairs", "simhash_sql_cte",
+    "ngram_jaccard_pairs", "embedding_near_dup", "phash_near_dup",
 ]
 
 
@@ -78,38 +79,129 @@ def shingle_set(text: str, n: int = 5) -> set:
     return {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
 
 
+MINHASH_P = 2147483647  # 2^31 - 1: products stay < 2^62, no wraparound
+
+
+def minhash_permutation_consts(num_hashes: int = 64) -> tuple[list, list]:
+    """Deterministic (a_k, b_k) for the linear-congruential permutation
+    family h -> (a_k * h + b_k) mod P. Derived via splitmix so they are
+    identical everywhere, and emitted as LITERALS into the SQL oracle."""
+    z = _splitmix64(np.arange(1, 2 * num_hashes + 1, dtype=np.uint64))
+    a = (z[:num_hashes] % np.uint64(MINHASH_P - 1) + np.uint64(1)).tolist()
+    b = (z[num_hashes:] % np.uint64(MINHASH_P)).tolist()
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 64,
                       shingle_n: int = 5, out: str = "minhash") -> DataFrame:
-    """Adds array<bigint> minhash signature column (Arrow-batched)."""
-    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    """Adds array<bigint> minhash signature column (Arrow-batched).
+
+    Every ingredient is ANSI-SQL-reproducible so the whole LSH operator
+    can be oracled: gram hashes are the low 60 bits of md5 (like
+    simhash), reduced mod P, permuted by the (a_k, b_k) family above,
+    min-folded per document. Arithmetic stays < 2^62, so DuckDB BIGINT
+    computes bit-identical signatures."""
+    a_c, b_c = minhash_permutation_consts(num_hashes)
+    a = np.array(a_c, dtype=np.uint64)
+    b = np.array(b_c, dtype=np.uint64)
+    P = np.uint64(MINHASH_P)
 
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
         out_rows = []
         for t in texts:
-            h = _shingle_hashes(t or "", shingle_n)          # (g,)
-            # permute: h xor seed -> splitmix -> min  (g x k vectorized)
-            m = _splitmix64(h[:, None] ^ seeds[None, :])     # (g, k)
+            h = _md5_shingle_hashes(t or "", shingle_n) % P   # (g,)
+            m = (h[:, None] * a[None, :] + b[None, :]) % P    # (g, k)
             out_rows.append(m.min(axis=0).astype(np.int64))
         return pd.Series(out_rows)
 
     return df.withColumn(out, sig(F.col(text_col)))
 
 
+def minhash_sql_cte(id_col: str = "doc_id", text_col: str = "text",
+                    table: str = "documents", num_hashes: int = 64,
+                    shingle_n: int = 5) -> str:
+    """DuckDB CTE chain recomputing the identical minhash signature —
+    yields a relation (id_col, s0..s{k-1})."""
+    n = shingle_n
+    a_c, b_c = minhash_permutation_consts(num_hashes)
+    mins = ", ".join(
+        f"min((hv * {a_c[k]} + {b_c[k]}) % {MINHASH_P}) AS s{k}"
+        for k in range(num_hashes))
+    return f"""
+        _mt0 AS (SELECT {id_col},
+                        rpad(lower(coalesce({text_col}, '')),
+                             CAST(greatest(length(lower(coalesce({text_col}, ''))),
+                                           {n}) AS INTEGER), ' ') AS _t
+                 FROM {table}),
+        _mg AS (SELECT DISTINCT {id_col},
+                       substr(_t, CAST(i AS INTEGER), {n}) AS gram
+                FROM _mt0,
+                     UNNEST(generate_series(1, greatest(length(_t) - {n - 1}, 1)))
+                     AS u(i)),
+        _mh AS (SELECT {id_col},
+                       CAST(CAST(concat('0x', substr(md5(gram), 1, 15))
+                                 AS UBIGINT) AS BIGINT) % {MINHASH_P} AS hv
+                FROM _mg),
+        _ms AS (SELECT {id_col}, {mins} FROM _mh GROUP BY {id_col})"""
+
+
+def minhash_pairs_oracle_sql(id_col: str = "doc_id",
+                             text_col: str = "text",
+                             table: str = "documents",
+                             num_hashes: int = 64, bands: int = 16,
+                             shingle_n: int = 5,
+                             threshold: float = 0.6) -> str:
+    """Full DuckDB twin of ``minhash_lsh_pairs(band_key='exact')``:
+    candidate = any band's signature slice equal; estimate = matching
+    signature positions / num_hashes."""
+    r = num_hashes // bands
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.s{band * r + j} = b.s{band * r + j}"
+                           for j in range(r)) + ")"
+        for band in range(bands))
+    matches = " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
+        for k in range(num_hashes))
+    return f"""
+        WITH {minhash_sql_cte(id_col, text_col, table, num_hashes, shingle_n)}
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               ({matches}) * 1.0 / {num_hashes} AS est_jaccard
+        FROM _ms a JOIN _ms b
+          ON a.{id_col} < b.{id_col} AND ({band_eq})
+        WHERE ({matches}) * 1.0 / {num_hashes} >= {threshold}"""
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 5,
-                      threshold: float | None = None) -> DataFrame:
+                      threshold: float | None = None,
+                      band_key: str = "hash") -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature-
     estimated Jaccard. Output: (id_a, id_b, est_jaccard), id_a < id_b.
 
     Plan: signature -> explode bands -> groupBy-free self-equi-join on
     (band_idx, band_hash) -> distinct pairs -> estimate Jaccard from
     full signatures. Never compares rows that share no band.
+
+    ``band_key``: 'hash' (default) joins on a 4-byte murmur of the band
+    slice — the narrow-shuffle scale path; 'exact' joins on the literal
+    slice rendered as a string, which is wider but exactly reproducible
+    in ANSI SQL (the oracle path — murmur isn't available to DuckDB,
+    and a murmur collision could admit a candidate the SQL twin
+    wouldn't). Identical output either way except for those
+    astronomically-rare collisions.
     """
     rows_per_band = num_hashes // bands
     sigd = minhash_signature(df.select(id_col, text_col), text_col,
                              num_hashes, shingle_n).cache()
+
+    def _key(i: int):
+        slice_ = F.slice("minhash", i * rows_per_band + 1, rows_per_band)
+        if band_key == "exact":
+            return F.concat_ws(",", slice_.cast("array<string>"))
+        return F.hash(slice_.cast("array<string>").cast("string")) \
+            .cast("string")
 
     # shuffle-width discipline: the exploded band self-join carries ONLY
     # (id, band_idx, band_hash) — never the 64-long signature array,
@@ -118,13 +210,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # (output-bounded: one lookup per surviving candidate pair).
     banded = sigd.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.hash(F.slice("minhash", i * rows_per_band + 1,
-                               rows_per_band).cast("array<string>").cast("string"))
-                for i in range(bands)
-            ])
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[_key(i) for i in range(bands)]))
+        .alias("band_idx", "band_hash"),
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")

@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["read_events_stream", "windowed_counts", "run_available_now",
-           "sessionize_batch", "sessionize_window", "sessionize_stream",
-           "SESSION_SCHEMA"]
+           "dedup_events", "sessionize_batch", "sessionize_window",
+           "sessionize_stream", "SESSION_SCHEMA"]
 
 
 def read_events_stream(spark: SparkSession, path: str,
@@ -55,6 +55,33 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select(F.col("win.start").alias("window_start"),
                     "event_type", "n", "sum_value"))
+
+
+def dedup_events(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Exact dedup that works in BOTH execution modes — the streaming
+    twin of the extraction's cross-page ``dropDuplicates('id')`` (A2):
+
+      batch:     plain ``dropDuplicates(keys)`` (hash shuffle on keys);
+      streaming: ``dropDuplicatesWithinWatermark(keys)`` — the state
+                 store retains a key only until the watermark passes
+                 its event time, so state is bounded by (dup horizon x
+                 arrival rate) instead of growing with the whole
+                 stream. That bound is the difference between a dedup
+                 that survives an unbounded 10^12-row feed and one
+                 that OOMs the state store.
+
+    Duplicate rows are identical in real replays (a re-fetched page
+    re-emits the same feature), so the arbitrary-survivor pick is
+    deterministic in both modes."""
+    keys = list(keys or ["event_id"])
+    if events.isStreaming:
+        # watermarks require zoned TIMESTAMP; parquet sources often
+        # surface TIMESTAMP_NTZ
+        src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (src.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,

@@ -151,6 +151,42 @@ def test_step_expr_and_compile_renderer(spark):
     assert got2 == ["A", "B", "other"]
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a replayed (duplicated)
+    stream must equal the batch dropDuplicates result; state is
+    watermark-bounded instead of stream-length-bounded."""
+    import pyspark.sql.functions as F
+    from esri_dump_spark.streaming.events import dedup_events
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("user_id") < 50)
+          .select("event_id", "ts", "user_id", "value"))
+
+    # two overlapping files: the second re-delivers half of the first
+    # (a retried page / at-least-once source)
+    rows = ev.orderBy("ts").collect()
+    half, q3 = len(rows) // 2, (3 * len(rows)) // 4
+    inp = str(tmp_path / "dup_stream_in")
+    spark.createDataFrame(rows[:q3], ev.schema).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    spark.createDataFrame(rows[half:], ev.schema).coalesce(1) \
+        .write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    q = (dedup_events(stream, keys=["event_id"], watermark="24 hours")
+         .writeStream.format("memory").queryName("dedup_stream")
+         .option("checkpointLocation", str(tmp_path / "dckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(r.event_id for r in
+                 spark.sql("SELECT event_id FROM dedup_stream").collect())
+    exp = sorted(r.event_id for r in
+                 dedup_events(ev).select("event_id").collect())
+    assert got == exp  # every row exactly once despite the replay
+
+
 def test_sessionize_stream_stateful(spark, sf_dir, tmp_path):
     """applyInPandasWithState gap sessionization: closed sessions
     emitted across micro-batches must equal the batch sessionizer's
