@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = [
-    "exact_dedup", "exact_dedup_by_hash", "shingle_set", "minhash_signature",
+    "exact_dedup", "exact_dedup_by_hash", "minhash_signature",
     "minhash_lsh_pairs", "minhash_dedup", "minhash_sql_cte",
     "minhash_pairs_oracle_sql", "minhash_permutation_consts",
     "simhash", "simhash_pairs", "simhash_sql_cte",
@@ -58,25 +58,6 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     return x ^ (x >> np.uint64(31))
-
-
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """uint64 hashes of character n-gram shingles (lowercased)."""
-    t = text.lower()
-    if len(t) < n:
-        t = t.ljust(n)
-    grams = {t[i:i + n] for i in range(len(t) - n + 1)}
-    if not grams:
-        return np.array([0], dtype=np.uint64)
-    raw = np.array([np.uint64(int.from_bytes(
-        __import__("hashlib").blake2b(g.encode("utf-8"), digest_size=8).digest(),
-        "little")) for g in grams], dtype=np.uint64)
-    return raw
-
-
-def shingle_set(text: str, n: int = 5) -> set:
-    t = text.lower()
-    return {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
 
 
 MINHASH_P = 2147483647  # 2^31 - 1: products stay < 2^62, no wraparound
