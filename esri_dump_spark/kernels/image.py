@@ -1,15 +1,15 @@
-"""Image kernels: stdlib PNG codec, simulated-lossy codec, PSNR, phash.
+"""Image kernels: stdlib PNG codec, real baseline JPEG codec, PSNR,
+phash.
 
 Pillow is not installed in this environment (SURVEY.md §7 phase 0), so
-the engine ships a pure zlib/struct PNG writer+reader (8-bit RGB,
-filter 0) for the synthetic image table. Real-image decode for formats
-we cannot code here (true JPEG) is STUBBED: ``fmt='jpeg'`` rows carry a
-**deterministic fake** — pixels quantized to step 4 then PNG-coded —
-which reproduces the lossy-codec invariant (PSNR >= ~46 dB vs the
-original, so the BASELINE.json "PSNR>=40dB for lossy" gate is exercised
-for real). Swap ``decode_image`` for a Pillow/libjpeg call in
-production; the Spark-side plumbing (binary column, batch shapes,
-mapInPandas signature) is identical.
+the engine ships its own codecs: a pure zlib/struct PNG writer+reader
+(8-bit RGB) and a pure-NumPy baseline JFIF JPEG encoder+decoder
+(kernels/jpeg.py — real DCT + quantization + Annex-K Huffman entropy
+coding, not a simulation). ``fmt='jpeg'`` rows therefore carry true
+JPEG bytes and the BASELINE.json "PSNR>=40dB for lossy" invariant is
+measured against actual codec loss. The synthetic corpus is noise-
+heavy (JPEG's worst case), so the encode quality defaults to 98 —
+near-lossless quantization that keeps noise content above the gate.
 
 phash is a deterministic 8x8 average hash of the decoded pixels (no
 DCT), used as the near-duplicate key in the image dedup operator.
@@ -22,13 +22,17 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg, encode_jpeg
+
 __all__ = [
     "encode_png", "decode_png", "encode_image", "decode_image",
-    "psnr", "average_phash", "QUANT_STEP",
+    "psnr", "average_phash", "JPEG_QUALITY",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-QUANT_STEP = 4  # simulated-lossy quantization step
+# noise-heavy synthetic corpus: q98 keeps PSNR ~44 dB on pure noise
+# (structured content lands in the 50s), comfortably over the 40 dB gate
+JPEG_QUALITY = 98
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -95,23 +99,24 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
-def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """fmt='png' -> lossless PNG; fmt='jpeg' -> deterministic simulated
-    lossy (quantize to QUANT_STEP then PNG-code). See module docstring."""
+def encode_image(pixels: np.ndarray, fmt: str,
+                 quality: int = JPEG_QUALITY) -> bytes:
+    """fmt='png' -> lossless PNG; fmt='jpeg' -> real baseline JFIF
+    (4:4:4, quality-scaled Annex-K quantization)."""
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        q = ((pixels.astype(np.int32) // QUANT_STEP) * QUANT_STEP
-             + QUANT_STEP // 2).clip(0, 255).astype(np.uint8)
-        return encode_png(q)
+        return encode_jpeg(pixels, quality)
     raise NotImplementedError(f"unsupported format {fmt!r}")
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Both synthetic formats are PNG-framed; a real deployment replaces
-    the 'jpeg' branch with libjpeg via Pillow/torchvision."""
-    if fmt in ("png", "jpeg"):
+    """Dispatch on the container format; both decoders are self-made
+    (kernels/image.py PNG, kernels/jpeg.py baseline JFIF)."""
+    if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        return decode_jpeg(data)
     raise NotImplementedError(f"unsupported format {fmt!r}")
 
 

@@ -6,13 +6,13 @@ never exploded to pixel rows. All pixel work happens inside
 ``mapInPandas`` so a whole Arrow batch of images is decoded per task
 with zero per-row Python dispatch overhead at the plan level.
 
-Decode for real-world codecs is STUBBED per the build contract: the
-container has no Pillow/libjpeg, so ``kernels.image.decode_image``
-handles the synthetic PNG/simulated-lossy formats and raises
-``NotImplementedError`` for anything else. The Spark-side plumbing —
-schemas, batch shapes, UDF signatures, bytes-stay-out-of-shuffles —
-is real and tested; swapping in a production codec is a one-function
-change.
+Codecs are self-made (the container has no Pillow/libjpeg): a stdlib
+PNG reader/writer and a pure-NumPy baseline JFIF JPEG codec
+(kernels/jpeg.py — real DCT/quantization/Huffman). Formats beyond
+those (webp, video) raise ``NotImplementedError``; the Spark-side
+plumbing — schemas, batch shapes, UDF signatures,
+bytes-stay-out-of-shuffles — is format-agnostic, so adding a codec is
+a one-function change.
 
 Scale invariant: operators that need a shuffle (groupBy tile, join by
 id) are arranged to shuffle *keys and small metadata only*; the bytes
@@ -84,20 +84,25 @@ def decode_stats(images: DataFrame) -> DataFrame:
 
 
 def verify_images(images: DataFrame, min_psnr_db: float = 40.0,
-                  expected_caption=None) -> DataFrame:
+                  expected_caption=None,
+                  reference_pixels=None) -> DataFrame:
     """Per-row invariant check vs the reference rows (BASELINE.json):
     decoded dims match metadata, phash matches the stored column,
-    caption equals the reference regeneration, and for lossy formats
-    the decoded pixels stay within the PSNR gate of a lossless
-    re-encode roundtrip. Emits one row per image with pass/fail +
-    measured PSNR.
+    caption equals the reference regeneration, and decoded pixels are
+    measured against the REFERENCE pixel regeneration — PSNR is the
+    true codec loss (infinite for PNG, actual DCT-quantization loss
+    for JPEG), gated at ``min_psnr_db``. Emits one row per image with
+    pass/fail + measured PSNR.
 
-    ``expected_caption``: callable image_id -> caption (defaults to the
-    deterministic fixture regeneration — any pure per-row function of
-    the reference dataset works).
+    ``expected_caption``: callable image_id -> caption;
+    ``reference_pixels``: callable image_id -> (h, w, 3) uint8 array.
+    Both default to the deterministic fixture regenerations — any pure
+    per-row function of the reference dataset works.
     """
     if expected_caption is None:
         from ..sources.fixtures import expected_caption as expected_caption
+    if reference_pixels is None:
+        from ..sources.fixtures import reference_pixels as reference_pixels
     schema = T.StructType([
         T.StructField("image_id", T.StringType()),
         T.StructField("dims_ok", T.BooleanType()),
@@ -118,9 +123,8 @@ def verify_images(images: DataFrame, min_psnr_db: float = 40.0,
                 ph = average_phash(px)
                 hamming = bin((ph ^ rec.phash) & ((1 << 64) - 1)).count("1")
                 phash_ok = hamming <= (0 if rec.fmt == "png" else 8)
-                # lossless roundtrip of the decoded pixels
-                rt = decode_image(encode_image(px, "png"), "png")
-                p = psnr(px, rt)
+                # true codec loss: decoded vs the reference regeneration
+                p = psnr(reference_pixels(rec.image_id), px)
                 rows.append({
                     "image_id": rec.image_id, "dims_ok": dims_ok,
                     "phash_ok": phash_ok,

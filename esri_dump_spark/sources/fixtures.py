@@ -66,6 +66,16 @@ def _pixels(i: int, w: int, h: int, seed: int) -> np.ndarray:
     return px
 
 
+def reference_pixels(image_id: str, seed: int = 42) -> np.ndarray:
+    """Reference pixel regeneration: pure function of the row id — the
+    per-row decoded-pixel invariant (BASELINE.json PSNR>=40dB for
+    lossy) measures decoded bytes against this."""
+    i = int(image_id[3:])
+    w = _SIZES[i % 4]
+    h = _SIZES[(i * 7 + 1) % 4]
+    return _pixels(i, w, h, seed)
+
+
 def expected_caption(image_id: str) -> str:
     """Reference caption regeneration: pure function of the row id —
     the per-row caption-equality invariant (BASELINE.json) checks
@@ -105,7 +115,9 @@ def images_pdf(n: int, seed: int = 42, with_geo: bool = True) -> pd.DataFrame:
 def ensure_images_parquet(n: int, seed: int = 42) -> str:
     """Generate-once parquet cache; returns the path."""
     os.makedirs(FIXTURE_CACHE, exist_ok=True)
-    path = os.path.join(FIXTURE_CACHE, f"images_n{n}_s{seed}.parquet")
+    # v2: jpeg rows carry real baseline-JFIF bytes (kernels/jpeg.py),
+    # not the old PNG-framed simulation — stale v1 caches must not load
+    path = os.path.join(FIXTURE_CACHE, f"images_v2_n{n}_s{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         images_pdf(n, seed).to_parquet(tmp, index=False)

@@ -85,13 +85,14 @@ def test_png_roundtrip_lossless():
     assert I.psnr(px, back) == float("inf")
 
 
-def test_simulated_lossy_psnr_above_40db():
+def test_jpeg_lossy_psnr_above_40db():
     rng = np.random.default_rng(7)
     px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
     data = I.encode_image(px, "jpeg")
+    assert data[:2] == b"\xff\xd8"  # real JFIF bytes, not a simulation
     back = I.decode_image(data, "jpeg")
     p = I.psnr(px, back)
-    assert p >= 40.0, f"simulated-lossy PSNR {p} below the 40 dB gate"
+    assert p >= 40.0, f"jpeg PSNR {p} below the 40 dB gate"
     assert not np.array_equal(px, back)  # genuinely lossy
 
 

@@ -1,0 +1,79 @@
+"""Baseline JPEG codec tests (kernels/jpeg.py): marker structure,
+quality behavior, round-trip fidelity, error paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from esri_dump_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+from esri_dump_spark.kernels.image import psnr
+
+
+def _gradient(h, w):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                     ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+
+
+def test_marker_structure():
+    data = encode_jpeg(_gradient(16, 24), 90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4",
+                   b"\xff\xda"):
+        assert marker in data, f"missing segment {marker.hex()}"
+    # SOF0 carries the true (unpadded) dimensions
+    i = data.index(b"\xff\xc0")
+    h = int.from_bytes(data[i + 5:i + 7], "big")
+    w = int.from_bytes(data[i + 7:i + 9], "big")
+    assert (h, w) == (16, 24)
+
+
+def test_quality_tradeoff_monotonic():
+    img = _gradient(32, 32)
+    sizes, psnrs = [], []
+    for q in (50, 75, 90, 98):
+        b = encode_jpeg(img, q)
+        sizes.append(len(b))
+        psnrs.append(psnr(img, decode_jpeg(b)))
+    assert sizes == sorted(sizes), sizes
+    assert psnrs == sorted(psnrs), psnrs
+    assert psnrs[-1] >= 45.0
+
+
+def test_roundtrip_odd_dimensions_cropped():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 98))
+    assert out.shape == (17, 23, 3)
+    assert psnr(img, out) >= 40.0
+
+
+def test_noise_content_clears_psnr_gate_at_default_quality():
+    """The synthetic corpus is noise-heavy — JPEG's worst case; the
+    default quality must keep even pure noise above the 40 dB gate."""
+    from esri_dump_spark.kernels.image import encode_image, decode_image
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    out = decode_image(encode_image(img, "jpeg"), "jpeg")
+    p = psnr(img, out)
+    assert p >= 40.0, p
+    assert not np.array_equal(img, out)  # genuinely lossy
+
+
+def test_rejects_non_jpeg_and_progressive():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    data = bytearray(encode_jpeg(_gradient(8, 8), 90))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_solid_color_compresses_tightly():
+    img = np.full((64, 64, 3), 123, dtype=np.uint8)
+    b = encode_jpeg(img, 90)
+    assert len(b) < 2000  # DC-only blocks: tiny entropy segment
+    out = decode_jpeg(b)
+    assert psnr(img, out) >= 50.0
