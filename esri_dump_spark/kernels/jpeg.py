@@ -260,11 +260,20 @@ def _encode_block(zz: np.ndarray, prev_dc: int, w: _BitWriter,
     return dc
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4)."""
+def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY,
+                subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
+
+    ``subsampling``: '444' (no chroma subsampling — maximum fidelity,
+    the default for the noise-heavy synthetic corpus) or '420' (2x2
+    chroma downsample — the standard photographic trade, roughly
+    halving the entropy bytes)."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     h, w, c = px.shape
     assert c == 3, "RGB only"
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    cs = 2 if subsampling == "420" else 1     # chroma 1/cs resolution
     ql, qc = _quality_tables(quality)
 
     # JFIF YCbCr
@@ -275,13 +284,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
     cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] \
         - 0.081312 * f[:, :, 2] + 128.0
 
-    # pad to 8 via edge replication
-    H = (h + 7) // 8 * 8
-    W = (w + 7) // 8 * 8
-    planes = []
-    for p, qt in ((y, ql), (cb, qc), (cr, qc)):
-        pad = np.pad(p, ((0, H - h), (0, W - w)), mode="edge") - 128.0
-        planes.append(_fdct_blocks(pad, qt))
+    # pad luma to the MCU grid (8*cs), chroma to 8 after downsample
+    H = (h + 8 * cs - 1) // (8 * cs) * (8 * cs)
+    W = (w + 8 * cs - 1) // (8 * cs) * (8 * cs)
+    ypad = np.pad(y, ((0, H - h), (0, W - w)), mode="edge")
+    planes = [_fdct_blocks(ypad - 128.0, ql)]
+    for p in (cb, cr):
+        pad = np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
+        if cs == 2:
+            pad = pad.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        planes.append(_fdct_blocks(pad - 128.0, qc))
 
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -291,11 +303,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
     bw = _BitWriter()
     prev = [0, 0, 0]
     tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-    for by in range(H // 8):
-        for bx in range(W // 8):
+    samp = [(cs, cs), (1, 1), (1, 1)]         # (h_i, v_i) per component
+    for my in range(H // (8 * cs)):
+        for mx in range(W // (8 * cs)):
             for ci in range(3):
-                prev[ci] = _encode_block(planes[ci][by, bx], prev[ci],
-                                         bw, *tables[ci])
+                sh, sv = samp[ci]
+                for vy in range(sv):
+                    for vx in range(sh):
+                        blk = planes[ci][my * sv + vy, mx * sh + vx]
+                        prev[ci] = _encode_block(blk, prev[ci], bw,
+                                                 *tables[ci])
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -304,6 +321,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
     def dht(tc: int, th: int, bits: list, vals: list) -> bytes:
         return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
+    ysamp = (cs << 4) | cs
     out = bytearray()
     out += b"\xff\xd8"                                    # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00"
@@ -313,7 +331,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
     out += seg(0xFFDB, b"\x00" + zl)                      # DQT 0
     out += seg(0xFFDB, b"\x01" + zc)                      # DQT 1
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
-               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))  # SOF0
+               + bytes([1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1]))  # SOF0
     out += seg(0xFFC4, dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
     out += seg(0xFFC4, dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
     out += seg(0xFFC4, dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))

@@ -71,6 +71,32 @@ def test_rejects_non_jpeg_and_progressive():
         decode_jpeg(bytes(data))
 
 
+def test_420_subsampling_roundtrip():
+    """4:2:0 encode exercises the decoder's MCU-interleave + chroma
+    upsample path; luma fidelity stays high, bytes shrink."""
+    img = _gradient(48, 40)
+    b444 = encode_jpeg(img, 92, subsampling="444")
+    b420 = encode_jpeg(img, 92, subsampling="420")
+    assert len(b420) < len(b444)
+    out = decode_jpeg(b420)
+    assert out.shape == img.shape
+    # chroma is halved, so compare via luma PSNR
+    def luma(a):
+        f = a.astype(np.float64)
+        return 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    assert psnr(luma(img), luma(out)) >= 40.0
+    # SOF records 2x2 luma sampling
+    i = b420.index(b"\xff\xc0")
+    assert b420[i + 11] == 0x22
+
+
+def test_420_odd_dimensions():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 95, subsampling="420"))
+    assert out.shape == (19, 21, 3)
+
+
 def test_solid_color_compresses_tightly():
     img = np.full((64, 64, 3), 123, dtype=np.uint8)
     b = encode_jpeg(img, 90)
