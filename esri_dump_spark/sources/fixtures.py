@@ -112,15 +112,27 @@ def images_pdf(n: int, seed: int = 42, with_geo: bool = True) -> pd.DataFrame:
     return pdf
 
 
-def ensure_images_parquet(n: int, seed: int = 42) -> str:
-    """Generate-once parquet cache; returns the path."""
+def ensure_images_parquet(n: int, seed: int = 42,
+                          n_files: int = 16) -> str:
+    """Generate-once parquet cache; returns the path (a DIRECTORY of
+    ``n_files`` part files — a real table is many files, and a
+    single-file fixture caps the scan at 1-2 partitions, serializing
+    every decode UDF regardless of executor count).
+
+    v2: jpeg rows carry real baseline-JFIF bytes (kernels/jpeg.py),
+    not the old PNG-framed simulation — stale v1 caches must not load.
+    """
     os.makedirs(FIXTURE_CACHE, exist_ok=True)
-    # v2: jpeg rows carry real baseline-JFIF bytes (kernels/jpeg.py),
-    # not the old PNG-framed simulation — stale v1 caches must not load
     path = os.path.join(FIXTURE_CACHE, f"images_v2_n{n}_s{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        images_pdf(n, seed).to_parquet(tmp, index=False)
+        os.makedirs(tmp, exist_ok=True)
+        pdf = images_pdf(n, seed)
+        parts = max(1, min(n_files, len(pdf)))
+        step = (len(pdf) + parts - 1) // parts
+        for i in range(parts):
+            pdf.iloc[i * step:(i + 1) * step].to_parquet(
+                os.path.join(tmp, f"part-{i:04d}.parquet"), index=False)
         os.replace(tmp, path)
     return path
 
