@@ -668,6 +668,17 @@ def q_phash_near_dup(spark, sf_dir):
     return phash_near_dup(imgs, max_hamming=8)
 
 
+def q_crossmodal_near_dup(spark, sf_dir):
+    """Image+caption consensus dedup: pairs flagged by BOTH phash
+    block-LSH and caption-simhash block-LSH. Rows-only (image fixture
+    table is not a driver view)."""
+    from esri_dump_spark.operators.dedup import crossmodal_near_dup
+    from esri_dump_spark.sources.fixtures import ensure_images_parquet
+    imgs = spark.read.parquet(ensure_images_parquet(2000))
+    return crossmodal_near_dup(imgs, max_phash_hamming=8,
+                               max_caption_hamming=10)
+
+
 def q_schema_doc(spark, sf_dir):
     """EP2: layer metadata -> JSON Schema document (single row)."""
     from esri_dump_spark.plans.schema import field_to_schema
@@ -828,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_images": q_verify_images,
         "resize_images": q_resize_images,
         "phash_near_dup": q_phash_near_dup,
+        "crossmodal_near_dup": q_crossmodal_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "schema_doc": q_schema_doc,
         "tilejson_doc": q_tilejson_doc,

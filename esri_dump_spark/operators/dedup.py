@@ -30,6 +30,7 @@ __all__ = [
     "minhash_pairs_oracle_sql", "minhash_permutation_consts",
     "simhash", "simhash_pairs", "simhash_sql_cte",
     "ngram_jaccard_pairs", "embedding_near_dup", "phash_near_dup",
+    "crossmodal_near_dup",
 ]
 
 
@@ -492,6 +493,33 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("cosine", F.expr(f"{dot} / ({na} * {nb})"))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def crossmodal_near_dup(images: DataFrame, id_col: str = "image_id",
+                        phash_col: str = "phash",
+                        caption_col: str = "caption",
+                        max_phash_hamming: int = 8,
+                        max_caption_hamming: int = 6) -> DataFrame:
+    """Image+caption consensus near-dup: a pair must be flagged by BOTH
+    the visual channel (phash block-LSH + hamming) AND the text channel
+    (caption simhash block-LSH + hamming). For a training-data pipeline
+    this is the high-precision dedup cut — single-modality collisions
+    (same caption on different photos; near-identical crops with
+    rewritten captions) survive, true page-level duplicates don't.
+
+    Both candidate generators are bucketed equi-joins, and the final
+    consensus is an (id_a, id_b) equi-join of two output-bounded pair
+    sets — no stage is all-pairs, so the operator scales like its two
+    inputs."""
+    visual = phash_near_dup(images, id_col=id_col, phash_col=phash_col,
+                            max_hamming=max_phash_hamming) \
+        .withColumnRenamed("hamming", "phash_hamming")
+    textual = simhash_pairs(images.select(F.col(id_col),
+                                          F.col(caption_col)),
+                            id_col, caption_col,
+                            max_hamming=max_caption_hamming) \
+        .withColumnRenamed("hamming", "caption_hamming")
+    return visual.join(textual, ["id_a", "id_b"])
 
 
 def phash_near_dup(images: DataFrame, id_col: str = "image_id",

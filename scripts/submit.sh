@@ -16,7 +16,8 @@ with zipfile.ZipFile("dist/esri_dump_spark.zip", "w", zipfile.ZIP_DEFLATED) as z
         if "__pycache__" in root:
             continue
         for f in files:
-            if f.endswith(".py"):
+            # .json: the package ships data (the wkid CRS table)
+            if f.endswith((".py", ".json")):
                 p = os.path.join(root, f)
                 z.write(p, p)
 print("wrote dist/esri_dump_spark.zip")

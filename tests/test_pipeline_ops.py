@@ -167,6 +167,32 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
 
 
+def test_crossmodal_consensus_dedup(spark):
+    """Only pairs that duplicate in BOTH modalities survive: same
+    pixels + same caption yes; same caption w/ different image no;
+    same image w/ different caption no."""
+    from esri_dump_spark.kernels.image import average_phash
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    cap = "a photo of a dog on a beach at sunset with golden light"
+    alt = "completely different text about quarterly financial results"
+    rows = [
+        # ids 0,1: true duplicate (same image, same caption)
+        {"image_id": 0, "phash": average_phash(base), "caption": cap},
+        {"image_id": 1, "phash": average_phash(base), "caption": cap},
+        # id 2: same caption, unrelated image
+        {"image_id": 2, "phash": average_phash(other), "caption": cap},
+        # id 3: same image, unrelated caption
+        {"image_id": 3, "phash": average_phash(base), "caption": alt},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {(r.id_a, r.id_b) for r in
+           D.crossmodal_near_dup(df, max_phash_hamming=4,
+                                 max_caption_hamming=4).collect()}
+    assert got == {(0, 1)}
+
+
 def test_ivf_recall_and_exhaustive_exactness(spark):
     """nprobe == n_centroids must reproduce the exact top-k (every
     bucket probed); partial probing keeps useful recall."""
