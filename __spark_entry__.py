@@ -554,6 +554,29 @@ def q_topfeatures_extract(spark, sf_dir):
     return out.select("id").orderBy("id")
 
 
+def q_extract_ids(spark, sf_dir):
+    """S3+P3+A2 oracled: the offset-paged extraction's id set — every
+    synthetic feature except the attribute-only rows the decode
+    filters, each exactly once after the cross-page dedup. DuckDB
+    reproduces the set from generate_series."""
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    srv = SyntheticFeatureServer(n_features=2000, max_record_count=500,
+                                 geometry_type="esriGeometryPolygon")
+    return extract(spark, srv, approach="iter").select("id").orderBy("id")
+
+
+def q_extract_bbox_ids(spark, sf_dir):
+    """S4+G9 oracled: the bbox-quadtree extraction must produce the
+    IDENTICAL id set — overlapping quadrant pages dedup away, nothing
+    is lost at envelope boundaries (inclusive intersection)."""
+    from esri_dump_spark.operators.extract import extract
+    from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
+    srv = SyntheticFeatureServer(n_features=2000, max_record_count=500,
+                                 geometry_type="esriGeometryPolygon")
+    return extract(spark, srv, approach="bbox").select("id").orderBy("id")
+
+
 # --------------------------------------------- rows-only (non-SQL) queries
 
 def q_extract_synthetic(spark, sf_dir):
@@ -831,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs": q_minhash_pairs,
+        "extract_ids": q_extract_ids,
+        "extract_bbox_ids": q_extract_bbox_ids,
         # rows-only (non-SQL-expressible)
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1181,6 +1206,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'other' END AS style_class, count(*) AS n
             FROM part GROUP BY 1""",
     }
+    # both extraction strategies must produce the identical id set:
+    # all features minus the decode-filtered attribute-only rows
+    # (i % 97 == 5), exactly once
+    oracles["extract_ids"] = """
+        SELECT i + 1 AS id FROM generate_series(0, 1999) AS t(i)
+        WHERE i % 97 <> 5 ORDER BY id"""
+    oracles["extract_bbox_ids"] = oracles["extract_ids"]
     # golden-literal oracles: these queries are pure functions of fixed
     # synthetic inputs, so the oracle pins the exact expected document /
     # catalog rows (a frozen expectation, regenerated intentionally)
