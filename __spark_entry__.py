@@ -642,6 +642,17 @@ def q_ivf_ann(spark, sf_dir):
     return A.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=8)
 
 
+def q_minhash_pairs_hashkey(spark, sf_dir):
+    """MinHash LSH, production band-key mode: 4-byte murmur band keys
+    (half the exchange width of the exact-string oracle mode; identical
+    semantics modulo astronomically-rare murmur collisions). Rows-only
+    — this is the plan the bench measures; correctness rides on the
+    oracled `minhash_pairs` twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6,
+                               band_key="hash")
+
+
 def q_emb_near_dup_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup candidates (scale path of
     emb_near_dup), OR-of-ANDs: 16 bands x 4 planes -> expected recall
@@ -864,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_images": q_verify_images,
         "resize_images": q_resize_images,
         "phash_near_dup": q_phash_near_dup,
+        "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "crossmodal_near_dup": q_crossmodal_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "schema_doc": q_schema_doc,

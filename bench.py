@@ -68,7 +68,8 @@ def run_headline(spark) -> dict[str, float]:
         "supplier_volume", "topk_window", "dedup_first_event",
         "cell_assign", "tile_assign", "pip_rect", "pip_diamond", "pip_hole",
         "knn_geo", "token_count", "quality_score", "lang_id", "exact_dedup",
-        "ann_cosine", "events_hourly", "minhash_pairs", "ngram_jaccard",
+        "ann_cosine", "events_hourly", "minhash_pairs_hashkey",
+        "ngram_jaccard",
         "sessionize_window", "salted_agg", "salted_join",
         "image_decode_stats", "extract_synthetic",
     ]
