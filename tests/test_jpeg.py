@@ -97,6 +97,26 @@ def test_420_odd_dimensions():
     assert out.shape == (19, 21, 3)
 
 
+def test_jpeg_roundtrip_property():
+    """Hypothesis sweep: arbitrary sizes and content always decode to
+    the exact input shape and clear the PSNR gate at default quality."""
+    from hypothesis import given, settings, strategies as st
+    from esri_dump_spark.kernels.image import JPEG_QUALITY
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2 ** 31),
+           st.sampled_from(["444", "420"]))
+    def check(h, w, seed, sub):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, JPEG_QUALITY, subsampling=sub))
+        assert out.shape == (h, w, 3)
+        if sub == "444":
+            assert psnr(img, out) >= 40.0
+
+    check()
+
+
 def test_solid_color_compresses_tightly():
     img = np.full((64, 64, 3), 123, dtype=np.uint8)
     b = encode_jpeg(img, 90)

@@ -133,6 +133,62 @@ def test_web_mercator_builtin_fallback():
     assert -119.1 < got[0] < -118.9 and 33.7 < got[1] < 33.9
 
 
+def test_utm_published_constants():
+    """UTM zone 31N (wkid 32631) against the textbook constants: the
+    zone edge at the equator maps to E 166021.443 m, the central
+    meridian to exactly E 500000."""
+    crs = _crs_for_wkid(32631)
+    x, y = P.forward_from_lonlat(crs, 0.0, 0.0)
+    assert abs(x - 166021.443) < 0.01 and abs(y) < 1e-6
+    x, y = P.forward_from_lonlat(crs, 3.0, 0.0)
+    assert abs(x - 500000.0) < 1e-6 and abs(y) < 1e-6
+    lon, lat = P.inverse_to_lonlat(crs, 166021.443, 0.0)
+    assert abs(lon) < 1e-7 and abs(lat) < 1e-9
+
+
+def test_web_mercator_published_constant():
+    """3857 table entry: the antimeridian maps to the canonical
+    20037508.342789244 m."""
+    crs = _crs_for_wkid(3857)
+    x, y = P.forward_from_lonlat(crs, 180.0, 0.0)
+    assert abs(x - 20037508.342789244) < 1e-3
+    assert abs(y) < 1e-6
+
+
+def test_proj_roundtrip_property(subtests=None):
+    """Hypothesis sweep: random points within each family's sane
+    domain round-trip through a representative CRS of that family."""
+    from hypothesis import given, settings, strategies as st
+
+    tab = _wkid_table()
+    names = tab["projections"]
+    reps = {}
+    for wkid, e in tab["entries"].items():
+        fam = (names[e[0]] or "").lower()
+        if fam in P.SUPPORTED_PROJECTIONS and fam not in reps:
+            reps[fam] = int(wkid)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sampled_from(sorted(reps)),
+           st.floats(-2.0, 2.0), st.floats(-2.0, 2.0))
+    def check(fam, dlon, dlat):
+        crs = _crs_for_wkid(reps[fam])
+        p = crs["params"]
+        lat_c = p.get("latitude_of_origin",
+                      p.get("latitude_of_center",
+                            p.get("standard_parallel_1", 0.0)))
+        lon_c = p.get("central_meridian",
+                      p.get("longitude_of_center", 0.0)) \
+            + crs["primem_deg"]
+        lon = lon_c + dlon
+        lat = max(-85.0, min(85.0, lat_c + dlat))
+        x, y = P.forward_from_lonlat(crs, lon, lat)
+        lon2, lat2 = P.inverse_to_lonlat(crs, x, y)
+        assert abs(lon2 - lon) < 1e-6 and abs(lat2 - lat) < 1e-6
+
+    check()
+
+
 def test_wkt_parser_nested_structure():
     wkt = json.load(open("/root/reference/lib/wkid.json"))["2000"]
     crs = P.crs_from_wkt(wkt)
