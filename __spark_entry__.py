@@ -536,6 +536,18 @@ def q_renderer_compile(spark, sf_dir):
             .groupBy("style_class").agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end corpus cleaning (quality gate -> exact dedup ->
+    MinHash near-dedup) as ONE lazy plan, oracle-checked as a whole:
+    one DuckDB CTE chain recomputes all three stages and the surviving
+    id set must hash-match."""
+    from esri_dump_spark.operators.pipeline import clean_corpus
+    docs = _t(spark, sf_dir, "documents")
+    out = clean_corpus(docs, min_quality=0.8, jaccard_threshold=0.6,
+                       band_key="exact")
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_topfeatures_extract(spark, sf_dir):
     """S5: /queryTopFeatures endpoint semantics — the per-group top-k
     reduction happens SERVER-side during paging (reference swaps only
@@ -867,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "extract_ids": q_extract_ids,
         "extract_bbox_ids": q_extract_bbox_ids,
+        "corpus_clean": q_corpus_clean,
         # rows-only (non-SQL-expressible)
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1218,6 +1231,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'other' END AS style_class, count(*) AS n
             FROM part GROUP BY 1""",
     }
+    from esri_dump_spark.operators.pipeline import clean_corpus_oracle_sql
+    oracles["corpus_clean"] = clean_corpus_oracle_sql(
+        min_quality=0.8, jaccard_threshold=0.6)
     # both extraction strategies must produce the identical id set:
     # all features minus the decode-filtered attribute-only rows
     # (i % 97 == 5), exactly once

@@ -128,6 +128,26 @@ def minhash_sql_cte(id_col: str = "doc_id", text_col: str = "text",
         _ms AS (SELECT {id_col}, {mins} FROM _mh GROUP BY {id_col})"""
 
 
+def minhash_band_predicate_sql(num_hashes: int = 64,
+                               bands: int = 16) -> str:
+    """SQL predicate over aliases a/b of the ``_ms`` signature
+    relation: true iff any band's signature slice is equal (the LSH
+    candidate condition)."""
+    r = num_hashes // bands
+    return " OR ".join(
+        "(" + " AND ".join(f"a.s{band * r + j} = b.s{band * r + j}"
+                           for j in range(r)) + ")"
+        for band in range(bands))
+
+
+def minhash_match_count_sql(num_hashes: int = 64) -> str:
+    """SQL expression counting matching signature positions between
+    aliases a and b of ``_ms``."""
+    return "(" + " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
+        for k in range(num_hashes)) + ")"
+
+
 def minhash_pairs_oracle_sql(id_col: str = "doc_id",
                              text_col: str = "text",
                              table: str = "documents",
@@ -137,21 +157,15 @@ def minhash_pairs_oracle_sql(id_col: str = "doc_id",
     """Full DuckDB twin of ``minhash_lsh_pairs(band_key='exact')``:
     candidate = any band's signature slice equal; estimate = matching
     signature positions / num_hashes."""
-    r = num_hashes // bands
-    band_eq = " OR ".join(
-        "(" + " AND ".join(f"a.s{band * r + j} = b.s{band * r + j}"
-                           for j in range(r)) + ")"
-        for band in range(bands))
-    matches = " + ".join(
-        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
-        for k in range(num_hashes))
+    band_eq = minhash_band_predicate_sql(num_hashes, bands)
+    matches = minhash_match_count_sql(num_hashes)
     return f"""
         WITH {minhash_sql_cte(id_col, text_col, table, num_hashes, shingle_n)}
         SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
-               ({matches}) * 1.0 / {num_hashes} AS est_jaccard
+               {matches} * 1.0 / {num_hashes} AS est_jaccard
         FROM _ms a JOIN _ms b
           ON a.{id_col} < b.{id_col} AND ({band_eq})
-        WHERE ({matches}) * 1.0 / {num_hashes} >= {threshold}"""
+        WHERE {matches} * 1.0 / {num_hashes} >= {threshold}"""
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -221,7 +235,9 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.8, **kw) -> DataFrame:
     """Drop near-duplicates: keep the min-id representative of each
     candidate cluster (union-find-free: connected via min propagation
-    one hop — adequate for chain-free dup clusters; iterate for chains)."""
+    one hop — adequate for chain-free dup clusters; iterate for chains).
+    Extra kwargs (bands, band_key, ...) pass through to
+    ``minhash_lsh_pairs``."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

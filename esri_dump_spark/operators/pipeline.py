@@ -1,0 +1,77 @@
+"""End-to-end corpus-cleaning pipeline — the canonical training-data
+recipe composed from the engine's operators, expressed as ONE lazy
+DataFrame plan (Catalyst sees the whole chain: the quality filter
+prunes before any signature work, and nothing materializes between
+stages):
+
+    1. quality gate   — heuristic score (length / punctuation /
+                        stopword ratios), pure codegen expressions;
+    2. exact dedup    — content-hash groupBy, min-id survivor;
+    3. near dedup     — MinHash banded LSH, min-id representative per
+                        candidate cluster.
+
+Every stage is SQL-reproducible (operators/text.py expression twins +
+the md5/linear-congruential MinHash family), so the WHOLE pipeline is
+oracle-checked end to end against a single DuckDB CTE chain
+(`clean_corpus_oracle_sql`) — the strongest correctness statement in
+the repo: one hash over the final surviving id set validates filter,
+exact-dedup and LSH semantics jointly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from . import text as X
+
+__all__ = ["clean_corpus", "clean_corpus_oracle_sql"]
+
+
+def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_quality: float = 0.8,
+                 jaccard_threshold: float = 0.6,
+                 band_key: str = "hash") -> DataFrame:
+    """Surviving rows of the 3-stage cleaning pipeline (original
+    columns preserved). ``band_key='exact'`` is the oracle mode; the
+    default murmur keys are the narrow-shuffle scale path."""
+    cols = docs.columns
+    scored = X.quality_score(docs)
+    kept = scored.filter(F.col("quality") >= min_quality).select(*cols)
+    exact = D.exact_dedup_by_hash(kept, text_col, id_col)
+    return D.minhash_dedup(exact, id_col, text_col,
+                           threshold=jaccard_threshold,
+                           band_key=band_key)
+
+
+def clean_corpus_oracle_sql(id_col: str = "doc_id",
+                            text_col: str = "text",
+                            table: str = "documents",
+                            min_quality: float = 0.8,
+                            jaccard_threshold: float = 0.6,
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_n: int = 5) -> str:
+    """DuckDB twin of ``clean_corpus(band_key='exact')``: returns the
+    surviving id set."""
+    quality = X.quality_score_sql(text_col)["quality"]
+    band_eq = D.minhash_band_predicate_sql(num_hashes, bands)
+    matches = D.minhash_match_count_sql(num_hashes)
+    return f"""
+        WITH _qual AS (
+            SELECT {id_col}, {text_col} FROM {table}
+            WHERE {quality} >= {min_quality}),
+        _exid AS (SELECT min({id_col}) AS {id_col}
+                  FROM _qual GROUP BY {text_col}),
+        _exd AS (SELECT q.* FROM _qual q JOIN _exid USING ({id_col})),
+        {D.minhash_sql_cte(id_col, text_col, '_exd', num_hashes,
+                           shingle_n)},
+        _losers AS (
+            SELECT DISTINCT b.{id_col} AS {id_col}
+            FROM _ms a JOIN _ms b
+              ON a.{id_col} < b.{id_col} AND ({band_eq})
+            WHERE {matches} * 1.0 / {num_hashes} >= {jaccard_threshold})
+        SELECT {id_col} FROM _exd
+        WHERE {id_col} NOT IN (SELECT {id_col} FROM _losers)
+        ORDER BY {id_col}"""

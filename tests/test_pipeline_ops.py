@@ -167,6 +167,27 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
 
 
+def test_clean_corpus_stages(spark):
+    """Each stage bites on a constructed corpus: the junk row falls to
+    the quality gate, the verbatim copy to exact dedup, the near-copy
+    to MinHash; clean distinct rows survive."""
+    from esri_dump_spark.operators.pipeline import clean_corpus
+    good = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank while the sun sets slowly behind the hills")
+    near = good.replace("slowly", "gently")
+    other = ("completely unrelated content about numerical linear "
+             "algebra and the convergence of iterative solvers on "
+             "sparse symmetric positive definite systems")
+    junk = "!!! ??? !!! ??? !!! ??? !!! ??? !!! ???"
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [good, good, near, other, junk],
+    })
+    out = clean_corpus(spark.createDataFrame(pdf), min_quality=0.5,
+                       jaccard_threshold=0.5)
+    assert {r.doc_id for r in out.collect()} == {0, 3}
+
+
 def test_crossmodal_consensus_dedup(spark):
     """Only pairs that duplicate in BOTH modalities survive: same
     pixels + same caption yes; same caption w/ different image no;
