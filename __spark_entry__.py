@@ -714,6 +714,17 @@ def q_phash_near_dup(spark, sf_dir):
     return phash_near_dup(imgs, max_hamming=8)
 
 
+def q_image_clean(spark, sf_dir):
+    """Image-side cleaning pipeline: decode-invariant gate (dims,
+    phash, caption, PSNR vs reference) -> phash near-dedup, min-id
+    survivor. Rows-only (image fixture is not a driver view)."""
+    from esri_dump_spark.operators.pipeline import clean_images
+    from esri_dump_spark.sources.fixtures import ensure_images_parquet
+    imgs = spark.read.parquet(ensure_images_parquet(2000))
+    out = clean_images(imgs, max_phash_hamming=6)
+    return out.select("image_id", "w", "h", "fmt").orderBy("image_id")
+
+
 def q_crossmodal_near_dup(spark, sf_dir):
     """Image+caption consensus dedup: pairs flagged by BOTH phash
     block-LSH and caption-simhash block-LSH. Rows-only (image fixture
@@ -890,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "crossmodal_near_dup": q_crossmodal_near_dup,
+        "image_clean": q_image_clean,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "schema_doc": q_schema_doc,
         "tilejson_doc": q_tilejson_doc,

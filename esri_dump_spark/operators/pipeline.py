@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from . import dedup as D
 from . import text as X
 
-__all__ = ["clean_corpus", "clean_corpus_oracle_sql"]
+__all__ = ["clean_corpus", "clean_corpus_oracle_sql", "clean_images"]
 
 
 def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
@@ -44,6 +44,32 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
     return D.minhash_dedup(exact, id_col, text_col,
                            threshold=jaccard_threshold,
                            band_key=band_key)
+
+
+def clean_images(images: DataFrame, id_col: str = "image_id",
+                 min_psnr_db: float = 40.0,
+                 max_phash_hamming: int = 6) -> DataFrame:
+    """Image-side cleaning pipeline, the multimodal twin of
+    ``clean_corpus``:
+
+    1. invariant gate — decode + verify rows (dims, phash, caption,
+       PSNR vs reference regeneration); failing rows drop;
+    2. near dedup    — phash block-LSH pairs, min-id survivor.
+
+    Shuffle discipline: the verify stage runs `mapInPandas` over the
+    scan (bytes never shuffled); the gate join and the dedup anti-join
+    carry ids only. Output: surviving rows with original columns."""
+    from .multimodal import verify_images
+
+    v = verify_images(images, min_psnr_db=min_psnr_db)
+    ok_ids = (v.filter(F.col("dims_ok") & F.col("phash_ok")
+                       & F.col("caption_ok") & F.col("psnr_ok"))
+              .select(id_col))
+    kept = images.join(ok_ids, id_col, "left_semi")
+    pairs = D.phash_near_dup(kept, id_col=id_col,
+                             max_hamming=max_phash_hamming)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return kept.join(losers, id_col, "left_anti")
 
 
 def clean_corpus_oracle_sql(id_col: str = "doc_id",

@@ -188,6 +188,31 @@ def test_clean_corpus_stages(spark):
     assert {r.doc_id for r in out.collect()} == {0, 3}
 
 
+def test_clean_images_gate_and_dedup(spark):
+    """The invariant gate drops a corrupted row (stored phash disagrees
+    with the decoded pixels); survivors equal the phash-near-dup
+    min-id representatives of the gated set."""
+    from esri_dump_spark.operators.pipeline import clean_images
+    from esri_dump_spark.sources.fixtures import images_pdf
+    pdf = images_pdf(30, with_geo=False).copy()
+    # corrupt one stored phash -> that row fails the invariant gate
+    pdf.loc[2, "phash"] = ~pdf.loc[2, "phash"]
+    corrupted = pdf.loc[2, "image_id"]
+    df = spark.createDataFrame(pdf)
+
+    out = clean_images(df, max_phash_hamming=6)
+    got = {r.image_id for r in out.select("image_id").collect()}
+    assert corrupted not in got
+
+    # expected: gated set minus phash-LSH losers (composition check)
+    kept = df.filter(df.image_id != corrupted)
+    losers = {r.id_b for r in
+              D.phash_near_dup(kept, max_hamming=6).collect()}
+    exp = {r.image_id for r in kept.collect()} - losers
+    assert got == exp
+    assert got  # something survives
+
+
 def test_crossmodal_consensus_dedup(spark):
     """Only pairs that duplicate in BOTH modalities survive: same
     pixels + same caption yes; same caption w/ different image no;
