@@ -1044,6 +1044,175 @@ class _Krovak(_Proj):
         return lon, lat
 
 
+class _SphericalFwd(_Proj):
+    """Base for world pseudocylindrical/lenticular projections defined
+    on the sphere (radius a): subclasses implement only the forward;
+    the inverse is the generic numeric Newton on it (these maps are
+    smooth away from the poles, where no CRS extent corner lives)."""
+
+    def inv(self, x, y):
+        lat0 = (y - self.y0) / self.a
+        lat0 = max(-1.4, min(1.4, lat0))
+        lon0 = self.lon0 + (x - self.x0) / (self.a * max(
+            math.cos(lat0), 0.3))
+        return _newton_inverse(self, x, y, lon0, lat0)
+
+
+class _EckertI(_SphericalFwd):
+    def fwd(self, lon, lat):
+        c = math.sqrt(8.0 / (3.0 * math.pi))
+        return (self.x0 + c * self.a * (lon - self.lon0)
+                * (1 - abs(lat) / math.pi),
+                self.y0 + c * self.a * lat)
+
+
+class _EckertII(_SphericalFwd):
+    def fwd(self, lon, lat):
+        s = math.sqrt(4.0 - 3.0 * math.sin(abs(lat)))
+        x = 2.0 * self.a * (lon - self.lon0) * s / math.sqrt(6.0 * math.pi)
+        y = math.copysign(
+            math.sqrt(2.0 * math.pi / 3.0) * self.a * (2.0 - s), lat)
+        return self.x0 + x, self.y0 + y
+
+
+class _EckertIII(_SphericalFwd):
+    def fwd(self, lon, lat):
+        k = math.sqrt(math.pi * (4.0 + math.pi))
+        x = (2.0 / k) * self.a * (lon - self.lon0) \
+            * (1.0 + math.sqrt(max(0.0, 1.0 - (2.0 * lat / math.pi) ** 2)))
+        y = (4.0 / k) * self.a * lat
+        return self.x0 + x, self.y0 + y
+
+
+class _EckertIV(_SphericalFwd):
+    def fwd(self, lon, lat):
+        cp = (2.0 + math.pi / 2.0) * math.sin(lat)
+        th = lat / 2.0
+        for _ in range(25):
+            d = -(th + math.sin(th) * math.cos(th) + 2.0 * math.sin(th)
+                  - cp) / (2.0 * math.cos(th) * (1.0 + math.cos(th)))
+            th += d
+            if abs(d) < 1e-12:
+                break
+        k = math.sqrt(math.pi * (4.0 + math.pi))
+        x = (2.0 / k) * self.a * (lon - self.lon0) * (1.0 + math.cos(th))
+        y = 2.0 * math.sqrt(math.pi / (4.0 + math.pi)) * self.a \
+            * math.sin(th)
+        return self.x0 + x, self.y0 + y
+
+
+class _EckertV(_SphericalFwd):
+    def fwd(self, lon, lat):
+        k = math.sqrt(2.0 + math.pi)
+        return (self.x0 + self.a * (lon - self.lon0)
+                * (1.0 + math.cos(lat)) / k,
+                self.y0 + 2.0 * self.a * lat / k)
+
+
+class _EckertVI(_SphericalFwd):
+    def fwd(self, lon, lat):
+        cp = (1.0 + math.pi / 2.0) * math.sin(lat)
+        th = lat
+        for _ in range(25):
+            d = -(th + math.sin(th) - cp) / (1.0 + math.cos(th))
+            th += d
+            if abs(d) < 1e-12:
+                break
+        k = math.sqrt(2.0 + math.pi)
+        return (self.x0 + self.a * (lon - self.lon0)
+                * (1.0 + math.cos(th)) / k,
+                self.y0 + 2.0 * self.a * th / k)
+
+
+class _WinkelI(_SphericalFwd):
+    def __init__(self, crs):
+        super().__init__(crs)
+        self.cosp1 = math.cos(_rad(self.p.get("standard_parallel_1",
+                                              50.467)))
+
+    def fwd(self, lon, lat):
+        return (self.x0 + self.a * (lon - self.lon0)
+                * (self.cosp1 + math.cos(lat)) / 2.0,
+                self.y0 + self.a * lat)
+
+
+class _Aitoff(_SphericalFwd):
+    def fwd(self, lon, lat):
+        dl = (lon - self.lon0) / 2.0
+        d = math.acos(max(-1.0, min(1.0, math.cos(lat) * math.cos(dl))))
+        if abs(d) < 1e-12:
+            return self.x0, self.y0
+        c = d / math.sin(d)
+        return (self.x0 + 2.0 * self.a * c * math.cos(lat)
+                * math.sin(dl),
+                self.y0 + self.a * c * math.sin(lat))
+
+
+class _WinkelTripel(_SphericalFwd):
+    """Arithmetic mean of Aitoff and equirectangular(phi1)."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        self.cosp1 = math.cos(_rad(self.p.get(
+            "standard_parallel_1", math.degrees(math.acos(2 / math.pi)))))
+
+    def fwd(self, lon, lat):
+        dl = (lon - self.lon0) / 2.0
+        d = math.acos(max(-1.0, min(1.0, math.cos(lat) * math.cos(dl))))
+        c = 1.0 if abs(d) < 1e-12 else d / math.sin(d)
+        xa = 2.0 * c * math.cos(lat) * math.sin(dl)
+        ya = c * math.sin(lat)
+        xe = (lon - self.lon0) * self.cosp1
+        ye = lat
+        return (self.x0 + self.a * (xa + xe) / 2.0,
+                self.y0 + self.a * (ya + ye) / 2.0)
+
+
+class _Hammer(_SphericalFwd):
+    def fwd(self, lon, lat):
+        dl = (lon - self.lon0) / 2.0
+        den = math.sqrt(1.0 + math.cos(lat) * math.cos(dl))
+        return (self.x0 + 2.0 * math.sqrt(2.0) * self.a
+                * math.cos(lat) * math.sin(dl) / den,
+                self.y0 + math.sqrt(2.0) * self.a * math.sin(lat) / den)
+
+
+class _QuarticAuthalic(_SphericalFwd):
+    def fwd(self, lon, lat):
+        return (self.x0 + self.a * (lon - self.lon0) * math.cos(lat)
+                / math.cos(lat / 2.0),
+                self.y0 + 2.0 * self.a * math.sin(lat / 2.0))
+
+
+class _CrasterParabolic(_SphericalFwd):
+    def fwd(self, lon, lat):
+        return (self.x0 + math.sqrt(3.0 / math.pi) * self.a
+                * (lon - self.lon0) * (2.0 * math.cos(2.0 * lat / 3.0)
+                                       - 1.0),
+                self.y0 + math.sqrt(3.0 * math.pi) * self.a
+                * math.sin(lat / 3.0))
+
+
+class _FlatPolarQuartic(_SphericalFwd):
+    """McBryde-Thomas flat-polar quartic (Snyder appendix)."""
+
+    def fwd(self, lon, lat):
+        cp = (1.0 + math.sqrt(2.0) / 2.0) * math.sin(lat)
+        th = lat
+        for _ in range(25):
+            d = -(math.sin(th / 2.0) + math.sin(th) - cp) \
+                / (0.5 * math.cos(th / 2.0) + math.cos(th))
+            th += d
+            if abs(d) < 1e-12:
+                break
+        x = self.a * (lon - self.lon0) \
+            * (1.0 + 2.0 * math.cos(th) / math.cos(th / 2.0)) \
+            / math.sqrt(3.0 * math.sqrt(2.0) + 6.0)
+        y = 2.0 * math.sqrt(3.0) * self.a * math.sin(th / 2.0) \
+            / math.sqrt(2.0 + math.sqrt(2.0))
+        return self.x0 + x, self.y0 + y
+
+
 class _Gnomonic(_Proj):
     """Gnomonic (spherical, Snyder ch. 22)."""
 
@@ -1106,6 +1275,21 @@ SUPPORTED_PROJECTIONS = {
         lambda crs: _Omerc(crs, centered=True),
     "krovak": _Krovak,
     "gnomonic": _Gnomonic,
+    # world pseudocylindrical/lenticular families (sphere, numeric
+    # Newton inverse) — beyond proj4js's set, i.e. added capability
+    "eckert_i": _EckertI,
+    "eckert_ii": _EckertII,
+    "eckert_iii": _EckertIII,
+    "eckert_iv": _EckertIV,
+    "eckert_v": _EckertV,
+    "eckert_vi": _EckertVI,
+    "winkel_i": _WinkelI,
+    "winkel_tripel": _WinkelTripel,
+    "aitoff": _Aitoff,
+    "hammer_aitoff": _Hammer,
+    "quartic_authalic": _QuarticAuthalic,
+    "craster_parabolic": _CrasterParabolic,
+    "flat_polar_quartic": _FlatPolarQuartic,
 }
 
 

@@ -109,12 +109,13 @@ def test_supported_family_share_of_table():
 
 
 def test_unsupported_family_raises_like_proj4js():
-    """Eckert_I has a table entry but no proj4js transform — the engine
-    raises the dedicated error instead of silently passing through."""
+    """IGAC_Plano_Cartesiano has a table entry but no transform here or
+    in proj4js — the engine raises the dedicated error instead of
+    silently passing through."""
     tab = _wkid_table()
     names = tab["projections"]
     wkid = next(w for w, e in tab["entries"].items()
-                if names[e[0]] == "Eckert_I")
+                if names[e[0]] == "IGAC_Plano_Cartesiano")
     ext = {"xmin": 0.0, "ymin": 0.0, "xmax": 1000.0, "ymax": 1000.0,
            "spatialReference": {"wkid": int(wkid)}}
     with pytest.raises(P.UnsupportedProjectionError):
