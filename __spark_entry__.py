@@ -668,8 +668,10 @@ def q_minhash_pairs_hashkey(spark, sf_dir):
 def q_emb_near_dup_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup candidates (scale path of
     emb_near_dup), OR-of-ANDs: 16 bands x 4 planes -> expected recall
-    ~0.96 at threshold 0.45 (tests/test_dedup.py asserts >= 0.9 vs the
-    exact cosine_pairs twin). Rows-only: LSH recall < 1 by design."""
+    ~0.96 at threshold 0.45
+    (tests/test_pipeline_ops.py::test_embedding_lsh_recall_vs_exact
+    asserts >= 0.9 vs the exact cosine_pairs twin). Rows-only: LSH
+    recall < 1 by design."""
     emb = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dup(emb, "vec_id", "embedding",
                                 threshold=0.45, bands=16, rows_per_band=4)

@@ -169,6 +169,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:       # byte stuffing
                 self.out.append(0x00)
+        # drop drained high bits — without this the Python bignum grows
+        # by every bit ever written and encoding turns O(total_bits^2)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:

@@ -639,11 +639,15 @@ class _Stere(_Proj):
     def fwd(self, lon, lat):
         a, e, k0 = self.a, self.e, self.k0
         if self.mode in "ns":
+            # polar aspects (Snyder 21-33/34): longitude is NOT
+            # mirrored for the south aspect — only latitude flips and
+            # the northing term changes sign (E = FE + rho sin(dl) in
+            # BOTH aspects; EPSG Petrels 1972 vector pins this)
             sign = 1.0 if self.mode == "n" else -1.0
             t = _tsfn(sign * lat, math.sin(sign * lat), e)
             rho = 2 * a * k0 * t / math.sqrt(
                 (1 + e) ** (1 + e) * (1 - e) ** (1 - e))
-            dl = sign * (lon - self.lon0)
+            dl = lon - self.lon0
             return (self.x0 + rho * math.sin(dl),
                     self.y0 - sign * rho * math.cos(dl))
         sinp = math.sin(lat)
@@ -666,7 +670,7 @@ class _Stere(_Proj):
             t = rho * math.sqrt(
                 (1 + e) ** (1 + e) * (1 - e) ** (1 - e)) / (2 * a * k0)
             lat = sign * _phi_from_ts(t, e)
-            lon = self.lon0 + sign * math.atan2(dx, -sign * dy)
+            lon = self.lon0 + math.atan2(dx, -sign * dy)
             return lon, lat
         rho = math.hypot(dx, dy)
         ce = 2 * math.atan2(rho, 2 * a * k0)
@@ -1000,23 +1004,26 @@ class _Krovak(_Proj):
         return r * math.cos(th), r * math.sin(th)
 
     def fwd(self, lon, lat):
-        Xp, Yp = self._fwd_core(lon, lat)
-        # ESRI axis handling: v = (-westing, -southing), scaled then
-        # rotated by xy_plane_rotation; rot=0/xs=ys=1 is the classic
-        # negative-southing/negative-westing S-JTSK plane
-        v1, v2 = -Yp, -Xp
+        Xk, Yk = self._fwd_core(lon, lat)
+        # ESRI axis handling over the EPSG plane (Xk = southing, Yk =
+        # westing, both positive in-territory): rotate by
+        # xy_plane_rotation, then per-axis scale. Identity params
+        # (2065/5513) keep EPSG's positive southing/westing; the
+        # East-North variants (5221/5514: xs=-1, rot=90) yield
+        # x = -westing (easting), y = -southing (northing), the
+        # negative-valued EPSG 5514 convention.
         cr, sr = math.cos(self.rot), math.sin(self.rot)
-        return (self.x0 + self.xs * (cr * v1 - sr * v2),
-                self.y0 + self.ys * (sr * v1 + cr * v2))
+        return (self.x0 + self.xs * (Xk * cr + Yk * sr),
+                self.y0 + self.ys * (-Xk * sr + Yk * cr))
 
     def inv(self, x, y):
         cr, sr = math.cos(self.rot), math.sin(self.rot)
         xr = (x - self.x0) / self.xs
         yr = (y - self.y0) / self.ys
-        v1 = cr * xr + sr * yr
-        v2 = -sr * xr + cr * yr
-        Yp = -v1
-        Xp = -v2
+        Xk = cr * xr - sr * yr
+        Yk = sr * xr + cr * yr
+        Xp = Xk
+        Yp = Yk
         e, B = self.e, self.B
         r = math.hypot(Xp, Yp)
         th = math.atan2(Yp, Xp)

@@ -314,15 +314,34 @@ def simhash_sql_cte(id_col: str = "doc_id", text_col: str = "text",
                 FROM _h GROUP BY {id_col})"""
 
 
+def _lossless_blocks(total_bits: int, max_hamming: int) -> int:
+    """Smallest divisor-of-width block count > max_hamming — the
+    pigeonhole guarantee that every pair within the hamming budget
+    shares at least one exact chunk."""
+    need = max_hamming + 1
+    for b in range(need, total_bits + 1):
+        if total_bits % b == 0:
+            return b
+    return total_bits
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+                  max_hamming: int = 3,
+                  blocks: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash block LSH: split the 60-bit hash into
     ``blocks`` chunks; pairs within hamming distance < blocks share at
     least one exact chunk (pigeonhole), so candidate gen is an
     equi-join on (block_idx, chunk) AND — for max_hamming < blocks —
     provably lossless: the output equals the brute-force all-pairs
     hamming filter, which is what the SQL oracle computes. Verified
-    with exact popcount."""
+    with exact popcount.
+
+    ``blocks=None`` (default) auto-picks the smallest lossless block
+    count for ``max_hamming``; passing an explicit smaller value trades
+    recall for join selectivity (pairs whose differing bits touch every
+    chunk are missed) — callers owning that trade must say so."""
+    if blocks is None:
+        blocks = _lossless_blocks(SIMHASH_BITS, max_hamming)
     width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
     hashed = simhash(df.select(id_col, text_col), text_col)
@@ -540,10 +559,13 @@ def crossmodal_near_dup(images: DataFrame, id_col: str = "image_id",
 
 def phash_near_dup(images: DataFrame, id_col: str = "image_id",
                    phash_col: str = "phash", max_hamming: int = 6,
-                   blocks: int = 4) -> DataFrame:
+                   blocks: int | None = None) -> DataFrame:
     """Image near-dup via perceptual-hash block LSH + exact hamming —
     same pigeonhole trick as simhash_pairs, over the precomputed phash
-    column of the image table."""
+    column of the image table. ``blocks=None`` auto-picks the smallest
+    lossless block count for ``max_hamming`` (see simhash_pairs)."""
+    if blocks is None:
+        blocks = _lossless_blocks(64, max_hamming)
     width = 64 // blocks
     mask = (1 << width) - 1
     chunks = images.select(

@@ -42,12 +42,15 @@ from ..sources.feature_server import TransientServerError
 __all__ = ["validate_metadata", "extract", "FEATURE_SCHEMA", "iso8601_ms",
            "MAX_PAGE_RETRIES"]
 
-# E1 parity: up to 6 attempts per page, then hard fail with details —
-# the reference's loop is `attempts = 0; while (attempts <= 5) {
-# attempts++; ...}` (/root/reference/lib/geometry.ts:94-142), i.e. six
-# fetches before `attempts > 5` errors out. Spark task retries
+# E1 parity: a page may SUCCEED on at most its 5th attempt. The
+# reference's loop (`attempts = 0; while (attempts <= 5) { attempts++;
+# ... break on success }`, /root/reference/lib/geometry.ts:94-142)
+# performs up to six fetches, but the post-loop `if (attempts > 5)`
+# check errors out even when the sixth fetch returned features — so
+# the observable success bound is five attempts, and a sixth fetch
+# could never change the outcome. Spark task retries
 # (spark.task.maxFailures) remain the outer recovery layer.
-MAX_PAGE_RETRIES = 6
+MAX_PAGE_RETRIES = 5
 
 
 def _with_retries(fn, desc: str):

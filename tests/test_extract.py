@@ -174,6 +174,7 @@ def test_extract_hard_fails_after_max_retries(spark):
                                       flaky_every=2, flaky_failures=99)
     with _pytest.raises(Exception) as ei:
         extract(spark, hopeless).count()
-    # reference parity: 6 attempts (geometry.ts:94-142 — attempts=0;
-    # while attempts<=5 {attempts++...} fetches six times)
-    assert "failed after 6 attempts" in str(ei.value)
+    # reference parity: success bound is 5 attempts — geometry.ts
+    # fetches six times but its post-loop `attempts > 5` check fails
+    # the stream even when the sixth fetch succeeded
+    assert "failed after 5 attempts" in str(ei.value)

@@ -167,6 +167,29 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
 
 
+def test_block_lsh_lossless_auto_blocks(spark):
+    """blocks=None scales the chunk count so the pigeonhole guarantee
+    holds for the requested hamming budget: a pair whose differing
+    bits land in every 4-bit-era chunk must still be found."""
+    from esri_dump_spark.operators.dedup import _lossless_blocks
+    assert _lossless_blocks(60, 3) == 4
+    assert _lossless_blocks(60, 10) == 12
+    assert _lossless_blocks(64, 6) == 8
+    assert _lossless_blocks(64, 8) == 16
+    # construct a phash pair at hamming 6 spread over all 4 of the old
+    # 16-bit chunks — blocks=4 would miss it; the auto default finds it
+    h1 = 0
+    h2 = (1 | (1 << 10) | (1 << 20) | (1 << 30) |
+          (1 << 45) | (1 << 60))
+    pdf = pd.DataFrame({"image_id": ["a", "b"],
+                        "phash": np.array([h1, h2], dtype=np.int64)})
+    df = spark.createDataFrame(pdf)
+    missed = D.phash_near_dup(df, max_hamming=6, blocks=4).collect()
+    assert missed == []                      # the documented trade
+    found = D.phash_near_dup(df, max_hamming=6).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in found] == [("a", "b", 6)]
+
+
 def test_clean_corpus_stages(spark):
     """Each stage bites on a constructed corpus: the junk row falls to
     the quality gate, the verbatim copy to exact dedup, the near-copy

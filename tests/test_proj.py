@@ -190,6 +190,35 @@ def test_proj_roundtrip_property(subtests=None):
     check()
 
 
+def test_south_polar_stereographic_epsg_vector():
+    """EPSG Guidance 7-2 Petrels 1972 / Terre Adelie worked example
+    (wkid 2985, ESRI variant-C-as-south-pole params): longitude must
+    NOT mirror in the south aspect."""
+    crs = _crs_for_wkid(2985)
+    lat = -(66 + 36 / 60 + 18.820 / 3600)
+    lon = 140 + 4 / 60 + 17.040 / 3600
+    x, y = P.forward_from_lonlat(crs, lon, lat)
+    assert abs(x - 303169.52) < 0.05 and abs(y - 244055.72) < 0.05
+    lon2, lat2 = P.inverse_to_lonlat(crs, 303169.52, 244055.72)
+    assert abs(lon2 - lon) < 1e-6 and abs(lat2 - lat) < 1e-6
+
+
+def test_krovak_axis_conventions():
+    """5513 (classic): positive southing/westing, southing > westing at
+    Prague; 5514 (East North, xs=-1/rot=90): exactly (-westing,
+    -southing) of 5513 — the EPSG 5514 negative easting/northing."""
+    c13 = _crs_for_wkid(5513)
+    c14 = _crs_for_wkid(5514)
+    lon, lat = 14.42076, 50.08804   # Prague
+    x13, y13 = P.forward_from_lonlat(c13, lon, lat)
+    x14, y14 = P.forward_from_lonlat(c14, lon, lat)
+    assert 1_000_000 < x13 < 1_100_000     # southing
+    assert 700_000 < y13 < 800_000         # westing
+    assert abs(x14 + y13) < 1e-6 and abs(y14 + x13) < 1e-6
+    lon2, lat2 = P.inverse_to_lonlat(c14, x14, y14)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-8
+
+
 def test_wkt_parser_nested_structure():
     wkt = json.load(open("/root/reference/lib/wkid.json"))["2000"]
     crs = P.crs_from_wkt(wkt)
