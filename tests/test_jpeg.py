@@ -3,6 +3,8 @@ quality behavior, round-trip fidelity, error paths."""
 
 from __future__ import annotations
 
+from struct import error as struct_error
+
 import numpy as np
 import pytest
 
@@ -113,6 +115,37 @@ def test_jpeg_roundtrip_property():
         assert out.shape == (h, w, 3)
         if sub == "444":
             assert psnr(img, out) >= 40.0
+
+    check()
+
+
+def test_decoder_rejects_garbage_without_hanging():
+    """Random bytes and truncated/bit-flipped streams must raise (or
+    decode) promptly — never hang or index out of bounds."""
+    from hypothesis import given, settings, strategies as st
+    good = encode_jpeg(_gradient(16, 16), 90)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            blob = data.draw(st.binary(min_size=0, max_size=200))
+        elif mode == 1:
+            cut = data.draw(st.integers(0, len(good)))
+            blob = good[:cut]
+        else:
+            pos = data.draw(st.integers(2, len(good) - 1))
+            bit = data.draw(st.integers(0, 7))
+            b = bytearray(good)
+            b[pos] ^= 1 << bit
+            blob = bytes(b)
+        try:
+            out = decode_jpeg(blob)
+            assert out.ndim == 3 and out.shape[2] == 3
+        except (ValueError, NotImplementedError, IndexError,
+                struct_error):
+            pass
 
     check()
 
