@@ -548,6 +548,16 @@ def q_corpus_clean(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_minhash_cluster_dedup(spark, sf_dir):
+    """Cluster-aware near-dedup: connected components of the LSH pair
+    graph via iterative min-label propagation, exactly one survivor per
+    component. Oracled against a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.minhash_dedup(docs, "doc_id", "text", threshold=0.6,
+                          connected=True, band_key="exact")
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_topfeatures_extract(spark, sf_dir):
     """S5: /queryTopFeatures endpoint semantics — the per-group top-k
     reduction happens SERVER-side during paging (reference swaps only
@@ -893,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_ids": q_extract_ids,
         "extract_bbox_ids": q_extract_bbox_ids,
         "corpus_clean": q_corpus_clean,
+        "minhash_cluster_dedup": q_minhash_cluster_dedup,
         # rows-only (non-SQL-expressible)
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1248,6 +1259,8 @@ def oracle_sql() -> dict[str, str]:
     from esri_dump_spark.operators.pipeline import clean_corpus_oracle_sql
     oracles["corpus_clean"] = clean_corpus_oracle_sql(
         min_quality=0.8, jaccard_threshold=0.6)
+    oracles["minhash_cluster_dedup"] = \
+        D.minhash_cluster_dedup_oracle_sql(threshold=0.6)
     # both extraction strategies must produce the identical id set:
     # all features minus the decode-filtered attribute-only rows
     # (i % 97 == 5), exactly once

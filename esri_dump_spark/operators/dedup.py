@@ -26,7 +26,8 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "exact_dedup", "exact_dedup_by_hash", "minhash_signature",
-    "minhash_lsh_pairs", "minhash_dedup", "minhash_sql_cte",
+    "minhash_lsh_pairs", "minhash_dedup", "component_min_labels",
+    "minhash_sql_cte",
     "minhash_pairs_oracle_sql", "minhash_permutation_consts",
     "simhash", "simhash_pairs", "simhash_sql_cte",
     "ngram_jaccard_pairs", "embedding_near_dup", "phash_near_dup",
@@ -232,15 +233,107 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
-                  threshold: float = 0.8, **kw) -> DataFrame:
-    """Drop near-duplicates: keep the min-id representative of each
-    candidate cluster (union-find-free: connected via min propagation
-    one hop — adequate for chain-free dup clusters; iterate for chains).
+                  threshold: float = 0.8, connected: bool = False,
+                  **kw) -> DataFrame:
+    """Drop near-duplicates.
+
+    ``connected=False`` (one hop): drop every id that appears as the
+    larger side of a pair. Cheap, but a component can keep MULTIPLE
+    survivors — any node smaller than all of its direct neighbors
+    survives even when a larger intermediary connects it to the
+    component minimum (e.g. edges B-E and D-E with B < D < E keep
+    both B and D).
+
+    ``connected=True``: iterative min-label propagation
+    (``component_min_labels``) keeps exactly one survivor — the global
+    minimum id — per connected component. O(component diameter)
+    Spark jobs; diameters of near-dup clusters are tiny in practice.
+
     Extra kwargs (bands, band_key, ...) pass through to
     ``minhash_lsh_pairs``."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if not connected:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
+    labels = component_min_labels(pairs)
+    losers = (labels.filter(F.col("rep") != F.col("id"))
+              .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
+
+
+def component_min_labels(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of the (id_a, id_b) pair graph by
+    min-label propagation: returns (id, rep) where ``rep`` is the
+    minimum id reachable from ``id``. Each iteration is one hash join
+    + aggregate; lineage is truncated per round (localCheckpoint) so
+    plans stay flat; terminates when no label changes or at
+    ``max_iter`` (diameter bound — near-dup clusters are shallow).
+    The SQL twin is a recursive-CTE transitive closure."""
+    edges = pairs.select("id_a", "id_b")
+    und = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b")))
+    und = und.localCheckpoint()
+    labels = (und.select(F.col("id_a").alias("id")).distinct()
+              .withColumn("rep", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (und.join(labels.select(F.col("id").alias("id_b"),
+                                      F.col("rep").alias("rep_b")),
+                        "id_b")
+               .groupBy("id_a").agg(F.min("rep_b").alias("nmin")))
+        new = (labels.join(nbr.withColumnRenamed("id_a", "id"),
+                           "id", "left")
+               .select("id",
+                       F.least(F.col("rep"),
+                               F.coalesce(F.col("nmin"),
+                                          F.col("rep"))).alias("rep"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.rep") != F.col("o.rep")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_cluster_dedup_oracle_sql(id_col: str = "doc_id",
+                                     text_col: str = "text",
+                                     table: str = "documents",
+                                     num_hashes: int = 64,
+                                     bands: int = 16,
+                                     shingle_n: int = 5,
+                                     threshold: float = 0.6) -> str:
+    """DuckDB twin of ``minhash_dedup(connected=True)``: surviving ids
+    after removing every non-minimum member of each connected
+    component, computed via a recursive-CTE transitive closure over
+    the LSH pair graph."""
+    band_eq = minhash_band_predicate_sql(num_hashes, bands)
+    matches = minhash_match_count_sql(num_hashes)
+    return f"""
+        WITH RECURSIVE
+        {minhash_sql_cte(id_col, text_col, table, num_hashes,
+                         shingle_n).lstrip()},
+        _pairs AS (
+            SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+            FROM _ms a JOIN _ms b
+              ON a.{id_col} < b.{id_col} AND ({band_eq})
+            WHERE {matches} * 1.0 / {num_hashes} >= {threshold}),
+        _und AS (SELECT id_a, id_b FROM _pairs
+                 UNION ALL
+                 SELECT id_b, id_a FROM _pairs),
+        _reach(src, dst) AS (
+            SELECT id_a, id_a FROM _und GROUP BY id_a
+            UNION
+            SELECT r.src, u.id_b FROM _reach r
+            JOIN _und u ON r.dst = u.id_a),
+        _rep AS (SELECT src AS {id_col}, min(dst) AS rep
+                 FROM _reach GROUP BY src),
+        _losers AS (SELECT {id_col} FROM _rep WHERE rep <> {id_col})
+        SELECT {id_col} FROM {table}
+        WHERE {id_col} NOT IN (SELECT {id_col} FROM _losers)
+        ORDER BY {id_col}"""
 
 
 # --------------------------------------------------------------- simhash

@@ -167,6 +167,39 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
 
 
+def test_component_min_labels_beats_one_hop(spark):
+    """The counterexample where one-hop dedup keeps two survivors:
+    edges B-E and D-E with B < D < E. Component = {B, D, E}; one hop
+    removes only E (the only larger-side id), while connected-component
+    labels keep exactly the minimum B."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2], "id_b": [5, 5]}))  # B=1,D=2,E=5
+    labels = {(r.id, r.rep) for r in
+              D.component_min_labels(pairs).collect()}
+    assert labels == {(1, 1), (2, 1), (5, 1)}
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 5],
+        "text": ["x", "y", "z"],
+    }))
+    one_hop_losers = {5}
+    survivors_one_hop = {1, 2}          # the documented shortfall
+    survivors_cc = {r.doc_id for r in docs.join(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [2, 5]})),
+        "doc_id", "left_anti").collect()}
+    assert survivors_cc == {1}
+    assert survivors_one_hop != survivors_cc  # the hole is real
+
+
+def test_chain_cluster_single_survivor(spark):
+    """A 4-link chain A-B-C-D collapses to A under connected labels."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 20, 30], "id_b": [20, 30, 40]}))
+    labels = {(r.id, r.rep) for r in
+              D.component_min_labels(pairs).collect()}
+    assert labels == {(10, 10), (20, 10), (30, 10), (40, 10)}
+
+
 def test_block_lsh_lossless_auto_blocks(spark):
     """blocks=None scales the chunk count so the pigeonhole guarantee
     holds for the requested hamming budget: a pair whose differing
