@@ -1220,6 +1220,38 @@ class _FlatPolarQuartic(_SphericalFwd):
         return self.x0 + x, self.y0 + y
 
 
+class _VNSP(_Proj):
+    """Vertical Near-Side Perspective (spherical, Snyder ch. 23):
+    view from height h above the center; only the near hemisphere cap
+    with cos(c) > 1/P is visible."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        self.P = 1.0 + self.p.get("height", 35_800_000.0) / self.a
+
+    def fwd(self, lon, lat):
+        s0, c0 = math.sin(self.lat0), math.cos(self.lat0)
+        s, c = math.sin(lat), math.cos(lat)
+        dl = lon - self.lon0
+        cosc = s0 * s + c0 * c * math.cos(dl)
+        if cosc < 1.0 / self.P:
+            raise ValueError("point beyond the visible perspective cap")
+        k = (self.P - 1.0) / (self.P - cosc)
+        return (self.x0 + self.a * k * c * math.sin(dl),
+                self.y0 + self.a * k * (c0 * s - s0 * c * math.cos(dl)))
+
+    def inv(self, x, y):
+        dx = (x - self.x0) / self.a
+        dy = (y - self.y0) / self.a
+        if math.hypot(dx, dy) < 1e-12:
+            return self.lon0, self.lat0
+        # generic Newton on the forward, seeded by the small-angle
+        # (k ~ 1) linearization around the view center
+        lat0 = max(-1.4, min(1.4, self.lat0 + dy))
+        lon0 = self.lon0 + dx / max(math.cos(lat0), 0.3)
+        return _newton_inverse(self, x, y, lon0, lat0)
+
+
 class _Gnomonic(_Proj):
     """Gnomonic (spherical, Snyder ch. 22)."""
 
@@ -1297,6 +1329,7 @@ SUPPORTED_PROJECTIONS = {
     "quartic_authalic": _QuarticAuthalic,
     "craster_parabolic": _CrasterParabolic,
     "flat_polar_quartic": _FlatPolarQuartic,
+    "vertical_near_side_perspective": _VNSP,
 }
 
 
