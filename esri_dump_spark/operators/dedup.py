@@ -261,14 +261,18 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return df.join(losers, id_col, "left_anti")
 
 
-def component_min_labels(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def component_min_labels(pairs: DataFrame, max_iter: int = 200) -> DataFrame:
     """Connected components of the (id_a, id_b) pair graph by
     min-label propagation: returns (id, rep) where ``rep`` is the
     minimum id reachable from ``id``. Each iteration is one hash join
     + aggregate; lineage is truncated per round (localCheckpoint) so
-    plans stay flat; terminates when no label changes or at
-    ``max_iter`` (diameter bound — near-dup clusters are shallow).
-    The SQL twin is a recursive-CTE transitive closure."""
+    plans stay flat; runs to FIXPOINT (no label changes) — never exits
+    with labels still moving, which would silently keep multiple
+    survivors in a long-chain component and diverge from the
+    recursive-CTE SQL twin. ``max_iter`` is a hard safety cap
+    (propagation needs O(component diameter) rounds; 200 covers any
+    realistic near-dup chain) that raises instead of returning a
+    non-converged labeling."""
     edges = pairs.select("id_a", "id_b")
     und = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"),
@@ -294,8 +298,10 @@ def component_min_labels(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                    .filter(F.col("n.rep") != F.col("o.rep")).count())
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"component_min_labels did not converge in {max_iter} rounds "
+        "(pathological chain — raise max_iter)")
 
 
 def minhash_cluster_dedup_oracle_sql(id_col: str = "doc_id",

@@ -201,11 +201,16 @@ class SyntheticFeatureServer:
             groups.setdefault(key, []).append((v, at["objectid"], i))
         keep: list[int] = []
         for rows in groups.values():
-            rows.sort(key=lambda r: (
-                r[0] is None,
-                (-r[0] if desc else r[0]) if r[0] is not None else 0,
-                r[1]))
-            keep.extend(idx for _, _, idx in rows[:k])
+            # (value ASC|DESC, oid ASC, NULLs last) without arithmetic
+            # negation so string orderByFields work (ArcGIS permits
+            # them). Python sorts are stable and reverse=True keeps
+            # ties in original order, so sorting by oid first makes
+            # oid the tie-break in BOTH directions.
+            rows.sort(key=lambda r: r[1])
+            valued = [r for r in rows if r[0] is not None]
+            nones = [r for r in rows if r[0] is None]
+            valued.sort(key=lambda r: r[0], reverse=desc)
+            keep.extend(idx for _, _, idx in (valued + nones)[:k])
         return sorted(keep)
 
     def query_page(self, offset: int, page_size: int | None = None,

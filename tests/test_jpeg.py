@@ -3,8 +3,6 @@ quality behavior, round-trip fidelity, error paths."""
 
 from __future__ import annotations
 
-from struct import error as struct_error
-
 import numpy as np
 import pytest
 
@@ -121,11 +119,13 @@ def test_jpeg_roundtrip_property():
 
 def test_decoder_rejects_garbage_without_hanging():
     """Random bytes and truncated/bit-flipped streams must raise (or
-    decode) promptly — never hang or index out of bounds."""
+    decode) promptly — and ONLY with the ValueError family that
+    decode_stats' error contract (operators/multimodal.py) catches;
+    a KeyError/ZeroDivisionError would kill the Spark task."""
     from hypothesis import given, settings, strategies as st
     good = encode_jpeg(_gradient(16, 16), 90)
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=200, deadline=None)
     @given(st.data())
     def check(data):
         mode = data.draw(st.integers(0, 2))
@@ -143,11 +143,54 @@ def test_decoder_rejects_garbage_without_hanging():
         try:
             out = decode_jpeg(blob)
             assert out.ndim == 3 and out.shape[2] == 3
-        except (ValueError, NotImplementedError, IndexError,
-                struct_error):
+        except (ValueError, NotImplementedError):
             pass
 
     check()
+
+
+def _mutate(data: bytes, offset_from_marker: bytes, delta: int,
+            value: int) -> bytes:
+    b = bytearray(data)
+    i = b.index(offset_from_marker)
+    b[i + delta] = value
+    return bytes(b)
+
+
+def test_zero_sampling_factor_raises_valueerror():
+    """Round-2 falsifying example: bit-flipped SOF sampling factor of
+    0 reached `vmax // c['v']` as ZeroDivisionError."""
+    good = encode_jpeg(_gradient(16, 16), 90)
+    # SOF0 layout: FFC0 len(2) prec h(2) w(2) nc [id samp tq]*nc
+    bad = _mutate(good, b"\xff\xc0", 11, 0x10)   # comp1 v=0
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+    bad = _mutate(good, b"\xff\xc0", 11, 0x01)   # comp1 h=0
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+    bad = _mutate(good, b"\xff\xc0", 11, 0x55)   # h=v=5 > 4
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+
+
+def test_undeclared_sos_component_raises_valueerror():
+    """Round-2 falsifying example: SOS referencing a component id not
+    declared in SOF reached `by_id[...]` as KeyError."""
+    good = encode_jpeg(_gradient(16, 16), 90)
+    # SOS layout: FFDA len(2) ns [id tt]*ns ...
+    bad = _mutate(good, b"\xff\xda", 5, 9)       # scan comp1 id -> 9
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+
+
+def test_undefined_dqt_dht_raise_valueerror():
+    good = encode_jpeg(_gradient(16, 16), 90)
+    bad = _mutate(good, b"\xff\xc0", 12, 7)      # comp1 tq -> 7 (undefined)
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+    bad = _mutate(good, b"\xff\xda", 6, 0x77)    # scan comp1 dc/ac -> 7/7
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
 
 
 def test_solid_color_compresses_tightly():
