@@ -80,14 +80,24 @@ def neighbor_cells_expr(lon_col: str, lat_col: str, res: int) -> str:
 def _knn_at_res(queries: DataFrame, points: DataFrame, k: int,
                 query_id: str, point_id: str, res: int,
                 q_lon: str, q_lat: str, p_lon: str, p_lat: str,
-                broadcast_points: bool) -> DataFrame:
-    """One candidate-join pass: (query_id, point_id, dist, rank,
-    n_hits) for the k best candidates per query at ``res``."""
+                broadcast_points: bool,
+                radius: float | None = None) -> DataFrame:
+    """One candidate-join pass: (query_id, point_id, dist, rank) for
+    the k best candidates per query at ``res``; when ``radius`` is
+    given, also ``_resolved`` — the exactness certificate (>= k
+    candidates AND k-th distance <= radius) folded into the SAME
+    window pass (same partition key -> no extra exchange).
+
+    The grid-disk dedup is ``array_distinct`` on the 9-cell array
+    BEFORE the explode (duplicates only arise from edge clamping) —
+    JVM-side, replacing the round-2 ``dropDuplicates`` which cost a
+    full extra shuffle of the exploded query set."""
     q = queries.select(
         F.col(query_id),
         F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat"),
-        F.explode(F.expr(neighbor_cells_expr(q_lon, q_lat, res))).alias("cell"),
-    ).dropDuplicates([query_id, "cell"])
+        F.explode(F.array_distinct(
+            F.expr(neighbor_cells_expr(q_lon, q_lat, res)))).alias("cell"),
+    )
 
     p = points.select(
         F.col(point_id),
@@ -107,9 +117,15 @@ def _knn_at_res(queries: DataFrame, points: DataFrame, k: int,
     w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(),
                                              F.col(point_id).asc())
     wall = Window.partitionBy(query_id)
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .withColumn("n_hits", F.count(F.lit(1)).over(wall))
-            .filter(F.col("rank") <= k))
+    out = (cand.withColumn("rank", F.row_number().over(w))
+           .withColumn("n_hits", F.count(F.lit(1)).over(wall))
+           .filter(F.col("rank") <= k))
+    if radius is not None:
+        out = out.withColumn(
+            "_resolved",
+            (F.col("n_hits") >= k)
+            & (F.max("dist").over(wall) <= F.lit(radius)))
+    return out
 
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int,
@@ -122,15 +138,25 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
     """Exact k nearest ``points`` for each row of ``queries``.
 
     Output: (query_id, point_id, dist, rank). Plan shape per pass:
-      queries -> explode(grid_disk cells)  [fan-out x9, JVM]
-      points  -> cell id                    [JVM]
+      queries -> explode(array_distinct(grid_disk)) [fan-out x9, JVM]
+      points  -> cell id                            [JVM]
       equi-join on cell (broadcast if the points side is small,
-      shuffle hash otherwise) -> distance -> window top-k per query;
-    then the resolved-check (n_hits >= k AND d_k <= safe_radius) splits
-    exact results from stragglers, and only stragglers re-run
-    ``res_step`` resolutions coarser. Each escalation shrinks the query
-    set, so at scale the coarse passes touch a vanishing fraction of
-    queries while the bulk resolves at the density-matched resolution.
+      shuffle hash otherwise) -> distance -> ONE window pass computing
+      top-k rank, candidate count, and the resolved certificate
+      (n_hits >= k AND d_k <= safe_radius) together; only unresolved
+    stragglers re-run ``res_step`` resolutions coarser. Each escalation
+    shrinks the query set, so at scale the coarse passes touch a
+    vanishing fraction of queries while the bulk resolves at the
+    density-matched resolution.
+
+    Materialization discipline (round-3): each round's candidate pass
+    runs EXACTLY once — ``localCheckpoint`` (eager) truncates lineage
+    and stores the flagged top-k; everything downstream (resolved
+    slice, straggler anti-join, emptiness probe, final union) reads
+    the checkpoint blocks instead of re-running the join. Checkpoint
+    storage is released by the context cleaner when the result goes
+    out of scope — no caches pinned for the session lifetime (round-2
+    leaked flagged/remaining caches per round, never unpersisted).
 
     ``res=None`` derives the starting resolution from the points count.
     """
@@ -143,24 +169,26 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
     resolved_parts: list[DataFrame] = []
     r = res
     while True:
-        out = _knn_at_res(remaining, points, k, query_id, point_id, r,
-                          q_lon, q_lat, p_lon, p_lat, broadcast_points)
         if r <= 0:
-            # world-sized cells: the disk is a full scan -> always exact
+            # world-sized cells: the disk is a full scan -> always
+            # exact; left lazy, computed once at the final action
+            out = _knn_at_res(remaining, points, k, query_id, point_id,
+                              0, q_lon, q_lat, p_lon, p_lat,
+                              broadcast_points)
             resolved_parts.append(
-                out.select(query_id, point_id, "dist", "rank").cache())
+                out.select(query_id, point_id, "dist", "rank"))
             break
-        wq = Window.partitionBy(query_id)
-        flagged = out.withColumn(
-            "_resolved",
-            (F.col("n_hits") >= k)
-            & (F.max("dist").over(wq) <= F.lit(safe_radius(r)))).cache()
+        flagged = _knn_at_res(remaining, points, k, query_id, point_id,
+                              r, q_lon, q_lat, p_lon, p_lat,
+                              broadcast_points,
+                              radius=safe_radius(r)).localCheckpoint()
         resolved_parts.append(
             flagged.filter(F.col("_resolved"))
-            .select(query_id, point_id, "dist", "rank").cache())
+            .select(query_id, point_id, "dist", "rank"))
         solved_ids = (flagged.filter(F.col("_resolved"))
                       .select(query_id).distinct())
-        remaining = remaining.join(solved_ids, query_id, "left_anti").cache()
+        remaining = (remaining.join(solved_ids, query_id, "left_anti")
+                     .localCheckpoint())
         if remaining.isEmpty():
             break
         r = max(r - res_step, 0)

@@ -70,9 +70,24 @@ def test_pip_join_is_broadcast_plus_arrow(spark, sf_dir):
 
 
 def test_knn_candidates_broadcast(spark, sf_dir):
-    df = E.queries()["knn_geo"](spark, sf_dir)
+    """knn_join localCheckpoints each round (the driver-visible plan is
+    a Scan ExistingRDD), so assert the join strategy on the candidate
+    pass itself — the plan that actually executes per round."""
+    from esri_dump_spark.operators.knn import _knn_at_res
+    pts = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .selectExpr("c_custkey AS point_id",
+                       "(CAST(c_custkey % 360 AS DOUBLE) - 180.0) AS lon",
+                       "(CAST(c_custkey % 180 AS DOUBLE) - 90.0) AS lat"))
+    queries = (pts.orderBy("point_id").limit(20)
+               .selectExpr("point_id AS query_id", "lon", "lat"))
+    df = _knn_at_res(queries, pts, 5, "query_id", "point_id", 4,
+                     "lon", "lat", "lon", "lat", broadcast_points=True,
+                     radius=11.25)
     plan = _physical(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the 9-cell disk dedup is array_distinct pre-explode, not a
+    # dropDuplicates aggregate: no Exchange before the candidate join
+    assert "HashAggregate" not in plan.split("Window")[-1]
 
 
 def test_minhash_band_exchange_is_slim(spark, sf_dir):
