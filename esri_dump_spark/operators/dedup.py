@@ -17,6 +17,8 @@ splitmix64 over UTF-8 bytes, identical across executors and runs.
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
 import pandas as pd
 
@@ -424,6 +426,90 @@ def _lossless_blocks(total_bits: int, max_hamming: int) -> int:
     return total_bits
 
 
+def _block_widths(total_bits: int, m: int) -> list[int]:
+    """``m`` near-equal block widths summing to ``total_bits``
+    (the first ``total_bits % m`` blocks get the extra bit)."""
+    base, extra = divmod(total_bits, m)
+    return [base + 1] * extra + [base] * (m - extra)
+
+
+def _multi_index_plan(total_bits: int, max_hamming: int,
+                      min_key_bits: int = 15
+                      ) -> tuple[list[int], list[tuple[int, ...]]]:
+    """Lossless block-LSH plan with a LOWER BOUND on key width — the
+    generalized-pigeonhole multi-index of Manku, Jain & Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling" (WWW'07, §3).
+
+    Split the hash into ``m = max_hamming + r`` blocks: a pair within
+    the hamming budget leaves at least ``r`` blocks intact, so keying
+    one candidate table per r-subset of blocks (key = concatenation of
+    those blocks, C(m, r) tables) finds every qualifying pair.
+    ``r`` is the smallest value whose WORST-CASE key (sum of the r
+    narrowest widths) reaches ``min_key_bits`` — this is what keeps
+    bucket sizes sub-quadratic at high hamming budgets, where the
+    naive one-block-per-key scheme degrades to 4-bit keys
+    (16 distinct values -> ~N/16-row buckets -> O(N^2/16) candidate
+    pairs at 10^9+ rows).
+
+    Returns (block widths LSB-first, list of r-subsets). r == 1
+    reduces to the classic single-block scheme (used automatically
+    when one block is already wide enough, e.g. the default
+    max_hamming=3 over 60 bits -> 4 x 15-bit blocks, 4 tables)."""
+    for r in range(1, total_bits + 1):
+        m = max_hamming + r
+        if m > total_bits:
+            break
+        widths = _block_widths(total_bits, m)
+        if sum(sorted(widths)[:r]) >= min_key_bits:
+            return widths, [tuple(c)
+                            for c in combinations(range(m), r)]
+    # degenerate (hamming budget ~ hash width): fall back to the
+    # plain lossless single-block split — still correct, just narrow
+    m = min(max_hamming + 1, total_bits)
+    return _block_widths(total_bits, m), [(j,) for j in range(m)]
+
+
+def _block_lsh_chunks(hashed: DataFrame, id_col: str, hash_col: str,
+                      total_bits: int, max_hamming: int,
+                      min_key_bits: int = 15) -> DataFrame:
+    """(id, hash) -> one row per candidate table: (id, hash,
+    block_idx, chunk) where ``chunk`` is the concatenated r-subset
+    key from ``_multi_index_plan``. Pure JVM expressions; the
+    downstream equi-join on (block_idx, chunk) is lossless for pairs
+    within ``max_hamming``.
+
+    Codegen discipline: the subsets ride as a LITERAL
+    array<array<int>> that posexplode fans out, and the key folds r
+    ``element_at`` lookups over a single m-element block array — the
+    generated code is O(m + r), independent of C(m, r). (Inlining one
+    key expression per subset OOMed janino at C(11, 3) = 165
+    tables.) Concatenation uses multiply-add (acc * 2^w + block),
+    bit-identical to shift-or, because the builtin shiftleft wants a
+    literal shift while widths vary per block."""
+    widths, subsets = _multi_index_plan(total_bits, max_hamming,
+                                        min_key_bits)
+    offsets = [sum(widths[:j]) for j in range(len(widths))]
+    blocks_arr = F.array(*[
+        F.shiftrightunsigned(hash_col, offsets[j])
+        .bitwiseAND(F.lit((1 << widths[j]) - 1))
+        for j in range(len(widths))
+    ])
+    pow2_arr = F.array(*[F.lit(1 << w).cast("long") for w in widths])
+    subs_lit = F.array(*[
+        F.array(*[F.lit(i) for i in sub]) for sub in subsets])
+    r = len(subsets[0])
+    base = hashed.select(
+        id_col, hash_col, blocks_arr.alias("_blocks"),
+        F.posexplode(subs_lit).alias("block_idx", "_sub"))
+    acc = F.element_at("_blocks", F.col("_sub")[0] + F.lit(1))
+    for t in range(1, r):
+        idx = F.col("_sub")[t] + F.lit(1)
+        acc = (acc * F.element_at(pow2_arr, idx)
+               + F.element_at("_blocks", idx))
+    return base.select(id_col, hash_col, "block_idx",
+                       acc.alias("chunk"))
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3,
                   blocks: int | None = None) -> DataFrame:
@@ -435,27 +521,36 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     hamming filter, which is what the SQL oracle computes. Verified
     with exact popcount.
 
-    ``blocks=None`` (default) auto-picks the smallest lossless block
-    count for ``max_hamming``; passing an explicit smaller value trades
-    recall for join selectivity (pairs whose differing bits touch every
-    chunk are missed) — callers owning that trade must say so."""
-    if blocks is None:
-        blocks = _lossless_blocks(SIMHASH_BITS, max_hamming)
-    width = SIMHASH_BITS // blocks
-    mask = (1 << width) - 1
+    ``blocks=None`` (default) picks a lossless plan via
+    ``_multi_index_plan``: the classic one-block-per-key split while a
+    block stays >= 15 bits (max_hamming=3 -> 4 x 15-bit keys), and the
+    Manku C(m, r) multi-index at higher budgets where single blocks
+    would collapse to a handful of bits and buckets would go quadratic
+    at scale. Passing an explicit ``blocks`` keeps the plain split
+    with that count — narrower keys, caller owns the trade (and the
+    recall loss when blocks <= max_hamming)."""
     hashed = simhash(df.select(id_col, text_col), text_col)
-    chunks = hashed.select(
-        id_col, "simhash",
-        F.posexplode(F.array(*[
-            (F.shiftrightunsigned("simhash", i * width)
-             .bitwiseAND(F.lit(mask))).alias(f"c{i}")
-            for i in range(blocks)
-        ])).alias("block_idx", "chunk"))
+    if blocks is None:
+        chunks = _block_lsh_chunks(hashed, id_col, "simhash",
+                                   SIMHASH_BITS, max_hamming)
+    else:
+        width = SIMHASH_BITS // blocks
+        mask = (1 << width) - 1
+        chunks = hashed.select(
+            id_col, "simhash",
+            F.posexplode(F.array(*[
+                (F.shiftrightunsigned("simhash", i * width)
+                 .bitwiseAND(F.lit(mask))).alias(f"c{i}")
+                for i in range(blocks)
+            ])).alias("block_idx", "chunk"))
     a = chunks.select(F.col(id_col).alias("id_a"),
                       F.col("simhash").alias("h_a"), "block_idx", "chunk")
     b = chunks.select(F.col(id_col).alias("id_b"),
                       F.col("simhash").alias("h_b"), "block_idx", "chunk")
-    pairs = (a.join(b, ["block_idx", "chunk"])
+    # shuffle-hash, never broadcast: the multi-index fan-out makes the
+    # chunk table C(m, r) x rows — the size estimator (which keeps the
+    # pre-explode estimate) would otherwise try to broadcast it
+    pairs = (a.hint("shuffle_hash").join(b, ["block_idx", "chunk"])
              .filter(F.col("id_a") < F.col("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
     return (pairs
@@ -660,25 +755,31 @@ def phash_near_dup(images: DataFrame, id_col: str = "image_id",
                    phash_col: str = "phash", max_hamming: int = 6,
                    blocks: int | None = None) -> DataFrame:
     """Image near-dup via perceptual-hash block LSH + exact hamming —
-    same pigeonhole trick as simhash_pairs, over the precomputed phash
-    column of the image table. ``blocks=None`` auto-picks the smallest
-    lossless block count for ``max_hamming`` (see simhash_pairs)."""
+    same pigeonhole machinery as simhash_pairs, over the precomputed
+    phash column of the image table. ``blocks=None`` picks the
+    lossless plan via ``_multi_index_plan`` — at ``max_hamming=8``
+    over 64 bits that is the C(11, 3) multi-index with >= 16-bit
+    concatenated keys, not 16 x 4-bit blocks whose ~N/16-row buckets
+    self-join quadratically at 10^9+ images."""
     if blocks is None:
-        blocks = _lossless_blocks(64, max_hamming)
-    width = 64 // blocks
-    mask = (1 << width) - 1
-    chunks = images.select(
-        id_col, phash_col,
-        F.posexplode(F.array(*[
-            (F.shiftrightunsigned(phash_col, i * width)
-             .bitwiseAND(F.lit(mask)))
-            for i in range(blocks)
-        ])).alias("block_idx", "chunk"))
+        chunks = _block_lsh_chunks(images.select(id_col, phash_col),
+                                   id_col, phash_col, 64, max_hamming)
+    else:
+        width = 64 // blocks
+        mask = (1 << width) - 1
+        chunks = images.select(
+            id_col, phash_col,
+            F.posexplode(F.array(*[
+                (F.shiftrightunsigned(phash_col, i * width)
+                 .bitwiseAND(F.lit(mask)))
+                for i in range(blocks)
+            ])).alias("block_idx", "chunk"))
     a = chunks.select(F.col(id_col).alias("id_a"),
                       F.col(phash_col).alias("h_a"), "block_idx", "chunk")
     b = chunks.select(F.col(id_col).alias("id_b"),
                       F.col(phash_col).alias("h_b"), "block_idx", "chunk")
-    return (a.join(b, ["block_idx", "chunk"])
+    # shuffle-hash, never broadcast (see simhash_pairs)
+    return (a.hint("shuffle_hash").join(b, ["block_idx", "chunk"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
             .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
