@@ -69,7 +69,9 @@ def run_headline(spark) -> dict[str, float]:
         "cell_assign", "tile_assign", "pip_rect", "pip_diamond", "pip_hole",
         "knn_geo", "token_count", "quality_score", "lang_id", "exact_dedup",
         "ann_cosine", "events_hourly", "minhash_pairs_hashkey",
-        "ngram_jaccard",
+        # capped = the scale path (bounded O(max_df^2)/gram candidates);
+        # the uncapped exact variant stays an oracle-only verify query
+        "ngram_jaccard_capped",
         "sessionize_window", "salted_agg", "salted_join",
         "image_decode_stats", "extract_synthetic",
     ]
