@@ -223,6 +223,19 @@ def q_pip_rect(spark, sf_dir):
     return out.select("c_custkey").orderBy("c_custkey")
 
 
+def q_pip_rect_dist(spark, sf_dir):
+    """J2 via the DISTRIBUTED polygon-dimension path: cover cells
+    computed executor-side in mapInPandas (polygon_cover_df) and rings
+    riding the cover table — the millions-of-parcels posture. Must
+    equal the driver-dim pip_rect oracle exactly."""
+    from esri_dump_spark.operators.spatial_join import (
+        point_in_polygon_join_dist)
+    pts = _pip_points(spark, sf_dir)
+    polys = spark.createDataFrame(_poly_pdf("rect", RECT_RING))
+    out = point_in_polygon_join_dist(pts, polys, res=8)
+    return out.select("c_custkey").orderBy("c_custkey")
+
+
 def q_pip_diamond(spark, sf_dir):
     """J2 (non-rectangular): exact even-odd refine on a rotated hull."""
     pts = _pip_points(spark, sf_dir)
@@ -952,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracled twins of recorded queries (same operator rows:
         # identical output via another plan, or a sibling variant) ----
         "match_expr": q_match_expr,             # F7: class_breaks twin
+        "pip_rect_dist": q_pip_rect_dist,       # J2: executor-built dim
         "pip_diamond": q_pip_diamond,           # G3: 4 pip queries recorded
         "knn_geo_shuffle": q_knn_geo_shuffle,   # J3: AQE plan variant
         "sessionize_window": q_sessionize_window,  # identical output
@@ -1377,4 +1391,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["sessionize_window"] = oracles["sessionize"]
     # shuffle-path kNN must equal the broadcast-path plan
     oracles["knn_geo_shuffle"] = oracles["knn_geo"]
+    # the executor-built polygon dimension must equal the driver path
+    oracles["pip_rect_dist"] = oracles["pip_rect"]
     return oracles

@@ -39,7 +39,8 @@ from ..kernels import cells as C
 from ..kernels.rings import points_in_polygon, close_ring
 
 __all__ = ["attach_cell", "polygon_cell_index", "build_polygon_dim",
-           "point_in_polygon_join", "DEFAULT_RES"]
+           "point_in_polygon_join", "polygon_cover_df",
+           "point_in_polygon_join_dist", "DEFAULT_RES"]
 
 DEFAULT_RES = 12
 
@@ -60,8 +61,9 @@ def polygon_cell_index(spark: SparkSession, polygons: pd.DataFrame,
                        res: int = DEFAULT_RES) -> DataFrame:
     """(cell, poly_id) cover table. ``polygons`` is the small dimension
     side as pandas: columns (poly_id, rings_json). Computed driver-side
-    — polygon counts are thousands, not billions; for larger polygon
-    sets run the same kernel in mapInPandas over a polygon DataFrame."""
+    — right for polygon counts in the thousands; for larger polygon
+    sets use ``polygon_cover_df`` / ``point_in_polygon_join_dist``,
+    which run the same kernel executor-side in mapInPandas."""
     cover_pdf, _ = build_polygon_dim(polygons, res)
     return spark.createDataFrame(cover_pdf)
 
@@ -84,6 +86,118 @@ def build_polygon_dim(polygons: pd.DataFrame, res: int = DEFAULT_RES):
                     [a.tolist() for a in _parse_rings(r.rings_json)]
                     for r in polygons.itertuples(index=False)}
     return cover_pdf, rings_by_pid
+
+
+def polygon_cover_df(polygons: DataFrame, res: int = DEFAULT_RES,
+                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Distributed polygon dimension: the exact cell-cover kernel
+    (``kernels.cells.polygon_cover``, unchanged) run EXECUTOR-side in
+    ``mapInPandas`` over a polygon DataFrame — the scale path for
+    polygon sets beyond driver memory (millions of parcels), where
+    ``build_polygon_dim``'s driver loop stops being a 'small static
+    dim' and becomes the bottleneck.
+
+    Input: (poly_id long, rings_json string [, keep_cols...]).
+    Output: one row per (cell, polygon): (cell, poly_id, rings_json
+    [, keep_cols...]) — rings ride the cover table so the downstream
+    candidate join needs NO second join to fetch geometry for the
+    refine. Never materializes on the driver."""
+    import pyspark.sql.types as T
+    fields = [T.StructField("cell", T.LongType()),
+              T.StructField("poly_id", T.LongType()),
+              T.StructField("rings_json", T.StringType())]
+    in_schema = dict(zip(polygons.schema.names, polygons.schema.fields))
+    for c in keep_cols:
+        fields.append(T.StructField(c, in_schema[c].dataType))
+    schema = T.StructType(fields)
+
+    def run(batches):
+        for b in batches:
+            out = []
+            for rec in b.itertuples(index=False):
+                rings = _parse_rings(rec.rings_json)
+                cover = C.polygon_cover(rings, res, exact=True)
+                row = {"cell": cover,
+                       "poly_id": np.full(cover.shape, rec.poly_id,
+                                          dtype=np.int64),
+                       "rings_json": rec.rings_json}
+                for c in keep_cols:
+                    row[c] = getattr(rec, c)
+                out.append(pd.DataFrame(row))
+            yield (pd.concat(out, ignore_index=True) if out
+                   else pd.DataFrame(columns=[f.name for f in fields]))
+
+    cols = ["poly_id", "rings_json", *keep_cols]
+    return polygons.select(*cols).mapInPandas(run, schema=schema)
+
+
+def _pip_refine_json():
+    """Refine predicate for the distributed path: rings arrive as the
+    joined ``rings_json`` column (no driver-held dict). Batches group
+    by distinct polygon so the ray-cast kernel runs vectorized per
+    polygon; JSON parse cost is per (batch x distinct polygon)."""
+
+    @pandas_udf("boolean")
+    def refine(lon: pd.Series, lat: pd.Series,
+               rings_json: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        pts = np.column_stack([lon.to_numpy(np.float64),
+                               lat.to_numpy(np.float64)])
+        codes, uniques = pd.factorize(rings_json)
+        for u, rj in enumerate(uniques):
+            mask = codes == u
+            rings = _parse_rings(rj)
+            out[mask] = points_in_polygon(pts[mask], rings)
+        return pd.Series(out)
+
+    return refine
+
+
+def point_in_polygon_join_dist(points: DataFrame, polygons: DataFrame,
+                               lon_col: str = "lon", lat_col: str = "lat",
+                               res: int = DEFAULT_RES,
+                               how: str = "inner",
+                               id_col: str | None = None,
+                               broadcast_cover: bool | None = None
+                               ) -> DataFrame:
+    """J2 at polygon-table scale: same semantics as
+    ``point_in_polygon_join`` but the polygon side is a DataFrame and
+    the cover dimension is built executor-side (``polygon_cover_df``)
+    — nothing polygon-sized ever touches the driver.
+
+    Join strategy: ``broadcast_cover=True`` forces the broadcast
+    coarse join (right for cover tables under the broadcast
+    threshold); ``False`` forces the shuffle path (points shuffle on
+    cell — at 10^12 rows pair this with cell-bucketed storage so the
+    exchange is a no-op); ``None`` (default) lets AQE decide from the
+    cover's runtime size."""
+    keep = ("name",) if "name" in polygons.columns else ()
+    cover = polygon_cover_df(polygons, res, keep_cols=keep)
+    if broadcast_cover is True:
+        cover = F.broadcast(cover)
+    elif broadcast_cover is False:
+        cover = cover.hint("shuffle_hash")
+
+    pts = attach_cell(points, lon_col, lat_col, res)
+    refine = _pip_refine_json()
+    cand = pts.join(cover, "cell", "inner")
+    matched = cand.filter(refine(F.col(lon_col), F.col(lat_col),
+                                 F.col("rings_json")))
+
+    if how == "inner":
+        out = matched.drop("cell", "rings_json")
+        if "name" in polygons.columns:
+            out = out.withColumnRenamed("name", "poly_name")
+        return out
+    key = id_col if id_col is not None else points.columns[0]
+    if key not in points.columns:
+        raise ValueError(f"id_col {key!r} not in points columns")
+    if how == "left_semi":
+        return matched.select(*points.columns).dropDuplicates([key])
+    if how == "left_anti":
+        matched_ids = matched.select(key).distinct()
+        return points.join(matched_ids, key, "left_anti")
+    raise ValueError(f"unknown how={how!r}")
 
 
 def point_in_polygon_join(points: DataFrame, polygons: pd.DataFrame,

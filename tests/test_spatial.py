@@ -77,6 +77,68 @@ def test_pip_join_uses_broadcast(spark, points_pdf):
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
+def _grid_polygons_pdf(n: int) -> pd.DataFrame:
+    """n small squares tiling a lon/lat grid, deterministic."""
+    rows = []
+    side = int(np.ceil(np.sqrt(n)))
+    # tile the fixture point extent (DEFAULT_EXTENT, ~8.4 x 8.6 deg)
+    for i in range(n):
+        gx, gy = i % side, i // side
+        x0 = -97.0 + gx * (8.4 / side)
+        y0 = 20.5 + gy * (8.6 / side)
+        w = 0.7 * (8.4 / side)
+        ring = [[x0, y0], [x0 + w, y0], [x0 + w, y0 + w],
+                [x0, y0 + w], [x0, y0]]
+        rows.append({"poly_id": i, "name": f"sq{i}",
+                     "rings_json": json.dumps([ring])})
+    return pd.DataFrame(rows)
+
+
+def test_pip_join_dist_matches_driver_path(spark, points_pdf):
+    """The distributed polygon-dimension build (cover computed
+    executor-side via mapInPandas over >= 10k polygons) must produce
+    exactly the driver-path result."""
+    from esri_dump_spark.operators.spatial_join import (
+        point_in_polygon_join_dist)
+    polys = _grid_polygons_pdf(10_000)
+    pts = spark.createDataFrame(points_pdf)
+    pdf_polys = spark.createDataFrame(polys).repartition(8)
+    got = {(r.image_id, r.poly_id)
+           for r in point_in_polygon_join_dist(pts, pdf_polys,
+                                               res=8).collect()}
+    exp = {(r.image_id, r.poly_id)
+           for r in point_in_polygon_join(pts, polys, res=8).collect()}
+    assert got == exp and len(got) > 100
+    # semi/anti partition holds on the dist path too
+    n_in = point_in_polygon_join_dist(pts, pdf_polys, res=8,
+                                      how="left_semi").count()
+    n_out = point_in_polygon_join_dist(pts, pdf_polys, res=8,
+                                       how="left_anti").count()
+    assert n_in + n_out == len(points_pdf)
+
+
+def test_pip_join_dist_cover_built_executor_side(spark, points_pdf):
+    """Plan shape: the cover dimension comes from a MapInPandas
+    (executor-side kernel) feeding the coarse join — NOT a driver
+    materialization (no LocalTableScan/Scan ExistingRDD on the cover
+    side), and the forced-shuffle path shows no broadcast of it."""
+    from esri_dump_spark.operators.spatial_join import (
+        point_in_polygon_join_dist)
+    pts = spark.createDataFrame(points_pdf)
+    pdf_polys = spark.createDataFrame(_grid_polygons_pdf(10_000))
+    plan = point_in_polygon_join_dist(
+        pts, pdf_polys, res=8, broadcast_cover=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "Scan ExistingRDD" not in plan, plan[:3000]
+    # broadcast variant: still executor-built, exchanged via broadcast
+    plan_b = point_in_polygon_join_dist(
+        pts, pdf_polys, res=8, broadcast_cover=True)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_b and "BroadcastHashJoin" in plan_b
+
+
 def test_knn_matches_exact_oracle(spark):
     pdf = images_pdf(1500, with_geo=True)[["image_id", "lon", "lat"]]
     pts = spark.createDataFrame(pdf).withColumnRenamed("image_id", "point_id")
