@@ -37,6 +37,19 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen under-partitioned input to the cluster's parallelism
+    before a per-row-expensive stage (signature / gram computation).
+    A small parquet file arrives as ONE input split, which would run
+    the Arrow UDF or gram explode on a single core; at warehouse scale
+    inputs already carry >= defaultParallelism splits and this is a
+    no-op (no shuffle inserted)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -100,7 +113,7 @@ def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 64,
             out_rows.append(m.min(axis=0).astype(np.int64))
         return pd.Series(out_rows)
 
-    return df.withColumn(out, sig(F.col(text_col)))
+    return _spread(df).withColumn(out, sig(F.col(text_col)))
 
 
 def minhash_sql_cte(id_col: str = "doc_id", text_col: str = "text",
@@ -383,7 +396,7 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash",
             vals[i] = np.int64(v.astype(np.int64))
         return pd.Series(vals)
 
-    return df.withColumn(out, sh(F.col(text_col)))
+    return _spread(df).withColumn(out, sh(F.col(text_col)))
 
 
 def simhash_sql_cte(id_col: str = "doc_id", text_col: str = "text",
@@ -585,7 +598,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # hoist the word split into a column: inside the lambda it would be
     # re-evaluated per gram (no common-subexpression elimination across
     # higher-order-function bodies), turning tokenization O(words^2)
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col),
         F.expr(f"split(lower({text_col}), ' ')").alias("_w")
     ).select(
@@ -602,7 +615,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
 
-    # candidate-generation gram set: optionally drop corpus-hot grams
+    # candidate-generation gram set: optionally drop corpus-hot grams.
+    # groupBy (map-side partial agg -> tiny df-per-gram table) + join
+    # back on the SAME gram partitioning: the exchange is shared with
+    # the downstream self-join, and no sort is involved (a window
+    # formulation of the df count pays a per-partition sort of the
+    # full gram table — measurably slower locally, and a sort vs a
+    # hash agg at warehouse scale).
     cand_grams = grams
     if max_df is not None:
         rare = (grams.groupBy("gram")
@@ -625,18 +644,55 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         shared = cand.groupBy("id_a", "id_b", "na", "nb") \
             .agg(F.count("*").alias("shared"))
     else:
-        # exact re-count over FULL gram sets for surviving candidates:
-        # pair list is output-bounded, so this is two id equi-joins +
-        # a gram equi-match, not another quadratic blow-up
-        pair_ids = cand.select("id_a", "id_b", "na", "nb").distinct()
-        fa = grams.select(F.col(id_col).alias("id_a"), "gram")
-        fb = grams.select(F.col(id_col).alias("_idb"),
-                          F.col("gram").alias("_gram_b"))
-        shared = (pair_ids.join(fa, "id_a")
-                  .join(fb, (F.col("id_b") == F.col("_idb"))
-                        & (F.col("gram") == F.col("_gram_b")))
-                  .groupBy("id_a", "id_b", "na", "nb")
-                  .agg(F.count("*").alias("shared")))
+        # Count shared RARE grams in the candidate aggregation itself
+        # (same shape as the uncapped path), then bound the full-set
+        # count: shared <= shared_rare + min(hot_a, hot_b) where
+        # hot_x = grams of x excluded by the cap. Pairs failing the
+        # threshold at that UPPER bound are discarded losslessly;
+        # pairs with no hot grams on either side are already exact.
+        # Only the residual (cleared-the-bound AND both sides have hot
+        # grams) is re-counted over FULL gram sets — candidate volume
+        # (~df^2-bounded, e.g. 850k pairs at sf0.1) never reaches the
+        # recount joins, which round 2 paid for every candidate.
+        shared_c = cand.groupBy("id_a", "id_b", "na", "nb") \
+            .agg(F.count("*").alias("shared_c"))
+        rsz = cand_grams.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_rare"))
+        ra = rsz.select(F.col(id_col).alias("id_a"),
+                        F.col("n_rare").alias("nra"))
+        rb = rsz.select(F.col(id_col).alias("id_b"),
+                        F.col("n_rare").alias("nrb"))
+        # one materialization of the candidate pipeline: both branches
+        # (already-exact and needs-recount) read the checkpoint
+        p = (shared_c.join(F.broadcast(ra), "id_a")
+             .join(F.broadcast(rb), "id_b")
+             .withColumn("hot_cap", F.least(F.col("na") - F.col("nra"),
+                                            F.col("nb") - F.col("nrb")))
+             .withColumn("_upper", F.col("shared_c") + F.col("hot_cap"))
+             .filter(F.col("_upper") >= threshold
+                     * (F.col("na") + F.col("nb") - F.col("_upper")))
+             .localCheckpoint())
+        exact_now = p.filter(F.col("hot_cap") == 0).select(
+            "id_a", "id_b", "na", "nb",
+            F.col("shared_c").alias("shared"))
+        need = (p.filter(F.col("hot_cap") > 0)
+                .select("id_a", "id_b", "na", "nb"))
+        # recount the residual over FULL gram sets: semi-join the gram
+        # table down to the residual's documents first, so every
+        # exchange is bounded by the residual, never the corpus
+        ids = (need.select(F.col("id_a").alias(id_col))
+               .unionByName(need.select(F.col("id_b").alias(id_col)))
+               .distinct())
+        pg = grams.join(ids, id_col, "left_semi")
+        fa = pg.select(F.col(id_col).alias("id_a"), "gram")
+        fb = pg.select(F.col(id_col).alias("_idb"),
+                       F.col("gram").alias("_gram_b"))
+        recounted = (need.join(fa, "id_a")
+                     .join(fb, (F.col("id_b") == F.col("_idb"))
+                           & (F.col("gram") == F.col("_gram_b")))
+                     .groupBy("id_a", "id_b", "na", "nb")
+                     .agg(F.count("*").alias("shared")))
+        shared = exact_now.unionByName(recounted)
     return (shared
             .withColumn("jaccard", F.col("shared")
                         / (F.col("na") + F.col("nb") - F.col("shared")))
