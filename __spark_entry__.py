@@ -632,13 +632,17 @@ def q_extract_synthetic(spark, sf_dir):
 
 def q_pip_fixture_polygons(spark, sf_dir):
     """J2 on complex fixture polygons (holes, multipolygon, promoted
-    hole) over the synthetic image table. Non-SQL: rows-only."""
+    hole) over the synthetic image table — golden per-polygon counts
+    (multi-row literal oracle, like `discovery`): the exact ray-cast
+    against a seeded point set pins every hole/multipolygon branch."""
     from esri_dump_spark.sources.fixtures import (ensure_images_parquet,
                                                   polygons_pdf)
     pts = spark.read.parquet(ensure_images_parquet(2000)) \
         .select("image_id", "lon", "lat")
     out = point_in_polygon_join(pts, polygons_pdf(), res=10)
-    return out.select("image_id", "poly_id", "poly_name")
+    return (out.groupBy("poly_id", "poly_name")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("poly_id"))
 
 
 def q_image_decode_stats(spark, sf_dir):
@@ -775,33 +779,54 @@ def q_resize_images(spark, sf_dir):
 
 
 def q_phash_near_dup(spark, sf_dir):
-    """Image near-dup via phash block-LSH + exact hamming. Rows-only."""
+    """Image near-dup via phash block-LSH (C(m,r) multi-index at
+    hamming 8) + exact hamming, golden-literal rollup: the pair set is
+    a pure function of the seeded fixture, and candidate gen is
+    LOSSLESS, so the integer invariants freeze (pair count, hamming
+    sum, exact-dup count). Brute-force parity additionally asserted in
+    tests/test_pipeline_ops.py."""
     from esri_dump_spark.operators.dedup import phash_near_dup
     from esri_dump_spark.sources.fixtures import ensure_images_parquet
     imgs = spark.read.parquet(ensure_images_parquet(2000))
-    return phash_near_dup(imgs, max_hamming=8)
+    pairs = phash_near_dup(imgs, max_hamming=8)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hamming").alias("sum_hamming"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .alias("n_exact"))
 
 
 def q_image_clean(spark, sf_dir):
     """Image-side cleaning pipeline: decode-invariant gate (dims,
     phash, caption, PSNR vs reference) -> phash near-dedup, min-id
-    survivor. Rows-only (image fixture is not a driver view)."""
+    survivor. Golden-literal rollup (seeded fixture + deterministic
+    gates => frozen integer invariants)."""
     from esri_dump_spark.operators.pipeline import clean_images
     from esri_dump_spark.sources.fixtures import ensure_images_parquet
     imgs = spark.read.parquet(ensure_images_parquet(2000))
     out = clean_images(imgs, max_phash_hamming=6)
-    return out.select("image_id", "w", "h", "fmt").orderBy("image_id")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("w").alias("sum_w"),
+        F.sum("h").alias("sum_h"),
+        F.sum(F.when(F.col("fmt") == "png", 1).otherwise(0))
+        .alias("n_png"))
 
 
 def q_crossmodal_near_dup(spark, sf_dir):
     """Image+caption consensus dedup: pairs flagged by BOTH phash
-    block-LSH and caption-simhash block-LSH. Rows-only (image fixture
-    table is not a driver view)."""
+    block-LSH and caption-simhash block-LSH. Golden-literal rollup
+    (both channels lossless-candidate + exact verify over the seeded
+    fixture)."""
     from esri_dump_spark.operators.dedup import crossmodal_near_dup
     from esri_dump_spark.sources.fixtures import ensure_images_parquet
     imgs = spark.read.parquet(ensure_images_parquet(2000))
-    return crossmodal_near_dup(imgs, max_phash_hamming=8,
-                               max_caption_hamming=10)
+    pairs = crossmodal_near_dup(imgs, max_phash_hamming=8,
+                                max_caption_hamming=10)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("phash_hamming").alias("sum_phash_hamming"),
+        F.sum("caption_hamming").alias("sum_caption_hamming"))
 
 
 def q_schema_doc(spark, sf_dir):
@@ -1398,4 +1423,38 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_geo_shuffle"] = oracles["knn_geo"]
     # the executor-built polygon dimension must equal the driver path
     oracles["pip_rect_dist"] = oracles["pip_rect"]
+    # hashkey band mode differs from the exact-string oracle mode only
+    # on astronomically-rare murmur collisions: same SQL twin
+    oracles["minhash_pairs_hashkey"] = oracles["minhash_pairs"]
+    # golden-literal image/pipeline invariants (seeded fixture +
+    # deterministic codecs/kernels; verified stable across parallelism
+    # and shuffle configs before freezing — same pattern as
+    # image_decode_stats)
+    oracles["phash_near_dup"] = """
+        SELECT CAST(50594 AS BIGINT) AS n_pairs,
+               CAST(298459 AS BIGINT) AS sum_hamming,
+               CAST(363 AS BIGINT) AS n_exact"""
+    oracles["image_clean"] = """
+        SELECT CAST(1431 AS BIGINT) AS n_survivors,
+               CAST(41384 AS BIGINT) AS sum_w,
+               CAST(41496 AS BIGINT) AS sum_h,
+               CAST(1144 AS BIGINT) AS n_png"""
+    oracles["crossmodal_near_dup"] = """
+        SELECT CAST(244 AS BIGINT) AS n_pairs,
+               CAST(1428 AS BIGINT) AS sum_phash_hamming,
+               CAST(2214 AS BIGINT) AS sum_caption_hamming"""
+    # per-polygon PIP counts over the complex fixture polygons (holes,
+    # multipolygon, promoted hole, degenerate) — multi-row literal
+    oracles["pip_fixture_polygons"] = """
+        SELECT CAST(poly_id AS BIGINT) AS poly_id, poly_name,
+               CAST(n_points AS BIGINT) AS n_points
+        FROM (VALUES
+          (0, 'quad-0-0', 99), (1, 'quad-0-1', 101), (2, 'quad-0-2', 94),
+          (3, 'quad-0-3', 100), (4, 'quad-1-0', 105), (5, 'quad-1-1', 385),
+          (6, 'quad-1-2', 103), (7, 'quad-1-3', 83), (8, 'quad-2-0', 94),
+          (9, 'quad-2-1', 85), (10, 'quad-2-2', 106), (11, 'quad-2-3', 98),
+          (12, 'quad-3-0', 99), (13, 'quad-3-1', 100),
+          (14, 'quad-3-2', 113), (15, 'quad-3-3', 100),
+          (16, 'holed', 80), (17, 'multi', 11), (18, 'promoted', 3),
+          (19, 'degen', 3)) AS t(poly_id, poly_name, n_points)"""
     return oracles
