@@ -630,10 +630,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 .select("gram"))
         cand_grams = grams.join(rare, "gram")
 
+    # per-doc size attach: AQE picks broadcast when the sizes table
+    # fits (always, locally) and falls back to a shuffle join at
+    # doc counts where a per-doc table is no longer broadcastable —
+    # an explicit broadcast hint here would OOM the driver at 1e12 docs
     a = cand_grams.select(F.col(id_col).alias("id_a"), "gram") \
-        .join(F.broadcast(sa), "id_a")
+        .join(sa, "id_a")
     b = cand_grams.select(F.col(id_col).alias("id_b"), "gram") \
-        .join(F.broadcast(sb), "id_b")
+        .join(sb, "id_b")
     # lossless prune before the expensive pair count: J >= t forces
     # min(na, nb) >= t * max(na, nb); shared <= min also bounds J
     cand = (a.join(b, "gram")
@@ -664,8 +668,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         F.col("n_rare").alias("nrb"))
         # one materialization of the candidate pipeline: both branches
         # (already-exact and needs-recount) read the checkpoint
-        p = (shared_c.join(F.broadcast(ra), "id_a")
-             .join(F.broadcast(rb), "id_b")
+        p = (shared_c.join(ra, "id_a")
+             .join(rb, "id_b")
              .withColumn("hot_cap", F.least(F.col("na") - F.col("nra"),
                                             F.col("nb") - F.col("nrb")))
              .withColumn("_upper", F.col("shared_c") + F.col("hot_cap"))
