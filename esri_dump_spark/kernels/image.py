@@ -56,26 +56,46 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8. Handles filters 0-2 (what we and
-    most encoders of untextured data emit); raises on others."""
+    most encoders of untextured data emit); raises on others.
+
+    Same malformed-stream contract as ``decode_jpeg``: every parse
+    failure (truncated chunk headers, missing/short IHDR, corrupt
+    zlib stream, payload/dimension mismatch) raises ``ValueError`` —
+    never struct.error/zlib.error/TypeError — so ``decode_stats``
+    lands corrupt rows as ``ok=false`` instead of killing the task."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w = 8, None
+    pos, w, h = 8, None, None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         payload = data[pos + 8:pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if len(payload) < 13:
+                raise ValueError("truncated IHDR")
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13])
             if depth != 8 or ctype != 2 or interlace != 0:
                 raise NotImplementedError("only 8-bit RGB non-interlaced")
+            if w == 0 or h == 0:
+                raise ValueError("IHDR declares zero dimension")
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
-    raw = zlib.decompress(bytes(idat))
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = 1 + w * 3
+    if len(raw) != h * stride:
+        raise ValueError("PNG payload size does not match dimensions")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     filters = rows[:, 0]
     out = np.empty((h, w * 3), dtype=np.uint8)

@@ -85,6 +85,53 @@ def test_png_roundtrip_lossless():
     assert I.psnr(px, back) == float("inf")
 
 
+def test_png_decoder_rejects_garbage_with_valueerror_only():
+    """Same contract as the JPEG fuzz test: malformed PNG streams must
+    raise only ValueError/NotImplementedError — a zlib.error or
+    struct.error would escape decode_stats' error handler and kill the
+    Spark task on one corrupt row."""
+    from hypothesis import given, settings, strategies as st
+    rng = np.random.default_rng(4)
+    good = I.encode_png(rng.integers(0, 256, (12, 14, 3), dtype=np.uint8))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def check(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            blob = data.draw(st.binary(min_size=0, max_size=200))
+        elif mode == 1:
+            cut = data.draw(st.integers(0, len(good)))
+            blob = good[:cut]
+        else:
+            pos = data.draw(st.integers(8, len(good) - 1))
+            bit = data.draw(st.integers(0, 7))
+            b = bytearray(good)
+            b[pos] ^= 1 << bit
+            blob = bytes(b)
+        try:
+            out = I.decode_png(blob)
+            assert out.ndim == 3 and out.shape[2] == 3
+        except (ValueError, NotImplementedError):
+            pass
+
+    check()
+    # targeted regression cases
+    import pytest
+    with pytest.raises(ValueError):
+        I.decode_png(good[:8])                          # header only
+    with pytest.raises(ValueError):                     # corrupt IDAT
+        b = bytearray(good)
+        i = good.index(b"IDAT") + 8
+        b[i] ^= 0xFF
+        I.decode_png(bytes(b))
+    with pytest.raises(ValueError):                     # zero width
+        b = bytearray(good)
+        i = good.index(b"IHDR") + 4
+        b[i:i + 4] = b"\x00\x00\x00\x00"
+        I.decode_png(bytes(b))
+
+
 def test_jpeg_lossy_psnr_above_40db():
     rng = np.random.default_rng(7)
     px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)

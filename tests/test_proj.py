@@ -226,3 +226,39 @@ def test_wkt_parser_nested_structure():
     assert crs["a"] == 6378249.145
     assert crs["params"]["central_meridian"] == -62.0
     assert crs["unit_to_m"] == 1.0
+
+
+def test_gnomonic_horizon_and_vnsp_domain_errors():
+    """Round-3 guards: points at/beyond the gnomonic horizon and
+    inverse iterations leaving the VNSP visibility cap raise a clean
+    ValueError, not ZeroDivisionError or a bare cap error."""
+    import math
+    crs = {"projection": "gnomonic", "a": 6378137.0, "rf": 298.257,
+           "unit_to_m": 1.0,
+           "params": {"central_meridian": 0.0, "latitude_of_origin": 0.0}}
+    g = P.projection_for(crs)
+    # interior point works
+    x, y = g.fwd(math.radians(10), math.radians(10))
+    lon, lat = g.inv(x, y)
+    assert abs(math.degrees(lon) - 10) < 1e-6
+    # antipode / horizon: ValueError, never ZeroDivisionError
+    for lam, phi in ((math.pi, 0.0), (math.pi / 2, 0.0),
+                     (math.radians(179), math.radians(45))):
+        with pytest.raises(ValueError):
+            g.fwd(lam, phi)
+
+    vcrs = {"projection": "vertical_near_side_perspective",
+            "a": 6378137.0, "rf": 298.257, "unit_to_m": 1.0,
+            "params": {"central_meridian": 0.0,
+                       "latitude_of_origin": 0.0,
+                       "height": 35_800_000.0}}
+    v = P.projection_for(vcrs)
+    x, y = v.fwd(math.radians(20), math.radians(15))
+    lon, lat = v.inv(x, y)
+    assert abs(math.degrees(lat) - 15) < 1e-6
+    with pytest.raises(ValueError):
+        v.fwd(math.radians(170), 0.0)  # beyond the visible cap
+    # an inverse far outside the projected disk must fail with
+    # ValueError (Newton steps leave the cap), not a raw cap error
+    with pytest.raises(ValueError):
+        v.inv(6378137.0 * 50, 0.0)
