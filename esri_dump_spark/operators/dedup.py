@@ -667,7 +667,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         rb = rsz.select(F.col(id_col).alias("id_b"),
                         F.col("n_rare").alias("nrb"))
         # one materialization of the candidate pipeline: both branches
-        # (already-exact and needs-recount) read the checkpoint
+        # (already-exact and needs-recount) read the checkpoint (a
+        # lazy cache() measured ~25% slower cold: the union's branches
+        # race to compute p's partitions before the cache lands)
         p = (shared_c.join(ra, "id_a")
              .join(rb, "id_b")
              .withColumn("hot_cap", F.least(F.col("na") - F.col("nra"),
