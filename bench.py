@@ -34,7 +34,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_POINTS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "32000000"))
 SCALE_PAIR = tuple(int(x) for x in
                    os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16").split(","))
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+# 8 reps/level (4 interleaved passes): the shared host's ~1.5x
+# hypervisor noise makes 2-3 reps a coin flip on which level gets the
+# quiet slot — measured efficiency swung 0.95 -> 0.82 run-to-run on
+# identical code; best-of-8 converges both levels to capability
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "8"))
 RES, Z = 8, 13
 
 

@@ -187,10 +187,14 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
             .select(query_id, point_id, "dist", "rank"))
         solved_ids = (flagged.filter(F.col("_resolved"))
                       .select(query_id).distinct())
-        remaining = (remaining.join(solved_ids, query_id, "left_anti")
-                     .localCheckpoint())
+        remaining = remaining.join(solved_ids, query_id, "left_anti")
+        # probe emptiness on the LAZY anti-join (limit-1 short-circuit
+        # against the flagged checkpoint) — the common all-resolved
+        # round pays no materialization; only an actual straggler set
+        # is checkpointed for the next round's candidate pass
         if remaining.isEmpty():
             break
+        remaining = remaining.localCheckpoint()
         r = max(r - res_step, 0)
 
     result = resolved_parts[0]
