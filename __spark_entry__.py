@@ -619,15 +619,33 @@ def q_extract_bbox_ids(spark, sf_dir):
 
 # --------------------------------------------- rows-only (non-SQL) queries
 
+def _extract_rollup(df):
+    """Golden rollup pinning the FULL GeoJSON output of an extraction
+    (not just the id set): row count, id sum, per-geometry-type
+    counts, and the total serialized length — any drift in decode,
+    ring assembly, rewind, or JSON serialization moves the literals."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("sum_id"),
+        F.sum(F.when(F.col("geom_type") == "Polygon", 1).otherwise(0))
+        .alias("n_polygon"),
+        F.sum(F.when(F.col("geom_type") == "MultiPolygon", 1)
+              .otherwise(0)).alias("n_multipolygon"),
+        F.sum(F.length("geojson")).alias("sum_geojson_len"))
+
+
 def q_extract_synthetic(spark, sf_dir):
     """EP1: full synthetic-FeatureServer extraction (manifest ->
-    mapInPandas decode -> dedup -> rewind). Non-SQL: rows-only check."""
+    mapInPandas decode -> dedup -> rewind), golden-literal rollup over
+    the COMPLETE GeoJSON output (see _extract_rollup). Per-row golden
+    fixtures live in tests/test_extract.py; the id-set twin is the
+    oracled `extract_ids`."""
     from esri_dump_spark.operators.extract import extract
     from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
     srv = SyntheticFeatureServer(n_features=2000, max_record_count=500,
                                  geometry_type="esriGeometryPolygon")
-    return extract(spark, srv, approach="iter").select(
-        "id", "geom_type", "geojson")
+    return _extract_rollup(extract(spark, srv, approach="iter").select(
+        "id", "geom_type", "geojson"))
 
 
 def q_pip_fixture_polygons(spark, sf_dir):
@@ -726,13 +744,15 @@ def q_emb_near_dup_lsh(spark, sf_dir):
 
 def q_extract_bbox(spark, sf_dir):
     """EP1 via the bbox quadtree strategy (S4): adaptive envelope
-    splitting against count probes, overlap dedup. Rows-only."""
+    splitting against count probes, overlap dedup — golden rollup;
+    MUST freeze to the identical literals as the offset path
+    (`extract_synthetic`): both strategies produce the same rows."""
     from esri_dump_spark.operators.extract import extract
     from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
     srv = SyntheticFeatureServer(n_features=2000, max_record_count=500,
                                  geometry_type="esriGeometryPolygon")
-    return extract(spark, srv, approach="bbox").select(
-        "id", "geom_type", "geojson")
+    return _extract_rollup(extract(spark, srv, approach="bbox").select(
+        "id", "geom_type", "geojson"))
 
 
 def q_verify_images(spark, sf_dir):
@@ -1443,6 +1463,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(244 AS BIGINT) AS n_pairs,
                CAST(1428 AS BIGINT) AS sum_phash_hamming,
                CAST(2214 AS BIGINT) AS sum_caption_hamming"""
+    # full-GeoJSON extraction rollups: both paging strategies MUST
+    # freeze to the same literals (identical output rows); any drift
+    # in decode / ring assembly / rewind / serialization moves them
+    _extract_golden = """
+        SELECT CAST(1979 AS BIGINT) AS n_rows,
+               CAST(1980504 AS BIGINT) AS sum_id,
+               CAST(1979 AS BIGINT) AS n_polygon,
+               CAST(0 AS BIGINT) AS n_multipolygon,
+               CAST(641323 AS BIGINT) AS sum_geojson_len"""
+    oracles["extract_synthetic"] = _extract_golden
+    oracles["extract_bbox"] = _extract_golden
     # per-polygon PIP counts over the complex fixture polygons (holes,
     # multipolygon, promoted hole, degenerate) — multi-row literal
     oracles["pip_fixture_polygons"] = """
