@@ -5,7 +5,14 @@ rollup, with per-partition lineage records and file-granularity
 checkpoint-resume.
 
 Run: scripts/submit.sh  (packages esri_dump_spark.zip via --py-files)
-Args: [images_parquet] [output_dir] [run_id]
+Args: [images_parquet] [output_dir] [run_id] [polygons_parquet]
+
+With a 4th arg the polygon dimension is a parquet table
+(poly_id, rings_json[, name]) and the join runs through
+``point_in_polygon_join_dist`` — the cover cells are computed
+EXECUTOR-side (mapInPandas), the posture for polygon tables beyond
+driver scale; without it the small fixture dimension is built
+driver-side as before.
 
 Resume model (Iceberg-manifest-like): the work unit is the input file
 (files stay unsplit below spark.sql.files.maxPartitionBytes, so a
@@ -27,8 +34,9 @@ import pyspark.sql.functions as F
 
 
 def run(spark: SparkSession, images_path: str, out_dir: str,
-        run_id: str = "default") -> dict:
-    from esri_dump_spark.operators.spatial_join import point_in_polygon_join
+        run_id: str = "default", polygons_path: str | None = None) -> dict:
+    from esri_dump_spark.operators.spatial_join import (
+        point_in_polygon_join, point_in_polygon_join_dist)
     from esri_dump_spark.operators.tiles import assign_tiles
     from esri_dump_spark.operators.lineage import (commit_attempt,
                                                    completed_keys,
@@ -51,7 +59,12 @@ def run(spark: SparkSession, images_path: str, out_dir: str,
     n_done = done.count()
     pending = imgs.join(F.broadcast(done), "work_key", "left_anti")
 
-    joined = point_in_polygon_join(pending, polygons_pdf(), res=11)
+    if polygons_path is not None:
+        polys = spark.read.parquet(polygons_path)
+        joined = point_in_polygon_join_dist(pending, polys, res=11,
+                                            id_col="image_id")
+    else:
+        joined = point_in_polygon_join(pending, polygons_pdf(), res=11)
     tiled = assign_tiles(joined, z=13)
     tiled = with_lineage(tiled, run_id, lineage_dir,
                          work_key_col="work_key", collect_keys=True,
@@ -72,12 +85,13 @@ def main() -> None:
     images_path = sys.argv[1] if len(sys.argv) > 1 else None
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/esri_dump_spark_out"
     run_id = sys.argv[3] if len(sys.argv) > 3 else "default"
+    polygons_path = sys.argv[4] if len(sys.argv) > 4 else None
 
     spark = SparkSession.builder.appName("esri-dump-spark-job").getOrCreate()
     if images_path is None:
         from esri_dump_spark.sources.fixtures import ensure_images_parquet
         images_path = ensure_images_parquet(100_000)
-    print(run(spark, images_path, out_dir, run_id))
+    print(run(spark, images_path, out_dir, run_id, polygons_path))
     spark.stop()
 
 

@@ -263,6 +263,46 @@ def test_multi_index_plan_wide_keys_at_high_hamming():
     assert _block_widths(60, 11) == [6] * 5 + [5] * 6
 
 
+def test_multi_index_plan_lossless_property():
+    """Property (hypothesis): for ANY hamming budget and bit width,
+    every pair within the budget shares at least one candidate table
+    key — the generalized-pigeonhole guarantee the scale path rests
+    on. Checked directly on the plan arithmetic (no Spark)."""
+    from hypothesis import given, settings, strategies as st
+    from esri_dump_spark.operators.dedup import _multi_index_plan
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(0, 2 ** 63 - 1), st.integers(1, 12),
+           st.integers(0, 2 ** 31), st.sampled_from([60, 64]))
+    def check(base, k, seed, total_bits):
+        import random
+        rng = random.Random(seed)
+        base &= (1 << total_bits) - 1
+        widths, subsets = _multi_index_plan(total_bits, k)
+        offsets = [sum(widths[:j]) for j in range(len(widths))]
+        # flip exactly k bits (worst case for the budget)
+        flips = rng.sample(range(total_bits), k)
+        other = base
+        for b in flips:
+            other ^= 1 << b
+
+        def keys(h):
+            blocks = [(h >> offsets[j]) & ((1 << widths[j]) - 1)
+                      for j in range(len(widths))]
+            out = []
+            for si, sub in enumerate(subsets):
+                acc = blocks[sub[0]]
+                for j in sub[1:]:
+                    acc = acc * (1 << widths[j]) + blocks[j]
+                out.append((si, acc))
+            return set(out)
+
+        assert keys(base) & keys(other), (
+            f"pair at hamming {k} missed by the multi-index")
+
+    check()
+
+
 def test_phash_multi_index_lossless_at_hamming8(spark):
     """Brute-force parity of the C(m, r) path: every pair within the
     budget found, none beyond it, on adversarial bit spreads."""

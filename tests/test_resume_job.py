@@ -62,6 +62,33 @@ def test_job_resumes_from_file_lineage(spark, tmp_path):
     assert _totals(spark, out) == _totals(spark, ref_out)
 
 
+def test_job_dist_polygon_dim_matches_driver_dim(spark, tmp_path):
+    """The spark-submit job with a parquet polygon table (executor-
+    built cover via point_in_polygon_join_dist) must produce the same
+    summed rollup as the driver-dim path, and resume identically."""
+    from esri_dump_spark.sources.fixtures import polygons_pdf
+
+    inp = str(tmp_path / "points")
+    out_d = str(tmp_path / "out_driver")
+    out_x = str(tmp_path / "out_dist")
+    _write_points(spark, inp, 0, 3000, 3)
+
+    ppdf = polygons_pdf()
+    polys_path = str(tmp_path / "polys")
+    spark.createDataFrame(ppdf).write.parquet(polys_path)
+
+    r_driver = job.run(spark, inp, out_d, run_id="d")
+    r_dist = job.run(spark, inp, out_x, run_id="x",
+                     polygons_path=polys_path)
+    assert _totals(spark, out_d) == _totals(spark, out_x)
+    assert r_dist["resumed_skipping_files"] == 0
+    # resume on the dist path: nothing new -> all files skipped
+    r_again = job.run(spark, inp, out_x, run_id="x",
+                      polygons_path=polys_path)
+    assert r_again["resumed_skipping_files"] == 3
+    assert r_again["metrics"]["n_rows"] == 0
+
+
 def test_crash_before_sink_write_does_not_certify_files(spark, tmp_path):
     """Lineage rows land during the shuffle MAP stage; if the job dies
     before the sink write commits, those rows must NOT mark files done
