@@ -588,7 +588,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     it, O(df^2) candidate rows. That is fine for post-LSH verification
     or keyed subsets; the SCALE PATH sets ``max_df``: grams whose
     document frequency exceeds the cap are excluded from CANDIDATE
-    GENERATION (bounding the self-join at O(max_df^2) per gram), and
+    GENERATION (each surviving gram's posting list is bounded by the
+    cap, so pairs explode from per-gram lists at O(max_df^2) each), and
     the Jaccard of surviving pairs is then re-counted over the FULL
     gram sets, so reported values stay exact. The cap is a recall
     bound, not an approximation of the metric: a threshold-J pair is
@@ -611,45 +612,64 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # the explode runs once. At warehouse scale this is a materialized
     # intermediate table instead of an executor cache.
     grams = grams.cache()
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
 
-    # candidate-generation gram set: optionally drop corpus-hot grams.
-    # groupBy (map-side partial agg -> tiny df-per-gram table) + join
-    # back on the SAME gram partitioning: the exchange is shared with
-    # the downstream self-join, and no sort is involved (a window
-    # formulation of the df count pays a per-partition sort of the
-    # full gram table — measurably slower locally, and a sort vs a
-    # hash agg at warehouse scale).
-    cand_grams = grams
-    if max_df is not None:
-        rare = (grams.groupBy("gram")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= max_df)
-                .select("gram"))
-        cand_grams = grams.join(rare, "gram")
-
-    # per-doc size attach: AQE picks broadcast when the sizes table
-    # fits (always, locally) and falls back to a shuffle join at
-    # doc counts where a per-doc table is no longer broadcastable —
-    # an explicit broadcast hint here would OOM the driver at 1e12 docs
-    a = cand_grams.select(F.col(id_col).alias("id_a"), "gram") \
-        .join(sa, "id_a")
-    b = cand_grams.select(F.col(id_col).alias("id_b"), "gram") \
-        .join(sb, "id_b")
-    # lossless prune before the expensive pair count: J >= t forces
-    # min(na, nb) >= t * max(na, nb); shared <= min also bounds J
-    cand = (a.join(b, "gram")
-            .filter((F.col("id_a") < F.col("id_b"))
-                    & (F.col("na") >= threshold * F.col("nb"))
-                    & (F.col("nb") >= threshold * F.col("na"))))
     if max_df is None:
+        sizes = grams.groupBy(id_col).agg(
+            F.count("*").alias("n_grams"))
+        sa = sizes.select(F.col(id_col).alias("id_a"),
+                          F.col("n_grams").alias("na"))
+        sb = sizes.select(F.col(id_col).alias("id_b"),
+                          F.col("n_grams").alias("nb"))
+        # per-doc size attach: AQE picks broadcast when the sizes table
+        # fits (always, locally) and falls back to a shuffle join at doc
+        # counts where a per-doc table is no longer broadcastable — an
+        # explicit broadcast hint here would OOM the driver at 1e12 docs
+        a = grams.select(F.col(id_col).alias("id_a"), "gram") \
+            .join(sa, "id_a")
+        b = grams.select(F.col(id_col).alias("id_b"), "gram") \
+            .join(sb, "id_b")
+        # lossless prune before the expensive pair count: J >= t forces
+        # min(na, nb) >= t * max(na, nb); shared <= min also bounds J
+        cand = (a.join(b, "gram")
+                .filter((F.col("id_a") < F.col("id_b"))
+                        & (F.col("na") >= threshold * F.col("nb"))
+                        & (F.col("nb") >= threshold * F.col("na"))))
         shared = cand.groupBy("id_a", "id_b", "na", "nb") \
             .agg(F.count("*").alias("shared"))
     else:
-        # Count shared RARE grams in the candidate aggregation itself
-        # (same shape as the uncapped path), then bound the full-set
+        # SCALE PATH candidate generation. Annotate every gram row with
+        # its document frequency (one agg + one gram-keyed join), then
+        # exploit the cap: after `_df <= max_df` filtering, the per-gram
+        # doc list is BOUNDED by max_df, so candidate pairs come from a
+        # single groupBy(gram) + collect_list + combinations-explode —
+        # pipelined on the annotate join's gram partitioning with no
+        # further exchange, and each gram emits <= C(max_df, 2) pair
+        # rows. This replaces the two-sided gram self-join (two more
+        # scans of the gram table + a wide join) and is the shape that
+        # survives hot grams at warehouse scale: the df filter runs
+        # BEFORE any list is collected, so no agg buffer ever holds a
+        # corpus-hot gram's postings.
+        gram_df = grams.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("_df"))
+        ann = grams.join(gram_df, "gram")
+        # ONE per-doc pass yields both totals: na (all grams) and
+        # n_rare (grams surviving the cap) — round 2 paid a separate
+        # aggregation pass over the candidate gram table for n_rare
+        sz2 = ann.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_na"),
+            F.sum(F.when(F.col("_df") <= max_df, 1)
+                  .otherwise(0)).alias("_nr"))
+        pairs = (ann.filter(F.col("_df") <= max_df)
+                 .groupBy("gram")
+                 .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+                 .filter(F.size("_ids") >= 2)
+                 .select(F.explode(F.expr(
+                     "flatten(transform(_ids, (x, i) -> "
+                     "transform(slice(_ids, i + 2, size(_ids)), "
+                     "y -> named_struct('id_a', x, 'id_b', y))))"
+                 )).alias("_p"))
+                 .select("_p.id_a", "_p.id_b"))
+        # Count shared RARE grams per pair, then bound the full-set
         # count: shared <= shared_rare + min(hot_a, hot_b) where
         # hot_x = grams of x excluded by the cap. Pairs failing the
         # threshold at that UPPER bound are discarded losslessly;
@@ -658,20 +678,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # grams) is re-counted over FULL gram sets — candidate volume
         # (~df^2-bounded, e.g. 850k pairs at sf0.1) never reaches the
         # recount joins, which round 2 paid for every candidate.
-        shared_c = cand.groupBy("id_a", "id_b", "na", "nb") \
-            .agg(F.count("*").alias("shared_c"))
-        rsz = cand_grams.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_rare"))
-        ra = rsz.select(F.col(id_col).alias("id_a"),
-                        F.col("n_rare").alias("nra"))
-        rb = rsz.select(F.col(id_col).alias("id_b"),
-                        F.col("n_rare").alias("nrb"))
+        shared_c = pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("shared_c"))
+        sa2 = sz2.select(F.col(id_col).alias("id_a"),
+                         F.col("_na").alias("na"),
+                         F.col("_nr").alias("nra"))
+        sb2 = sz2.select(F.col(id_col).alias("id_b"),
+                         F.col("_na").alias("nb"),
+                         F.col("_nr").alias("nrb"))
         # one materialization of the candidate pipeline: both branches
         # (already-exact and needs-recount) read the checkpoint (a
         # lazy cache() measured ~25% slower cold: the union's branches
-        # race to compute p's partitions before the cache lands)
-        p = (shared_c.join(ra, "id_a")
-             .join(rb, "id_b")
+        # race to compute p's partitions before the cache lands).
+        # The size-ratio prune (lossless: J >= t forces min(na, nb) >=
+        # t * max(na, nb)) now applies to aggregated PAIRS, far fewer
+        # rows than the per-gram candidate rows it pruned in round 2.
+        p = (shared_c.join(sa2, "id_a")
+             .join(sb2, "id_b")
+             .filter((F.col("na") >= threshold * F.col("nb"))
+                     & (F.col("nb") >= threshold * F.col("na")))
              .withColumn("hot_cap", F.least(F.col("na") - F.col("nra"),
                                             F.col("nb") - F.col("nrb")))
              .withColumn("_upper", F.col("shared_c") + F.col("hot_cap"))
