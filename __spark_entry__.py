@@ -287,6 +287,38 @@ def q_pip_anti(spark, sf_dir):
     return out.select("c_custkey")
 
 
+def q_poly_intersect_join(spark, sf_dir):
+    """J6: distributed polygon x polygon intersects join over the two
+    designed fixture sets (crossings, containment both directions,
+    inside-a-hole disjointness). Covers are built executor-side
+    (mapInPandas), the candidate join carries slim (cell, id) rows
+    only, and the refine is the exact even-odd polygons_intersect
+    predicate. Oracle: pure-SQL edge tables + the parametric segment
+    intersection + crossing-parity containment
+    (functions.geo_sql.polygon_intersects_oracle_sql)."""
+    from esri_dump_spark.operators.spatial_join import (
+        polygon_intersects_join)
+    from esri_dump_spark.sources.fixtures import (polygons_pdf,
+                                                  polygons_pdf_b)
+    la = spark.createDataFrame(polygons_pdf()[["poly_id", "rings_json"]])
+    lb = spark.createDataFrame(polygons_pdf_b()[["poly_id", "rings_json"]])
+    return polygon_intersects_join(la, lb, res=9)
+
+
+def q_poly_intersect_anti(spark, sf_dir):
+    """J6 anti variant: left polygons intersecting NO right polygon —
+    includes the even-odd subtleties (the polygon sitting inside a
+    right-side hole counts as non-intersecting)."""
+    from esri_dump_spark.operators.spatial_join import (
+        polygon_intersects_join)
+    from esri_dump_spark.sources.fixtures import (polygons_pdf,
+                                                  polygons_pdf_b)
+    la = spark.createDataFrame(polygons_pdf()[["poly_id", "rings_json"]])
+    lb = spark.createDataFrame(polygons_pdf_b()[["poly_id", "rings_json"]])
+    return polygon_intersects_join(la, lb, res=9,
+                                   how="left_anti").select("poly_id")
+
+
 def q_knn_geo(spark, sf_dir):
     """J3: cell-bucketed kNN (grid-disk candidates + window top-k)."""
     pts = _t(spark, sf_dir, "customer").selectExpr(
@@ -968,11 +1000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing": q_agg_pricing,
         "join_broadcast": q_join_broadcast,
         "topk_window": q_topk_window,
-        "date_iso": q_date_iso,
         "union_distinct": q_union_distinct,
         "class_breaks": q_class_breaks,
         "concat_key": q_concat_key,
-        "scale_zoom": q_scale_zoom,
         "extent_minmax": q_extent_minmax,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
@@ -980,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_hole": q_pip_hole,
         "pip_multi": q_pip_multi,
         "pip_anti": q_pip_anti,
+        "poly_intersect_join": q_poly_intersect_join,
+        "poly_intersect_anti": q_poly_intersect_anti,
         "knn_geo": q_knn_geo,
         "knn_geo_sparse": q_knn_geo_sparse,
         "token_count": q_token_count,
@@ -1014,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         # ---- oracled twins of recorded queries (same operator rows:
         # identical output via another plan, or a sibling variant) ----
+        "date_iso": q_date_iso,                 # F1: proven r01+r02
+        "scale_zoom": q_scale_zoom,             # F5: proven r01+r02
         "match_expr": q_match_expr,             # F7: class_breaks twin
         "pip_rect_dist": q_pip_rect_dist,       # J2: executor-built dim
         "pip_diamond": q_pip_diamond,           # G3: 4 pip queries recorded
@@ -1488,4 +1522,21 @@ def oracle_sql() -> dict[str, str]:
           (14, 'quad-3-2', 113), (15, 'quad-3-3', 100),
           (16, 'holed', 80), (17, 'multi', 11), (18, 'promoted', 3),
           (19, 'degen', 3)) AS t(poly_id, poly_name, n_points)"""
+    # polygon x polygon intersects join: pure-SQL twin (edge VALUES
+    # tables + parametric segment intersection + crossing-parity
+    # containment) generated from the same fixture records the Spark
+    # query reads — no literal freezing, the SQL recomputes geometry
+    from esri_dump_spark.functions.geo_sql import (
+        polygon_intersects_oracle_sql)
+    from esri_dump_spark.sources.fixtures import (polygons_records,
+                                                  polygons_records_b)
+    _join_sql = polygon_intersects_oracle_sql(polygons_records(),
+                                              polygons_records_b())
+    oracles["poly_intersect_join"] = _join_sql
+    _ids_a = ", ".join(f"({r['poly_id']})" for r in polygons_records())
+    oracles["poly_intersect_anti"] = f"""
+        WITH matched AS ({_join_sql})
+        SELECT CAST(id AS BIGINT) AS poly_id
+        FROM (VALUES {_ids_a}) AS t(id)
+        WHERE id NOT IN (SELECT id_a FROM matched)"""
     return oracles

@@ -29,6 +29,7 @@ __all__ = [
     "edges_intersect",
     "rings_intersect",
     "ring_contains_ring",
+    "polygons_intersect",
     "rings_to_geojson",
     "points_in_polygon",
 ]
@@ -180,6 +181,38 @@ def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
     if edges_intersect(outer, inner):
         return False
     return point_in_ring(inner[0], outer)
+
+
+def polygons_intersect(rings_a, rings_b) -> bool:
+    """Even-odd polygon x polygon intersects predicate, built from the
+    reference-exact primitives:
+
+      intersects(A, B) :=  any segment of any ring of A crosses any
+                           segment of any ring of B
+                        OR first vertex of B inside A (even-odd over
+                           ALL of A's rings)
+                        OR first vertex of A inside B
+
+    With no edge crossings the polygons are either disjoint or one
+    lies entirely within a single even-odd region of the other, so one
+    vertex probe per direction decides. Holes fall out of the even-odd
+    parity: a polygon sitting inside another's hole has no crossing
+    and both vertex probes come back even -> disjoint, the correct
+    answer. ``rings_a`` / ``rings_b`` are iterables of (n,2) ring
+    coordinate arrays (ESRI rings; closure not required — rings are
+    closed on a copy exactly like the assembly path).
+    """
+    ca = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings_a]
+    cb = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings_b]
+    if not ca or not cb:
+        return False
+    for ra in ca:
+        for rb in cb:
+            if edges_intersect(ra, rb):
+                return True
+    if bool(points_in_polygon(cb[0][0], ca)[0]):
+        return True
+    return bool(points_in_polygon(ca[0][0], cb)[0])
 
 
 def rings_to_geojson(rings) -> dict:

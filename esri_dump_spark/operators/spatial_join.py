@@ -40,7 +40,8 @@ from ..kernels.rings import points_in_polygon, close_ring
 
 __all__ = ["attach_cell", "polygon_cell_index", "build_polygon_dim",
            "point_in_polygon_join", "polygon_cover_df",
-           "point_in_polygon_join_dist", "DEFAULT_RES"]
+           "point_in_polygon_join_dist", "polygon_intersects_join",
+           "DEFAULT_RES"]
 
 DEFAULT_RES = 12
 
@@ -197,6 +198,83 @@ def point_in_polygon_join_dist(points: DataFrame, polygons: DataFrame,
     if how == "left_anti":
         matched_ids = matched.select(key).distinct()
         return points.join(matched_ids, key, "left_anti")
+    raise ValueError(f"unknown how={how!r}")
+
+
+def _poly_intersect_refine():
+    """Pair refine for the polygon x polygon join: exact
+    ``kernels.rings.polygons_intersect`` over the two joined
+    ``rings_json`` columns, Arrow-batched. Geometry parses are memoized
+    per batch (each polygon typically appears in many candidate
+    pairs)."""
+    from ..kernels.rings import polygons_intersect
+
+    @pandas_udf("boolean")
+    def refine(a: pd.Series, b: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def parsed(s):
+            r = cache.get(s)
+            if r is None:
+                r = cache[s] = _parse_rings(s)
+            return r
+
+        out = np.fromiter(
+            (polygons_intersect(parsed(x), parsed(y))
+             for x, y in zip(a, b)), dtype=bool, count=len(a))
+        return pd.Series(out)
+
+    return refine
+
+
+def polygon_intersects_join(left: DataFrame, right: DataFrame,
+                            res: int = DEFAULT_RES,
+                            how: str = "inner") -> DataFrame:
+    """Polygon x polygon intersects join (EXT J6) — both sides are
+    DataFrames of (poly_id long, rings_json string).
+
+    Plan: cell-cover BOTH sides executor-side (``polygon_cover_df``,
+    the exact cover kernel in mapInPandas), equi-join the two slim
+    (cell, id) cover tables, dedup candidate id pairs, then re-attach
+    geometry BY ID for the surviving pairs and refine with the exact
+    even-odd ``polygons_intersect`` predicate (edge crossing or
+    either-vertex containment).
+
+    Shuffle-width discipline: geometry never rides the candidate
+    exchange — the cover join carries (cell, id) only, and rings join
+    back output-bounded (one lookup per surviving pair), the same
+    re-attach posture as the minhash band join. Candidate volume in a
+    hot cell is |left-in-cell| x |right-in-cell|; pick ``res`` fine
+    enough that covers separate the sets (AQE skew-join splits any
+    residual hot cell).
+
+    how='inner'      -> (id_a, id_b) distinct intersecting pairs
+    how='left_semi'  -> left rows intersecting >= 1 right polygon
+    how='left_anti'  -> left rows intersecting none
+    """
+    cov_l = polygon_cover_df(left, res).select(
+        "cell", F.col("poly_id").alias("id_a"))
+    cov_r = polygon_cover_df(right, res).select(
+        "cell", F.col("poly_id").alias("id_b"))
+    cand = (cov_l.join(cov_r, "cell")
+            .select("id_a", "id_b").dropDuplicates())
+
+    ga = left.select(F.col("poly_id").alias("id_a"),
+                     F.col("rings_json").alias("_rings_a"))
+    gb = right.select(F.col("poly_id").alias("id_b"),
+                      F.col("rings_json").alias("_rings_b"))
+    refine = _poly_intersect_refine()
+    matched = (cand.join(ga, "id_a").join(gb, "id_b")
+               .filter(refine(F.col("_rings_a"), F.col("_rings_b")))
+               .select("id_a", "id_b"))
+    if how == "inner":
+        return matched
+    if how == "left_semi":
+        return left.join(matched.select(F.col("id_a").alias("poly_id"))
+                         .distinct(), "poly_id", "left_semi")
+    if how == "left_anti":
+        return left.join(matched.select(F.col("id_a").alias("poly_id"))
+                         .distinct(), "poly_id", "left_anti")
     raise ValueError(f"unknown how={how!r}")
 
 

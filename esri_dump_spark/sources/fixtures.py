@@ -254,3 +254,59 @@ def polygons_pdf(extent=DEFAULT_EXTENT) -> pd.DataFrame:
         "name": [r["name"] for r in recs],
         "rings_json": [json.dumps(r["rings"]) for r in recs],
     })
+
+
+def polygons_records_b(extent=DEFAULT_EXTENT) -> list[dict]:
+    """Second polygon set, designed pairwise against
+    ``polygons_records`` to exercise every polygon x polygon relation
+    the intersects join must decide: edge crossing, A-contains-B,
+    B-contains-A, inside-a-hole (disjoint by even-odd), and plain
+    disjoint."""
+    xmin, ymin, xmax, ymax = extent
+    cx, cy = (xmin + xmax) / 2, (ymin + ymax) / 2
+
+    def quad(x0, y0, x1, y1):
+        # CW in y-up coords, like the A-set shells
+        return [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+
+    recs = []
+    # 0: small box inside the "holed" polygon's HOLE: corners land in
+    # the 4 center grid quads; even-odd keeps it disjoint from "holed"
+    recs.append({"poly_id": 0, "name": "in-hole",
+                 "rings": [quad(cx - 0.1, cy - 0.1, cx + 0.1, cy + 0.1)]})
+    # 1: contains the whole "holed" polygon (and crosses center quads)
+    recs.append({"poly_id": 1, "name": "around-holed",
+                 "rings": [quad(cx - 1.5, cy - 1.5, cx + 1.5, cy + 1.5)]})
+    # 2: strictly inside grid quad-0-0 (B-inside-A containment)
+    recs.append({"poly_id": 2, "name": "inside-quad00",
+                 "rings": [quad(xmin + 0.8, ymin + 0.8,
+                                xmin + 1.2, ymin + 1.2)]})
+    # 3: tall thin rect crossing the near-zero "sliver" polygon
+    recs.append({"poly_id": 3, "name": "cross-sliver",
+                 "rings": [quad(cx + 0.9, cy + 2.2, cx + 1.1, cy + 3.8)]})
+    # 4: disjoint from everything (west of the extent)
+    recs.append({"poly_id": 4, "name": "far-west",
+                 "rings": [quad(xmin - 2.0, cy - 0.3,
+                                xmin - 1.5, cy + 0.3)]})
+    # 5: ring-with-hole whose HOLE swallows the A-set's "promoted"
+    # CCW lone ring — promoted sits in the hole: disjoint by even-odd
+    shell = quad(cx + 1.7, cy + 1.7, cx + 2.8, cy + 2.8)
+    hole = [[cx + 1.9, cy + 1.9], [cx + 2.6, cy + 1.9],
+            [cx + 2.6, cy + 2.6], [cx + 1.9, cy + 2.6],
+            [cx + 1.9, cy + 1.9]]  # CCW (y-up), per the ESRI model
+    recs.append({"poly_id": 5, "name": "ring-around-promoted",
+                 "rings": [shell, hole]})
+    # 6: overlaps the first shell of the "multi" feature
+    recs.append({"poly_id": 6, "name": "cross-multi-s1",
+                 "rings": [quad(xmin + 0.4, ymin + 0.4,
+                                xmin + 0.9, ymin + 0.9)]})
+    return recs
+
+
+def polygons_pdf_b(extent=DEFAULT_EXTENT) -> pd.DataFrame:
+    recs = polygons_records_b(extent)
+    return pd.DataFrame({
+        "poly_id": [r["poly_id"] for r in recs],
+        "name": [r["name"] for r in recs],
+        "rings_json": [json.dumps(r["rings"]) for r in recs],
+    })

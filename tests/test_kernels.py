@@ -103,6 +103,29 @@ def test_edge_intersection_and_containment():
     assert not ring_contains_ring(sq, crossing)
 
 
+def test_polygons_intersect_predicate():
+    from esri_dump_spark.kernels.rings import polygons_intersect
+    sq = [[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]]
+    inner = [[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]]
+    crossing = [[5, -5], [5, 15], [6, 15], [6, -5], [5, -5]]
+    far = [[20, 20], [20, 22], [22, 22], [22, 20], [20, 20]]
+    hole = [[1, 1], [9, 1], [9, 9], [1, 9], [1, 1]]   # CCW hole
+    in_hole = [[3, 3], [3, 5], [5, 5], [5, 3], [3, 3]]
+    # crossing edges, containment in both directions, disjoint
+    assert polygons_intersect([sq], [crossing])
+    assert polygons_intersect([sq], [inner])       # B inside A
+    assert polygons_intersect([inner], [sq])       # A inside B
+    assert not polygons_intersect([sq], [far])
+    # even-odd: a polygon inside another's hole does NOT intersect,
+    # but one poking through the hole's boundary does
+    assert not polygons_intersect([sq, hole], [in_hole])
+    poke = [[3, 3], [3, 9.5], [5, 9.5], [5, 3], [3, 3]]
+    assert polygons_intersect([sq, hole], [poke])
+    # degenerate/empty ring sets never intersect anything
+    assert not polygons_intersect([], [sq])
+    assert not polygons_intersect([sq], [])
+
+
 def test_rings_to_geojson_simple_polygon_with_hole():
     shell = [[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]]   # CW = shell
     hole = [[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]]        # CCW = hole

@@ -117,6 +117,52 @@ def test_pip_join_dist_matches_driver_path(spark, points_pdf):
     assert n_in + n_out == len(points_pdf)
 
 
+def test_polygon_intersects_join_matches_kernel_brute_force(spark):
+    """J6 distributed polygon x polygon join == exhaustive pairwise
+    kernel evaluation on the designed fixture sets (crossings,
+    containment both ways, in-a-hole disjointness), at two cover
+    resolutions (coarser covers only grow candidates, never results).
+    Semi/anti partition the left set."""
+    from esri_dump_spark.kernels.rings import polygons_intersect
+    from esri_dump_spark.operators.spatial_join import (
+        polygon_intersects_join)
+    from esri_dump_spark.sources.fixtures import (
+        polygons_pdf, polygons_pdf_b, polygons_records,
+        polygons_records_b)
+    ra = {r["poly_id"]: r["rings"] for r in polygons_records()}
+    rb = {r["poly_id"]: r["rings"] for r in polygons_records_b()}
+    exp = {(ia, ib) for ia in ra for ib in rb
+           if polygons_intersect(ra[ia], rb[ib])}
+    la = spark.createDataFrame(polygons_pdf()[["poly_id", "rings_json"]])
+    lb = spark.createDataFrame(polygons_pdf_b()[["poly_id", "rings_json"]])
+    for res in (7, 9):
+        got = {(r.id_a, r.id_b)
+               for r in polygon_intersects_join(la, lb, res=res).collect()}
+        assert got == exp and len(got) > 10
+    n_semi = polygon_intersects_join(la, lb, res=9, how="left_semi").count()
+    n_anti = polygon_intersects_join(la, lb, res=9, how="left_anti").count()
+    assert n_semi == len({a for a, _ in exp})
+    assert n_semi + n_anti == len(ra)
+
+
+def test_polygon_intersects_join_plan_is_equi_join(spark):
+    """Plan shape: the candidate stage is a cell EQUI-join over two
+    executor-built covers — no cartesian/nested-loop join anywhere,
+    and the refine runs on joined candidates (ArrowEvalPython), not
+    on the full cross space."""
+    from esri_dump_spark.operators.spatial_join import (
+        polygon_intersects_join)
+    from esri_dump_spark.sources.fixtures import polygons_pdf, polygons_pdf_b
+    la = spark.createDataFrame(polygons_pdf()[["poly_id", "rings_json"]])
+    lb = spark.createDataFrame(polygons_pdf_b()[["poly_id", "rings_json"]])
+    plan = polygon_intersects_join(la, lb, res=9)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "MapInPandas" in plan, plan[:3000]
+    assert "ArrowEvalPython" in plan, plan[:3000]
+
+
 def test_pip_join_dist_cover_built_executor_side(spark, points_pdf):
     """Plan shape: the cover dimension comes from a MapInPandas
     (executor-side kernel) feeding the coarse join — NOT a driver
