@@ -216,6 +216,20 @@ def q_tile_assign(spark, sf_dir):
             .groupBy("tile_id").agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """J4/A7: hierarchical tile-pyramid rollup — per-tile counts at
+    every zoom 8 down to 4 in one DataFrame. The leaf aggregation is
+    the only input-sized shuffle; each coarser level aggregates the
+    previous level's output (pure integer parent arithmetic, exchange
+    reuse collapses the union's shared lineage). Oracle: closed-form
+    recomputation from the leaf (x >> d, y >> d per level)."""
+    from esri_dump_spark.operators.tiles import tile_pyramid_rollup
+    o = _t(spark, sf_dir, "orders")
+    pts = o.selectExpr(f"{_LON_G} AS lon", f"{_LAT_G} AS lat")
+    leaf = pts.withColumn("tile_id", F.expr(tile_id_sql_expr("lon", "lat", 8)))
+    return tile_pyramid_rollup(leaf, z_leaf=8, z_top=4)
+
+
 def q_pip_rect(spark, sf_dir):
     """J2: PIP spatial join (cell broadcast + exact ray-cast refine)."""
     pts = _pip_points(spark, sf_dir)
@@ -1002,10 +1016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_window": q_topk_window,
         "union_distinct": q_union_distinct,
         "class_breaks": q_class_breaks,
-        "concat_key": q_concat_key,
         "extent_minmax": q_extent_minmax,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
+        "tile_pyramid": q_tile_pyramid,
         "pip_rect": q_pip_rect,
         "pip_hole": q_pip_hole,
         "pip_multi": q_pip_multi,
@@ -1048,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical output via another plan, or a sibling variant) ----
         "date_iso": q_date_iso,                 # F1: proven r01+r02
         "scale_zoom": q_scale_zoom,             # F5: proven r01+r02
+        "concat_key": q_concat_key,             # F2: proven r01+r02
         "match_expr": q_match_expr,             # F7: class_breaks twin
         "pip_rect_dist": q_pip_rect_dist,       # J2: executor-built dim
         "pip_diamond": q_pip_diamond,           # G3: 4 pip queries recorded
@@ -1154,6 +1169,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT {tile_id_sql_expr(_LON_G, _LAT_G, 7)} AS tile_id,
                    count(*) AS n
             FROM orders GROUP BY 1""",
+        # pyramid twin: closed-form per-level recomputation from the
+        # leaf tiles (x >> d, y >> d), independent of the engine's
+        # iterative parent-rollup plan
+        "tile_pyramid": f"""
+            WITH leaf AS (
+              SELECT {tile_id_sql_expr(_LON_G, _LAT_G, 8)} AS tile_id
+              FROM orders),
+            lv(z) AS (VALUES (8), (7), (6), (5), (4))
+            SELECT (CAST(z AS BIGINT) * {1 << 58}
+                    + (((tile_id >> 29) & 536870911) >> (8 - z)) * {1 << 29}
+                    + ((tile_id & 536870911) >> (8 - z))) AS tile_id,
+                   count(*) AS n
+            FROM leaf CROSS JOIN lv GROUP BY 1""",
         "pip_rect": f"""
             SELECT c_custkey FROM ({pip_src}) WHERE {rect_rc}
             ORDER BY c_custkey""",

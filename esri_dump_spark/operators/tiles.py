@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from ..kernels.rings import points_in_polygon, edges_intersect, close_ring
 
 __all__ = ["tile_id_sql_expr", "assign_tiles", "tile_xy", "tile_cover",
-           "polygon_tile_index", "raster_vector_join"]
+           "polygon_tile_index", "raster_vector_join", "parent_tile_sql",
+           "tile_pyramid_rollup"]
 
 _Z_SHIFT, _X_SHIFT = 58, 29
 
@@ -112,6 +113,47 @@ def tile_cover(rings, z: int) -> np.ndarray:
                 keep[i] = True
                 break
     return _pack(z, xs[keep], ys[keep])
+
+
+def parent_tile_sql(tile_col: str, z_child: int) -> str:
+    """Packed tile id of the parent (zoom z_child - 1): unpack x/y,
+    halve, repack — pure integer SQL (shiftright/&), codegen-friendly
+    in Spark and identical arithmetic to the slippy pyramid."""
+    mask = (1 << _X_SHIFT) - 1
+    z = z_child - 1
+    x = f"(shiftright({tile_col}, {_X_SHIFT}) & {mask})"
+    y = f"(({tile_col}) & {mask})"
+    return (f"(CAST({z} AS BIGINT) * {1 << _Z_SHIFT}"
+            f" + shiftright({x}, 1) * {1 << _X_SHIFT}"
+            f" + shiftright({y}, 1))")
+
+
+def tile_pyramid_rollup(df: DataFrame, z_leaf: int, z_top: int,
+                        tile_col: str = "tile_id",
+                        weight_col: str | None = None) -> DataFrame:
+    """Hierarchical tile-pyramid rollup: per-tile totals at every zoom
+    from ``z_leaf`` up to ``z_top`` (inclusive), as one DataFrame of
+    (tile_id, n).
+
+    The 100 TB shape: the LEAF aggregation is the only input-sized
+    shuffle; every coarser level aggregates the PREVIOUS level's
+    output (4x smaller per step), so the whole pyramid costs ~4/3 of
+    the leaf aggregation. The per-level frames share lineage, and
+    Spark's exchange reuse collapses the union's common subplans —
+    each level is computed once, not once per branch (plan shows
+    ReusedExchange; asserted in tests). Parent derivation is pure
+    integer SQL, so the rollup chain is whole-stage codegen end to
+    end."""
+    agg = (F.count(F.lit(1)) if weight_col is None
+           else F.sum(weight_col)).alias("n")
+    level = df.groupBy(tile_col).agg(agg)
+    out = level
+    for z in range(z_leaf, z_top, -1):
+        level = (level.groupBy(F.expr(parent_tile_sql(tile_col, z))
+                       .alias(tile_col))
+                 .agg(F.sum("n").alias("n")))
+        out = out.unionByName(level)
+    return out
 
 
 def polygon_tile_index(spark: SparkSession, polygons: pd.DataFrame,

@@ -269,6 +269,39 @@ def test_tile_cover_and_raster_vector_join(spark):
     assert exact <= got
 
 
+def test_tile_pyramid_rollup_invariants(spark):
+    """Every pyramid level must conserve the leaf total, parent ids
+    must match the NumPy tile math one zoom up, and the union's shared
+    lineage must collapse to ReusedExchange (each level computed once,
+    not once per branch)."""
+    import numpy as np
+    from esri_dump_spark.operators.tiles import (assign_tiles,
+                                                 tile_pyramid_rollup,
+                                                 tile_xy, _pack)
+    n = 4000
+    pts = spark.range(n).selectExpr(
+        "cast(id as double) / 50.0 - 40.0 AS lon",
+        "cast((id * 7) % 3000 as double) / 50.0 - 30.0 AS lat")
+    leaf = assign_tiles(pts, z=6)
+    out = tile_pyramid_rollup(leaf, z_leaf=6, z_top=3)
+    rows = out.collect()
+    by_z = {}
+    for r in rows:
+        by_z.setdefault(r.tile_id >> 58, []).append(r)
+    assert sorted(by_z) == [3, 4, 5, 6]
+    for z, rs in by_z.items():
+        assert sum(r.n for r in rs) == n, f"level {z} lost rows"
+    # independent NumPy recomputation of a coarse level
+    lon = np.arange(n) / 50.0 - 40.0
+    lat = (np.arange(n) * 7 % 3000) / 50.0 - 30.0
+    xt, yt = tile_xy(lon, lat, 4)
+    ids, counts = np.unique(_pack(4, xt, yt), return_counts=True)
+    got4 = {r.tile_id: r.n for r in by_z[4]}
+    assert got4 == dict(zip(ids.tolist(), counts.tolist()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:3000]
+
+
 def test_hot_keys_and_two_phase_agg(spark):
     pdf = images_pdf(3000, with_geo=True)[["image_id", "lon", "lat"]]
     pts = attach_cell(spark.createDataFrame(pdf), res=10).cache()
