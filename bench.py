@@ -78,6 +78,8 @@ def run_headline(spark) -> dict[str, float]:
         "ngram_jaccard_capped",
         "sessionize_window", "salted_agg", "salted_join",
         "image_decode_stats", "extract_synthetic",
+        # added in round 3 (new operators — not in r01/r02 suite totals)
+        "tile_pyramid", "poly_intersect_join",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not
