@@ -18,6 +18,10 @@ QUERIES = [
     ("pip_rect", "J2 — broadcast cell join + Arrow ray-cast refine"),
     ("knn_geo", "J3 — grid-disk candidates + window top-k"),
     ("tile_assign", "J4 — JVM tile id + rollup (no Python)"),
+    ("tile_pyramid", "J4b — hierarchical rollup: leaf agg + shrinking "
+     "per-zoom folds, shared lineage collapses to ReusedExchange"),
+    ("poly_intersect_join", "J6 — executor-built covers, slim (cell, id) "
+     "candidate equi-join, per-pair geometry re-attach + even-odd refine"),
     ("salted_agg", "skew — two-phase salted aggregation"),
     ("extract_synthetic", "EP1 — manifest -> mapInPandas decode -> dedup"),
 ]

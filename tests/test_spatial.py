@@ -145,6 +145,45 @@ def test_polygon_intersects_join_matches_kernel_brute_force(spark):
     assert n_semi + n_anti == len(ra)
 
 
+def test_polygon_intersects_join_grid_scale(spark):
+    """Scale shape: two 900-polygon grids offset by half a cell — every
+    interior offset square overlaps exactly 4 base squares, so the
+    full result is known analytically: (2s-1)^2 pairs with exact ids.
+    Covers build executor-side on both sides; nothing polygon-sized
+    touches the driver."""
+    import json as _json
+    from esri_dump_spark.operators.spatial_join import (
+        polygon_intersects_join)
+    s = 30
+    cell_x, cell_y = 8.4 / s, 8.6 / s
+
+    def grid(shift_frac):
+        rows = []
+        for i in range(s * s):
+            gx, gy = i % s, i // s
+            x0 = -97.0 + (gx + shift_frac) * cell_x
+            y0 = 20.5 + (gy + shift_frac) * cell_y
+            ring = [[x0, y0], [x0 + 0.7 * cell_x, y0],
+                    [x0 + 0.7 * cell_x, y0 + 0.7 * cell_y],
+                    [x0, y0 + 0.7 * cell_y], [x0, y0]]
+            rows.append({"poly_id": i, "rings_json": _json.dumps([ring])})
+        return pd.DataFrame(rows)
+
+    la = spark.createDataFrame(grid(0.0)).repartition(8)
+    lb = spark.createDataFrame(grid(0.5)).repartition(8)
+    got = {(r.id_a, r.id_b)
+           for r in polygon_intersects_join(la, lb, res=12).collect()}
+    exp = set()
+    for by in range(s):
+        for bx in range(s):
+            for ay in (by, by + 1):
+                for ax in (bx, bx + 1):
+                    if ax < s and ay < s:
+                        exp.add((ay * s + ax, by * s + bx))
+    assert len(exp) == (2 * s - 1) ** 2
+    assert got == exp
+
+
 def test_polygon_intersects_join_plan_is_equi_join(spark):
     """Plan shape: the candidate stage is a cell EQUI-join over two
     executor-built covers — no cartesian/nested-loop join anywhere,
