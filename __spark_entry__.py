@@ -216,6 +216,25 @@ def q_tile_assign(spark, sf_dir):
             .groupBy("tile_id").agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_polygon_stats(spark, sf_dir):
+    """F11: per-polygon geometry stats (ring count, vertex count,
+    signed shoelace area) parsed and folded from rings_json with JVM
+    higher-order functions only — zero Python; the cheap-metadata path
+    for warehouse-scale polygon tables. Oracle recomputes the same
+    folds over CAST(rings_json AS DOUBLE[][][]) in DuckDB."""
+    import pandas as pd
+    from esri_dump_spark.functions.geometry import with_polygon_stats
+    from esri_dump_spark.sources.fixtures import (polygons_pdf,
+                                                  polygons_pdf_b)
+    a = polygons_pdf()[["poly_id", "rings_json"]]
+    b = polygons_pdf_b()[["poly_id", "rings_json"]].assign(
+        poly_id=lambda d: d.poly_id + 100)
+    pdf = pd.concat([a, b], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    return with_polygon_stats(df).select(
+        "poly_id", "n_rings", "n_vertices", "area_r")
+
+
 def q_tile_pyramid(spark, sf_dir):
     """J4/A7: hierarchical tile-pyramid rollup — per-tile counts at
     every zoom 8 down to 4 in one DataFrame. The leaf aggregation is
@@ -1014,9 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing": q_agg_pricing,
         "join_broadcast": q_join_broadcast,
         "topk_window": q_topk_window,
-        "union_distinct": q_union_distinct,
         "class_breaks": q_class_breaks,
         "extent_minmax": q_extent_minmax,
+        "polygon_stats": q_polygon_stats,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
@@ -1063,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_iso": q_date_iso,                 # F1: proven r01+r02
         "scale_zoom": q_scale_zoom,             # F5: proven r01+r02
         "concat_key": q_concat_key,             # F2: proven r01+r02
+        "union_distinct": q_union_distinct,     # A3: proven r01+r02
         "match_expr": q_match_expr,             # F7: class_breaks twin
         "pip_rect_dist": q_pip_rect_dist,       # J2: executor-built dim
         "pip_diamond": q_pip_diamond,           # G3: 4 pip queries recorded
@@ -1550,6 +1570,18 @@ def oracle_sql() -> dict[str, str]:
           (14, 'quad-3-2', 113), (15, 'quad-3-3', 100),
           (16, 'holed', 80), (17, 'multi', 11), (18, 'promoted', 3),
           (19, 'degen', 3)) AS t(poly_id, poly_name, n_points)"""
+    # per-polygon geometry stats: the DuckDB twin recomputes the same
+    # JSON parse + shoelace folds (no literal freezing)
+    from esri_dump_spark.functions.geometry import polygon_stats_sql_duck
+    from esri_dump_spark.sources.fixtures import (polygons_pdf as _ppdf,
+                                                  polygons_pdf_b as _ppdfb)
+    _rows = []
+    for off, pdf_ in ((0, _ppdf()), (100, _ppdfb())):
+        for rec in pdf_.itertuples(index=False):
+            rj = rec.rings_json.replace("'", "''")
+            _rows.append(f"({int(rec.poly_id) + off}, '{rj}')")
+    oracles["polygon_stats"] = polygon_stats_sql_duck(
+        ",\n             ".join(_rows))
     # polygon x polygon intersects join: pure-SQL twin (edge VALUES
     # tables + parametric segment intersection + crossing-parity
     # containment) generated from the same fixture records the Spark

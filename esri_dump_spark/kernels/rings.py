@@ -185,7 +185,8 @@ def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
 
 def polygons_intersect(rings_a, rings_b) -> bool:
     """Even-odd polygon x polygon intersects predicate, built from the
-    reference-exact primitives:
+    reference-exact primitives (segment test
+    /root/reference/lib/rings2geojson.ts:70-85, ray-cast :54-64):
 
       intersects(A, B) :=  any segment of any ring of A crosses any
                            segment of any ring of B

@@ -308,6 +308,33 @@ def test_tile_cover_and_raster_vector_join(spark):
     assert exact <= got
 
 
+def test_polygon_stats_pure_sql(spark):
+    """Known geometry: 3x2 CW shell with a 1x0.5 CCW hole -> signed
+    area -(6 - 0.5); closure invariance (open ring == closed ring);
+    degenerate 2-point ring contributes zero area. Plan must contain
+    no Python nodes."""
+    import json as _json
+    from esri_dump_spark.functions.geometry import with_polygon_stats
+    shell = [[0, 0], [0, 2], [3, 2], [3, 0], [0, 0]]          # CW, closed
+    shell_open = [[0, 0], [0, 2], [3, 2], [3, 0]]             # unclosed
+    hole = [[1, 1], [2, 1], [2, 1.5], [1, 1.5], [1, 1]]       # CCW
+    degen = [[5, 5], [6, 6]]
+    pdf = pd.DataFrame({
+        "poly_id": [0, 1, 2],
+        "rings_json": [_json.dumps([shell, hole]),
+                       _json.dumps([shell_open, hole]),
+                       _json.dumps([degen])]})
+    out = with_polygon_stats(spark.createDataFrame(pdf))
+    rows = {r.poly_id: r for r in out.collect()}
+    assert rows[0].n_rings == 2 and rows[0].n_vertices == 10
+    assert rows[0].area_r == -5.5
+    assert rows[1].area_r == -5.5          # closure-invariant
+    assert rows[2].area_r == 0.0           # degenerate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not any(k in plan for k in ("ArrowEvalPython", "BatchEvalPython",
+                                       "MapInPandas")), plan[:2000]
+
+
 def test_tile_pyramid_rollup_invariants(spark):
     """Every pyramid level must conserve the leaf total, parent ids
     must match the NumPy tile math one zoom up, and the union's shared
