@@ -56,7 +56,7 @@ def raycast_sql(ring: list[list[float]], px: str, py: str) -> str:
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
-def polygon_edges_values_sql(recs: list[dict], id_name: str):
+def polygon_edges_values_sql(recs: list[dict]):
     """(edges_values, probes_values): SQL VALUES row lists for a fixture
     polygon set (``polygons_records``-shaped dicts).
 
@@ -65,13 +65,14 @@ def polygon_edges_values_sql(recs: list[dict], id_name: str):
     NumPy kernels iterate (``edges_intersect`` consumes tail->head
     pairs; the ray-cast's predecessor edge (j -> i) is the same segment
     with head as the base vertex, so ONE table serves both predicates
-    bit-identically). ``probes``: the first vertex of each polygon's
-    first ring — the even-odd containment probe ``polygons_intersect``
-    uses."""
+    bit-identically). ``probes``: the first vertex of EVERY ring —
+    (id, ring_idx, x, y) — mirroring ``polygons_intersect``'s per-ring
+    containment probes (a multipolygon's first component can be
+    disjoint while a later one is contained)."""
     edges, probes = [], []
     for rec in recs:
         pid = int(rec["poly_id"])
-        for ring in rec["rings"]:
+        for ri, ring in enumerate(rec["rings"]):
             closed = list(ring) if ring[0] == ring[-1] \
                 else list(ring) + [ring[0]]
             for k in range(len(closed) - 1):
@@ -79,9 +80,9 @@ def polygon_edges_values_sql(recs: list[dict], id_name: str):
                 edges.append(
                     f"({pid}, CAST({tx!r} AS DOUBLE), CAST({ty!r} AS DOUBLE),"
                     f" CAST({hx!r} AS DOUBLE), CAST({hy!r} AS DOUBLE))")
-        v0 = rec["rings"][0][0]
-        probes.append(f"({pid}, CAST({v0[0]!r} AS DOUBLE),"
-                      f" CAST({v0[1]!r} AS DOUBLE))")
+            v0 = ring[0]
+            probes.append(f"({pid}, {ri}, CAST({v0[0]!r} AS DOUBLE),"
+                          f" CAST({v0[1]!r} AS DOUBLE))")
     return ",\n             ".join(edges), ",\n             ".join(probes)
 
 
@@ -116,10 +117,11 @@ def polygon_intersects_oracle_sql(recs_a: list[dict],
                                   recs_b: list[dict]) -> str:
     """Complete DuckDB twin of ``polygon_intersects_join`` over two
     fixture polygon sets: intersecting iff any segment crossing OR
-    either set's first-ring vertex probe lands inside the other
-    polygon by even-odd parity over ALL rings' edges."""
-    ea, va = polygon_edges_values_sql(recs_a, "id_a")
-    eb, vb = polygon_edges_values_sql(recs_b, "id_b")
+    ANY ring's first-vertex probe of one side lands inside the other
+    polygon by even-odd parity over ALL rings' edges (per-probe
+    parity, then EXISTS-any across the side's rings)."""
+    ea, va = polygon_edges_values_sql(recs_a)
+    eb, vb = polygon_edges_values_sql(recs_b)
     seg = _segments_intersect_sql("a", "b")
     cross_b_in_a = _edge_crossing_case_sql("a", "v.x", "v.y")
     cross_a_in_b = _edge_crossing_case_sql("b", "v.x", "v.y")
@@ -128,20 +130,22 @@ def polygon_intersects_oracle_sql(recs_a: list[dict],
              {ea}),
         eb(id_b, tx, ty, hx, hy) AS (VALUES
              {eb}),
-        va(id_a, x, y) AS (VALUES
+        va(id_a, ring_idx, x, y) AS (VALUES
              {va}),
-        vb(id_b, x, y) AS (VALUES
+        vb(id_b, ring_idx, x, y) AS (VALUES
              {vb}),
         xing AS (SELECT DISTINCT a.id_a, b.id_b
                  FROM ea a, eb b WHERE {seg}),
-        b_in_a AS (SELECT a.id_a, v.id_b
+        b_in_a AS (SELECT DISTINCT id_a, id_b FROM (
+                   SELECT a.id_a, v.id_b
                    FROM ea a CROSS JOIN vb v
-                   GROUP BY a.id_a, v.id_b
-                   HAVING sum({cross_b_in_a}) % 2 = 1),
-        a_in_b AS (SELECT v.id_a, b.id_b
+                   GROUP BY a.id_a, v.id_b, v.ring_idx
+                   HAVING sum({cross_b_in_a}) % 2 = 1)),
+        a_in_b AS (SELECT DISTINCT id_a, id_b FROM (
+                   SELECT v.id_a, b.id_b
                    FROM eb b CROSS JOIN va v
-                   GROUP BY v.id_a, b.id_b
-                   HAVING sum({cross_a_in_b}) % 2 = 1),
+                   GROUP BY v.id_a, b.id_b, v.ring_idx
+                   HAVING sum({cross_a_in_b}) % 2 = 1)),
         pairs AS (SELECT * FROM xing UNION
                   SELECT * FROM b_in_a UNION
                   SELECT * FROM a_in_b)

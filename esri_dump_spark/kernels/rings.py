@@ -190,18 +190,24 @@ def polygons_intersect(rings_a, rings_b) -> bool:
 
       intersects(A, B) :=  any segment of any ring of A crosses any
                            segment of any ring of B
-                        OR first vertex of B inside A (even-odd over
-                           ALL of A's rings)
-                        OR first vertex of A inside B
+                        OR the first vertex of ANY ring of B inside A
+                           (even-odd over ALL of A's rings)
+                        OR the first vertex of ANY ring of A inside B
 
-    With no edge crossings the polygons are either disjoint or one
-    lies entirely within a single even-odd region of the other, so one
-    vertex probe per direction decides. Holes fall out of the even-odd
-    parity: a polygon sitting inside another's hole has no crossing
-    and both vertex probes come back even -> disjoint, the correct
-    answer. ``rings_a`` / ``rings_b`` are iterables of (n,2) ring
-    coordinate arrays (ESRI rings; closure not required — rings are
-    closed on a copy exactly like the assembly path).
+    With no edge crossings, every connected component of one polygon
+    lies entirely within a single even-odd region of the other, so a
+    per-ring vertex probe decides: a contained component's rings all
+    sit inside, and probing EVERY ring (not just the first — a
+    multipolygon's first component can be disjoint while a later one
+    is contained) catches it. Ring vertices are boundary points of
+    the polygon, so a probe landing strictly inside the other side is
+    always a true intersection — per-ring probing adds no false
+    positives. Holes fall out of the even-odd parity: a polygon
+    sitting inside another's hole has no crossing and every probe
+    comes back even -> disjoint, the correct answer. ``rings_a`` /
+    ``rings_b`` are iterables of (n,2) ring coordinate arrays (ESRI
+    rings; closure not required — rings are closed on a copy exactly
+    like the assembly path).
     """
     ca = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings_a]
     cb = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings_b]
@@ -211,9 +217,11 @@ def polygons_intersect(rings_a, rings_b) -> bool:
         for rb in cb:
             if edges_intersect(ra, rb):
                 return True
-    if bool(points_in_polygon(cb[0][0], ca)[0]):
+    probes_b = np.asarray([rb[0] for rb in cb], dtype=np.float64)
+    if bool(points_in_polygon(probes_b, ca).any()):
         return True
-    return bool(points_in_polygon(ca[0][0], cb)[0])
+    probes_a = np.asarray([ra[0] for ra in ca], dtype=np.float64)
+    return bool(points_in_polygon(probes_a, cb).any())
 
 
 def rings_to_geojson(rings) -> dict:

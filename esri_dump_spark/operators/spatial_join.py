@@ -90,7 +90,8 @@ def build_polygon_dim(polygons: pd.DataFrame, res: int = DEFAULT_RES):
 
 
 def polygon_cover_df(polygons: DataFrame, res: int = DEFAULT_RES,
-                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
+                     keep_cols: tuple[str, ...] = (),
+                     with_rings: bool = True) -> DataFrame:
     """Distributed polygon dimension: the exact cell-cover kernel
     (``kernels.cells.polygon_cover``, unchanged) run EXECUTOR-side in
     ``mapInPandas`` over a polygon DataFrame — the scale path for
@@ -99,14 +100,19 @@ def polygon_cover_df(polygons: DataFrame, res: int = DEFAULT_RES,
     dim' and becomes the bottleneck.
 
     Input: (poly_id long, rings_json string [, keep_cols...]).
-    Output: one row per (cell, polygon): (cell, poly_id, rings_json
-    [, keep_cols...]) — rings ride the cover table so the downstream
-    candidate join needs NO second join to fetch geometry for the
-    refine. Never materializes on the driver."""
+    Output: one row per (cell, polygon): (cell, poly_id [, rings_json]
+    [, keep_cols...]) — with ``with_rings=True`` (default) the rings
+    ride the cover table so the downstream candidate join needs NO
+    second join to fetch geometry for the refine; callers that
+    re-attach geometry by id after pair dedup (the polygon x polygon
+    join) pass ``with_rings=False`` so the geometry string is never
+    replicated per cover cell across the Arrow boundary. Never
+    materializes on the driver."""
     import pyspark.sql.types as T
     fields = [T.StructField("cell", T.LongType()),
-              T.StructField("poly_id", T.LongType()),
-              T.StructField("rings_json", T.StringType())]
+              T.StructField("poly_id", T.LongType())]
+    if with_rings:
+        fields.append(T.StructField("rings_json", T.StringType()))
     in_schema = dict(zip(polygons.schema.names, polygons.schema.fields))
     for c in keep_cols:
         fields.append(T.StructField(c, in_schema[c].dataType))
@@ -120,8 +126,9 @@ def polygon_cover_df(polygons: DataFrame, res: int = DEFAULT_RES,
                 cover = C.polygon_cover(rings, res, exact=True)
                 row = {"cell": cover,
                        "poly_id": np.full(cover.shape, rec.poly_id,
-                                          dtype=np.int64),
-                       "rings_json": rec.rings_json}
+                                          dtype=np.int64)}
+                if with_rings:
+                    row["rings_json"] = rec.rings_json
                 for c in keep_cols:
                     row[c] = getattr(rec, c)
                 out.append(pd.DataFrame(row))
@@ -252,9 +259,9 @@ def polygon_intersects_join(left: DataFrame, right: DataFrame,
     how='left_semi'  -> left rows intersecting >= 1 right polygon
     how='left_anti'  -> left rows intersecting none
     """
-    cov_l = polygon_cover_df(left, res).select(
+    cov_l = polygon_cover_df(left, res, with_rings=False).select(
         "cell", F.col("poly_id").alias("id_a"))
-    cov_r = polygon_cover_df(right, res).select(
+    cov_r = polygon_cover_df(right, res, with_rings=False).select(
         "cell", F.col("poly_id").alias("id_b"))
     cand = (cov_l.join(cov_r, "cell")
             .select("id_a", "id_b").dropDuplicates())

@@ -144,6 +144,10 @@ def tile_pyramid_rollup(df: DataFrame, z_leaf: int, z_top: int,
     ReusedExchange; asserted in tests). Parent derivation is pure
     integer SQL, so the rollup chain is whole-stage codegen end to
     end."""
+    if z_top > z_leaf:
+        raise ValueError(
+            f"z_top ({z_top}) must be <= z_leaf ({z_leaf}): the pyramid "
+            "rolls up from fine leaf tiles to coarse parents")
     agg = (F.count(F.lit(1)) if weight_col is None
            else F.sum(weight_col)).alias("n")
     level = df.groupBy(tile_col).agg(agg)

@@ -300,6 +300,16 @@ def polygons_records_b(extent=DEFAULT_EXTENT) -> list[dict]:
     recs.append({"poly_id": 6, "name": "cross-multi-s1",
                  "rings": [quad(xmin + 0.4, ymin + 0.4,
                                 xmin + 0.9, ymin + 0.9)]})
+    # 7: multipolygon whose FIRST component is disjoint from everything
+    # but whose SECOND sits strictly inside grid quad-3-3 — pins the
+    # per-ring containment probe (a first-ring-only probe misses it)
+    dx, dy = (xmax - xmin) / 4.0, (ymax - ymin) / 4.0
+    c33x, c33y = xmin + 3.5 * dx, ymin + 3.5 * dy
+    recs.append({"poly_id": 7, "name": "multi-far-then-inside",
+                 "rings": [quad(xmin - 2.0, ymin - 2.0,
+                                xmin - 1.6, ymin - 1.6),
+                           quad(c33x - 0.2, c33y - 0.2,
+                                c33x + 0.2, c33y + 0.2)]})
     return recs
 
 

@@ -121,6 +121,14 @@ def test_polygons_intersect_predicate():
     assert not polygons_intersect([sq, hole], [in_hole])
     poke = [[3, 3], [3, 9.5], [5, 9.5], [5, 3], [3, 3]]
     assert polygons_intersect([sq, hole], [poke])
+    # multipolygon with a DISJOINT first component and a CONTAINED
+    # second one: the per-ring probe must catch it in both directions
+    # (a first-ring-only probe returns a false negative here)
+    assert polygons_intersect([sq], [far, inner])
+    assert polygons_intersect([far, inner], [sq])
+    # ...and entirely-disjoint multiparts stay disjoint
+    far2 = [[30, 30], [30, 32], [32, 32], [32, 30], [30, 30]]
+    assert not polygons_intersect([sq], [far, far2])
     # degenerate/empty ring sets never intersect anything
     assert not polygons_intersect([], [sq])
     assert not polygons_intersect([sq], [])
