@@ -73,3 +73,50 @@ def test_assembly_invariants(raw_rings):
             # every emitted ring is closed with >= 4 points
             assert len(ring) >= 4
             assert ring[0] == ring[-1]
+
+
+# ---- polygons_intersect vs an exact analytic oracle ------------------
+
+def _rect_ring(x0, y0, x1, y1):
+    # CW in y-up, like ESRI shells
+    return [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40),
+                          st.integers(1, 12), st.integers(1, 12)),
+                min_size=1, max_size=3),
+       st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40),
+                          st.integers(1, 12), st.integers(1, 12)),
+                min_size=1, max_size=3))
+def test_polygons_intersect_matches_rect_oracle(rects_a, rects_b):
+    """Two-sided exact oracle: for multipolygons made of axis-aligned
+    rectangle components, intersection is plain interval overlap per
+    component pair. The two sides draw coordinates from offset grids
+    (+0.25 vs +0.5) so no edges ever coincide — open/closed boundary
+    distinctions never engage and the analytic answer is unambiguous.
+    This is the property that catches containment-probe bugs (e.g.
+    probing only the first component) independently of the kernel.
+
+    Same-side components are banded into disjoint x-ranges (idx * 60):
+    under even-odd semantics two OVERLAPPING same-side components
+    cancel into a hole, which a union-style oracle cannot model — the
+    banding keeps even-odd == union while same-index cross-side pairs
+    still exercise every relation, including containment of a NON-
+    first component."""
+    from esri_dump_spark.kernels.rings import polygons_intersect
+
+    def build(rects, off):
+        boxes, rings = [], []
+        for idx, (gx, gy, w, h) in enumerate(rects):
+            x0, y0 = gx + off + idx * 60, gy + off
+            boxes.append((x0, y0, x0 + w, y0 + h))
+            rings.append(_rect_ring(x0, y0, x0 + w, y0 + h))
+        return boxes, rings
+
+    boxes_a, rings_a = build(rects_a, 0.25)
+    boxes_b, rings_b = build(rects_b, 0.5)
+    expected = any(ax0 < bx1 and bx0 < ax1 and ay0 < by1 and by0 < ay1
+                   for (ax0, ay0, ax1, ay1) in boxes_a
+                   for (bx0, by0, bx1, by1) in boxes_b)
+    assert polygons_intersect(rings_a, rings_b) == expected
