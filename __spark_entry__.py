@@ -787,9 +787,9 @@ def q_ivf_ann(spark, sf_dir):
 def q_minhash_pairs_hashkey(spark, sf_dir):
     """MinHash LSH, production band-key mode: 4-byte murmur band keys
     (half the exchange width of the exact-string oracle mode; identical
-    semantics modulo astronomically-rare murmur collisions). Rows-only
-    — this is the plan the bench measures; correctness rides on the
-    oracled `minhash_pairs` twin."""
+    semantics modulo astronomically-rare murmur collisions). Oracled:
+    the `minhash_pairs` SQL twin is aliased to this entry (identical
+    output either mode); this is the plan the bench measures."""
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6,
                                band_key="hash")
@@ -938,7 +938,8 @@ def q_tilejson_doc(spark, sf_dir):
 
 def q_stylejson_doc(spark, sf_dir):
     """EP3: drawingInfo renderer -> MapLibre style document (single
-    row; match/step expression compilation). Rows-only."""
+    row; match/step expression compilation). Golden-literal
+    oracle."""
     from esri_dump_spark.plans.stylejson import stylejson
     import json as _json
     meta = {"name": "synthetic-layer", "drawingInfo": {
@@ -968,7 +969,8 @@ def q_stylejson_doc(spark, sf_dir):
 
 
 def q_discovery(spark, sf_dir):
-    """S6: recursive folder/service/layer catalog walk. Rows-only."""
+    """S6: recursive folder/service/layer catalog walk. Golden-literal
+    oracle."""
     from esri_dump_spark.sources.discovery import discover_tree
     from esri_dump_spark.sources.feature_server import SyntheticFeatureServer
     meta = SyntheticFeatureServer(n_features=10).metadata()
@@ -1094,7 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": q_value_quantiles,
         "embedding_norms": q_embedding_norms,
         "supplier_volume": q_supplier_volume,
-        # ---- rows-only (non-SQL-expressible) ----
+        # ---- oracled overflow (golden rollups / aliased twins whose
+        # operator rows are already gate-covered) ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
         "pip_fixture_polygons": q_pip_fixture_polygons,
@@ -1102,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "crossmodal_near_dup": q_crossmodal_near_dup,
         "image_clean": q_image_clean,
+        # ---- rows-only (non-SQL-expressible: LSH recall < 1) ----
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
     }
 

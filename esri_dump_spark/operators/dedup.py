@@ -18,6 +18,7 @@ splitmix64 over UTF-8 bytes, identical across executors and runs.
 from __future__ import annotations
 
 from itertools import combinations
+from math import comb as _comb
 
 import numpy as np
 import pandas as pd
@@ -43,7 +44,19 @@ def _spread(df: DataFrame) -> DataFrame:
     A small parquet file arrives as ONE input split, which would run
     the Arrow UDF or gram explode on a single core; at warehouse scale
     inputs already carry >= defaultParallelism splits and this is a
-    no-op (no shuffle inserted)."""
+    no-op (no shuffle inserted).
+
+    Plans that already contain an Exchange are returned untouched
+    WITHOUT probing the partition count: an upstream shuffle already
+    redistributes to spark.sql.shuffle.partitions, and probing via
+    ``df.rdd`` would force AQE to materialize every upstream query
+    stage just to read the count — executing the pipeline once for
+    the probe and again for the real query. For the remaining narrow
+    (scan/project) plans the ``.rdd`` probe builds lineage only; no
+    stage runs."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -428,17 +441,6 @@ def simhash_sql_cte(id_col: str = "doc_id", text_col: str = "text",
                 FROM _h GROUP BY {id_col})"""
 
 
-def _lossless_blocks(total_bits: int, max_hamming: int) -> int:
-    """Smallest divisor-of-width block count > max_hamming — the
-    pigeonhole guarantee that every pair within the hamming budget
-    shares at least one exact chunk."""
-    need = max_hamming + 1
-    for b in range(need, total_bits + 1):
-        if total_bits % b == 0:
-            return b
-    return total_bits
-
-
 def _block_widths(total_bits: int, m: int) -> list[int]:
     """``m`` near-equal block widths summing to ``total_bits``
     (the first ``total_bits % m`` blocks get the extra bit)."""
@@ -447,7 +449,7 @@ def _block_widths(total_bits: int, m: int) -> list[int]:
 
 
 def _multi_index_plan(total_bits: int, max_hamming: int,
-                      min_key_bits: int = 15
+                      min_key_bits: int = 15, max_tables: int = 256
                       ) -> tuple[list[int], list[tuple[int, ...]]]:
     """Lossless block-LSH plan with a LOWER BOUND on key width — the
     generalized-pigeonhole multi-index of Manku, Jain & Das Sarma,
@@ -467,15 +469,33 @@ def _multi_index_plan(total_bits: int, max_hamming: int,
     Returns (block widths LSB-first, list of r-subsets). r == 1
     reduces to the classic single-block scheme (used automatically
     when one block is already wide enough, e.g. the default
-    max_hamming=3 over 60 bits -> 4 x 15-bit blocks, 4 tables)."""
+    max_hamming=3 over 60 bits -> 4 x 15-bit blocks, 4 tables).
+
+    ``max_tables`` bounds C(m, r) — every subset is one replication of
+    each input row into the candidate exchange, so an uncapped plan
+    can quietly explode (max_hamming=10 over 60 bits wants r=4 ->
+    C(14, 4) = 1001x row fan-out for its 16-bit keys). When no r
+    reaches ``min_key_bits`` within the cap, the plan takes the
+    LARGEST r under the cap instead: still lossless (all C(m, r)
+    subsets are present at m = max_hamming + r — the pigeonhole
+    argument doesn't depend on key width), just with narrower keys,
+    i.e. the residual selectivity cost is paid in bucket size rather
+    than exchange volume. Callers with extreme budgets can raise
+    either knob explicitly."""
+    best = None
     for r in range(1, total_bits + 1):
         m = max_hamming + r
         if m > total_bits:
             break
+        n_tables = _comb(m, r)
+        if n_tables > max_tables:
+            break
         widths = _block_widths(total_bits, m)
+        best = (widths, [tuple(c) for c in combinations(range(m), r)])
         if sum(sorted(widths)[:r]) >= min_key_bits:
-            return widths, [tuple(c)
-                            for c in combinations(range(m), r)]
+            return best
+    if best is not None:
+        return best
     # degenerate (hamming budget ~ hash width): fall back to the
     # plain lossless single-block split — still correct, just narrow
     m = min(max_hamming + 1, total_bits)

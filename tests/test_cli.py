@@ -1,4 +1,10 @@
-"""CLI smoke tests — one per reference mode (cli.ts:75-107)."""
+"""CLI smoke tests — one per reference mode (cli.ts:75-107).
+
+The subprocess runs from a TEMP cwd (with PYTHONPATH pointing at the
+repo): the fetch/discover modes start their own Spark session, and two
+sessions sharing a working directory clash on the Derby metastore —
+the pytest session-scoped Spark session already owns the repo cwd.
+"""
 
 from __future__ import annotations
 
@@ -6,14 +12,18 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(*args: str) -> str:
-    out = subprocess.run(
-        [sys.executable, "-m", "esri_dump_spark", *args],
-        cwd=REPO, capture_output=True, text=True, timeout=300)
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    with tempfile.TemporaryDirectory() as cwd:
+        out = subprocess.run(
+            [sys.executable, "-m", "esri_dump_spark", *args],
+            cwd=cwd, env=env, capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     return out.stdout
 
@@ -53,9 +63,12 @@ def test_cli_fetch_and_discover():
 
 
 def test_cli_header_param_accepted():
-    out = subprocess.run(
-        [sys.executable, "-m", "esri_dump_spark", "schema",
-         "--header", "X-Test=1", "--param", "where=1=1", "synthetic:10"],
-        cwd=REPO, capture_output=True, text=True, timeout=120)
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    with tempfile.TemporaryDirectory() as cwd:
+        out = subprocess.run(
+            [sys.executable, "-m", "esri_dump_spark", "schema",
+             "--header", "X-Test=1", "--param", "where=1=1", "synthetic:10"],
+            cwd=cwd, env=env, capture_output=True, text=True, timeout=120)
     assert out.returncode == 0
     assert "parity" in out.stderr

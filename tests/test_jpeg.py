@@ -117,6 +117,20 @@ def test_jpeg_roundtrip_property():
     check()
 
 
+def test_decoder_rejects_truncated_marker_streams():
+    """Streams cut mid-marker (last byte 0xFF) or mid-segment must
+    raise ValueError, not IndexError — regression for the dangling
+    marker-byte read past end-of-buffer that the derandomized fuzz
+    corpus never generated."""
+    for blob in (b"\xff\xd8\xff", b"\xff\xd8\xff\xdb\x00",
+                 b"\xff\xd8\xff\xc0", b"\xff\xd8" + b"\x00" * 5 + b"\xff"):
+        try:
+            decode_jpeg(blob)
+            raise AssertionError(f"decoded garbage: {blob!r}")
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_decoder_rejects_garbage_without_hanging():
     """Random bytes and truncated/bit-flipped streams must raise (or
     decode) promptly — and ONLY with the ValueError family that

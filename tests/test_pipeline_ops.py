@@ -201,14 +201,17 @@ def test_chain_cluster_single_survivor(spark):
 
 
 def test_block_lsh_lossless_auto_blocks(spark):
-    """blocks=None scales the chunk count so the pigeonhole guarantee
-    holds for the requested hamming budget: a pair whose differing
-    bits land in every 4-bit-era chunk must still be found."""
-    from esri_dump_spark.operators.dedup import _lossless_blocks
-    assert _lossless_blocks(60, 3) == 4
-    assert _lossless_blocks(60, 10) == 12
-    assert _lossless_blocks(64, 6) == 8
-    assert _lossless_blocks(64, 8) == 16
+    """blocks=None scales the plan so the pigeonhole guarantee holds
+    for the requested hamming budget: a pair whose differing bits land
+    in every 4-bit-era chunk must still be found, and the C(m, r)
+    fan-out stays bounded (row replication per input = table count)."""
+    from math import comb
+    from esri_dump_spark.operators.dedup import _multi_index_plan
+    for bits, k in ((60, 3), (60, 10), (64, 6), (64, 8), (60, 12)):
+        widths, subs = _multi_index_plan(bits, k)
+        r = len(subs[0])
+        assert len(widths) == k + r                    # pigeonhole form
+        assert len(subs) == comb(k + r, r) <= 256      # bounded fan-out
     # construct a phash pair at hamming 6 spread over all 4 of the old
     # 16-bit chunks — blocks=4 would miss it; the auto default finds it
     h1 = 0
