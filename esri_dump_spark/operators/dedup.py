@@ -618,16 +618,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     dedup pipelines."""
     # hoist the word split into a column: inside the lambda it would be
     # re-evaluated per gram (no common-subexpression elimination across
-    # higher-order-function bodies), turning tokenization O(words^2)
+    # higher-order-function bodies), turning tokenization O(words^2).
+    # Gram dedup is PER DOCUMENT, so array_distinct before the explode
+    # does it narrowly — a .distinct() after the explode would pay a
+    # full-corpus exchange for the same result
     grams = _spread(df).select(
         F.col(id_col),
         F.expr(f"split(lower({text_col}), ' ')").alias("_w")
     ).select(
         F.col(id_col),
-        F.explode(F.expr(
+        F.explode(F.array_distinct(F.expr(
             f"transform(sequence(1, greatest(size(_w) - {n - 1}, 1)),"
             f" i -> concat_ws(' ', slice(_w, i, {n})))"
-        )).alias("gram")).distinct()
+        ))).alias("gram"))
     # referenced three times below (sizes + both join sides): cache so
     # the explode runs once. At warehouse scale this is a materialized
     # intermediate table instead of an executor cache.
