@@ -60,8 +60,16 @@ def fit_centroids(vectors: DataFrame, vec_col: str = "embedding",
                   sample: int = 4096, seed: int = 42) -> np.ndarray:
     """k-means-lite on a deterministic sample, fitted driver-side.
     The centroid matrix is tiny (n_centroids x dim) and broadcast to
-    executors by closure."""
-    pdf = (vectors.select(vec_col).limit(sample).toPandas())
+    executors by closure.
+
+    The sample is a seeded uniform draw over the WHOLE table
+    (orderBy(rand).limit → per-partition top-k + driver merge, one
+    scan, bounded driver memory) — NOT ``limit(sample)``, which takes
+    the head of the first partition(s) and fits centroids on whatever
+    region of the sphere the table happens to start with (embedding
+    dumps are typically ordered by source)."""
+    pdf = (vectors.select(vec_col)
+           .orderBy(F.rand(seed)).limit(sample).toPandas())
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True).clip(min=1e-12)
     rng = np.random.default_rng(seed)

@@ -123,7 +123,13 @@ def with_lineage(df: DataFrame, run_id: str, sink_dir: str,
                         kmax = col.max() if kmax is None \
                             else max(kmax, col.max())
                 yield b
-        except Exception:
+        except BaseException:
+            # BaseException, not Exception: an early-closed iterator
+            # (downstream limit/take, cancelled task) raises
+            # GeneratorExit at the yield — that partition only
+            # partially processed its keys and must NOT record ok,
+            # or completed_keys would certify rows that never reached
+            # the sink.
             status = "error"
             raise
         finally:
@@ -200,11 +206,18 @@ def completed_keys(spark, sink_dir: str, run_id: str) -> DataFrame:
             .distinct())
 
 
-def pending_work(manifest: DataFrame, lineage: DataFrame,
-                 manifest_key: str, lineage_key: str = "work_key") -> DataFrame:
-    """Resume: work items in the manifest with no completed lineage
-    record. left_anti on the key — the restarted run processes only
-    what is missing."""
-    done = (lineage.filter(F.col("status") == "ok")
-            .select(F.col(lineage_key).alias(manifest_key)).distinct())
-    return manifest.join(done, manifest_key, "left_anti")
+def pending_work(manifest: DataFrame, done: DataFrame,
+                 manifest_key: str) -> DataFrame:
+    """Resume: manifest work items not yet certified complete.
+
+    ``done`` must be the output of :func:`completed_keys` (a
+    one-column ``work_key`` DataFrame, commit-gated). Raw
+    ``read_lineage`` output is NOT a valid input here: its
+    ``work_key`` column holds ``min..max`` range strings that never
+    equal a manifest key, and its rows land during the map stage —
+    before the sink write commits — so trusting ``status == 'ok'``
+    alone would mark work complete whose output never landed.
+    ``completed_keys`` applies both gates; this is just the broadcast
+    left_anti against the manifest."""
+    done = done.select(F.col("work_key").alias(manifest_key)).distinct()
+    return manifest.join(F.broadcast(done), manifest_key, "left_anti")

@@ -66,14 +66,19 @@ def _salt_col(df_key: Column, hot: list, nsalt: int, scatter: Column) -> Column:
 
 def salted_repartition(df: DataFrame, key: str, nsalt: int = 16,
                        hot: list | None = None,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42, keep_salt: bool = False) -> DataFrame:
     """Repartition by (key, salt): hot keys fan out over nsalt
-    sub-partitions, cold keys keep salt 0 (stable single partition)."""
+    sub-partitions, cold keys keep salt 0 (stable single partition).
+
+    Pass-through schema: the helper ``_salt`` column is dropped after
+    the exchange (the projection sits above the shuffle, so the
+    partitioning survives) unless ``keep_salt=True``."""
     if hot is None:
         hot = hot_keys(df, key)
     scatter = (F.rand(seed) * nsalt).cast("int")
     out = df.withColumn("_salt", _salt_col(F.col(key), hot, nsalt, scatter))
-    return out.repartition(F.col(key), F.col("_salt"))
+    out = out.repartition(F.col(key), F.col("_salt"))
+    return out if keep_salt else out.drop("_salt")
 
 
 def two_phase_agg(df: DataFrame, key: str, aggs: dict[str, str],
@@ -95,6 +100,14 @@ def two_phase_agg(df: DataFrame, key: str, aggs: dict[str, str],
         arg = arg.rstrip(")")
         fn = fn.strip().lower()
         p = f"__p_{out}"
+        if arg.strip().lower().startswith("distinct"):
+            # per-(key,salt) distinct partials double-count values that
+            # land in several salt buckets — not decomposable this way
+            raise ValueError(
+                f"non-decomposable agg {spec!r}: distinct aggregates "
+                "cannot be salted (a value may appear in multiple salt "
+                "buckets); use Spark's groupBy directly or "
+                "approx_count_distinct")
         if fn == "count":
             partial_exprs.append(F.expr(f"count({arg})").alias(p))
             final_exprs.append(F.sum(p).alias(out))
@@ -114,7 +127,21 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 
     big side:   salt = uniform(0..nsalt) for hot keys else 0
     small side: hot-key rows replicated nsalt times (explode), cold 0
+
+    Only big-side-preserving join types are valid: replicating the
+    small side nsalt ways means an UNMATCHED small row would surface
+    once per replica under right/full outer — so those are rejected.
     """
+    _SAFE_HOW = {"inner", "left", "left_outer", "leftouter",
+                 "left_semi", "leftsemi", "semi",
+                 "left_anti", "leftanti", "anti"}
+    if how.lower().replace("_", "") not in {
+            h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side "
+            "is replicated per salt, so right/full outer joins would "
+            "emit unmatched small rows once per replica. Use "
+            "big.join(small, key, how) directly for those.")
     if hot is None:
         hot = hot_keys(big, key)
     scatter = (F.rand(seed) * nsalt).cast("int")
@@ -123,7 +150,9 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         s_hot = (small.filter(F.col(key).isin(hot))
                  .withColumn("_salt",
                              F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))))
-        s_cold = (small.filter(~F.col(key).isin(hot))
+        # null-safe complement: ~isin(hot) is NULL (not True) for a
+        # NULL key, which would silently drop small null-key rows
+        s_cold = (small.filter(F.col(key).isNull() | ~F.col(key).isin(hot))
                   .withColumn("_salt", F.lit(0)))
         s = s_hot.unionByName(s_cold)
     else:

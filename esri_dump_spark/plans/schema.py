@@ -51,11 +51,29 @@ _ESRI_TO_SPARK: dict[str, T.DataType] = {
 }
 
 
-def _is_num(v) -> bool:
-    try:
+_MISSING = object()
+
+
+def _js_not_nan(v) -> bool:
+    """JS ``!isNaN(v)`` with Number() coercion — the reference's guard
+    (schema.ts:42). Notably ``Number(null) === 0``, so a present-but-
+    null length still emits ``"maxLength": null``; an absent length
+    (undefined → NaN) does not."""
+    if v is _MISSING:
+        return False          # undefined → NaN
+    if v is None or isinstance(v, bool):
+        return True           # Number(null)=0, Number(bool)=0|1
+    if isinstance(v, (int, float)):
         return not math.isnan(float(v))
-    except (TypeError, ValueError):
-        return False
+    if isinstance(v, str):
+        s = v.strip()
+        if s == "":
+            return True       # Number('') = 0
+        try:
+            return not math.isnan(float(s))
+        except ValueError:
+            return False
+    return False              # objects → NaN
 
 
 def field_to_schema(metadata: dict) -> dict:
@@ -73,7 +91,8 @@ def field_to_schema(metadata: dict) -> dict:
         name = str(field["name"])
         base = ESRI_TO_JSON_SCHEMA.get(field.get("type"), {"type": "string"})
         prop = dict(base)
-        if _is_num(field.get("length")) and base.get("type") == "string":
+        if (_js_not_nan(field.get("length", _MISSING))
+                and base.get("type") == "string"):
             prop["maxLength"] = field["length"]
         doc["properties"][name] = prop
     return doc

@@ -145,9 +145,17 @@ def bounds_from_extent(extent: dict | None):
     # doesn't carry
     if any(int(c) in _MERCATOR_WKIDS for c in candidates):
         return _fold_corners(_mercator_to_lonlat, extent)
+    if not candidates:
+        # reference parity (lib/tilejson.ts:101): a spatialReference
+        # with no wkt and no NUMERIC wkid/latestWkid (string wkid,
+        # vcsWkid only, ...) falls back to 'EPSG:4326' — an identity
+        # proj4 call, i.e. raw-extent passthrough — rather than failing
+        return [extent["xmin"], extent["ymin"],
+                extent["xmax"], extent["ymax"]]
     raise UnsupportedProjectionError(
-        f"CRS {candidates or sr!r}: no wkid-table definition and no "
-        "built-in fallback (proj4js would equally fail)")
+        f"CRS {candidates!r}: no wkid-table definition and no "
+        "built-in fallback (proj4js would equally fail on "
+        f"'EPSG:{int(candidates[0])}')")
 
 
 def _zoom_range(metadata: dict) -> tuple[int, int]:

@@ -85,15 +85,31 @@ def dedup_events(events: DataFrame, keys: list[str] | None = None,
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,
-                      timeout_sec: int = 120):
+                      timeout_sec: int = 120, output_mode: str | None = None):
     """Drain everything currently available into an in-memory table and
-    stop (backfill pattern). Returns the terminated query."""
+    stop (backfill pattern). Returns the terminated query.
+
+    ``output_mode=None`` picks the mode that is legal for the plan:
+    'complete' only exists for aggregated streams, so non-aggregated
+    streams (raw reads, dedup, filters) drain in 'append'. Raises
+    TimeoutError if the drain does not finish within ``timeout_sec`` —
+    returning a still-running query would hand callers a partially
+    populated memory table with no warning."""
+    if output_mode is None:
+        # streaming aggregation ⇒ isStreaming plan contains stateful agg;
+        # cheap reliable probe: complete-mode requires an Aggregate node
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        output_mode = "complete" if "Aggregate" in plan else "append"
     q = (stream_df.writeStream.format("memory")
          .queryName(query_name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain of {query_name!r} did not finish in "
+            f"{timeout_sec}s (query stopped; memory table is partial)")
     return q
 
 

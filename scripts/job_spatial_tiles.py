@@ -42,6 +42,7 @@ def run(spark: SparkSession, images_path: str, out_dir: str,
                                                    completed_keys,
                                                    new_attempt_id,
                                                    observe_metrics,
+                                                   pending_work,
                                                    with_lineage)
     from esri_dump_spark.sources.fixtures import polygons_pdf
 
@@ -57,7 +58,7 @@ def run(spark: SparkSession, images_path: str, out_dir: str,
     # those files done (their counts never reached the sink)
     done = completed_keys(spark, lineage_dir, run_id)
     n_done = done.count()
-    pending = imgs.join(F.broadcast(done), "work_key", "left_anti")
+    pending = pending_work(imgs, done, "work_key")
 
     if polygons_path is not None:
         polys = spark.read.parquet(polygons_path)

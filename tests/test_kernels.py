@@ -259,3 +259,23 @@ def test_field_to_schema_document():
     assert field_to_schema({}) == {
         "type": "object", "required": [], "additionalProperties": False,
         "properties": {}}
+
+
+def test_field_to_schema_null_length_js_nan_parity():
+    """schema.ts:42 guards maxLength with JS !isNaN(length): Number(null)
+    is 0 (not NaN), so length:null still emits "maxLength": null; an
+    ABSENT length (undefined -> NaN) emits nothing; numeric strings
+    coerce; non-numeric strings don't."""
+    meta = {"fields": [
+        {"name": "notes", "type": "esriFieldTypeString", "length": None},
+        {"name": "no_len", "type": "esriFieldTypeString"},
+        {"name": "strnum", "type": "esriFieldTypeString", "length": "12"},
+        {"name": "junk", "type": "esriFieldTypeString", "length": "abc"},
+        {"name": "num_null", "type": "esriFieldTypeDouble", "length": None},
+    ]}
+    p = field_to_schema(meta)["properties"]
+    assert p["notes"] == {"type": "string", "maxLength": None}
+    assert p["no_len"] == {"type": "string"}
+    assert p["strnum"] == {"type": "string", "maxLength": "12"}
+    assert p["junk"] == {"type": "string"}
+    assert p["num_null"] == {"type": "number"}  # non-string: no maxLength

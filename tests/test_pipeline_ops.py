@@ -590,12 +590,22 @@ def test_lineage_and_resume(spark, tmp_path):
     assert all(r.status == "ok" for r in recs)
     assert all(r.t_end >= r.t_start for r in recs)
 
-    # resume: mark half the manifest done, only the rest survives
-    manifest = spark.range(0, 8).select(F.col("id").cast("string").alias("work_key"))
-    done = spark.createDataFrame(
-        pd.DataFrame({"work_key": ["0", "1", "2", "3"],
-                      "status": ["ok"] * 4}))
-    pend = L.pending_work(manifest, done, "work_key")
+    # resume end-to-end: run half the manifest with collect_keys under
+    # a committed attempt — pending_work(completed_keys(...)) must
+    # re-plan exactly the other half
+    manifest = spark.range(0, 8).select(
+        F.col("id").cast("string").alias("work_key"))
+    half = manifest.filter(F.col("work_key") < "4")
+    att = L.new_attempt_id()
+    wrapped = L.with_lineage(half, "run2", sink, work_key_col="work_key",
+                             collect_keys=True, attempt_id=att)
+    assert wrapped.count() == 4
+    # marker not yet written → nothing is certified, everything pending
+    done0 = L.completed_keys(spark, sink, "run2")
+    assert L.pending_work(manifest, done0, "work_key").count() == 8
+    L.commit_attempt(sink, "run2", att)
+    done1 = L.completed_keys(spark, sink, "run2")
+    pend = L.pending_work(manifest, done1, "work_key")
     assert {r.work_key for r in pend.collect()} == {"4", "5", "6", "7"}
 
 

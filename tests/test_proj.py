@@ -262,3 +262,14 @@ def test_gnomonic_horizon_and_vnsp_domain_errors():
     # ValueError (Newton steps leave the cap), not a raw cap error
     with pytest.raises(ValueError):
         v.inv(6378137.0 * 50, 0.0)
+
+
+def test_non_numeric_wkid_falls_back_to_passthrough():
+    """Reference parity (lib/tilejson.ts:101): a spatialReference with
+    no wkt and no NUMERIC wkid/latestWkid falls back to 'EPSG:4326' —
+    an identity proj4 call — so the raw extent passes through instead
+    of raising."""
+    for sr in ({"wkid": "3857"}, {"vcsWkid": 5703}, {"foo": 1}):
+        ext = {"xmin": 1.0, "ymin": 2.0, "xmax": 3.0, "ymax": 4.0,
+               "spatialReference": sr}
+        assert bounds_from_extent(ext) == [1.0, 2.0, 3.0, 4.0], sr

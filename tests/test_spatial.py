@@ -394,7 +394,7 @@ def test_salted_repartition_spreads_hot_key(spark):
     pdf = pd.DataFrame({"k": [1] * 900 + list(range(2, 102)),
                         "v": range(1000)})
     df = spark.createDataFrame(pdf)
-    out = salted_repartition(df, "k", nsalt=8, hot=[1])
+    out = salted_repartition(df, "k", nsalt=8, hot=[1], keep_salt=True)
     assert out.count() == 1000
     import pyspark.sql.functions as F
     # hot key rows carry multiple salt values (the partition spread at
@@ -403,6 +403,8 @@ def test_salted_repartition_spreads_hot_key(spark):
     assert salts > 1
     # cold keys keep salt 0
     assert out.filter((F.col("k") != 1) & (F.col("_salt") != 0)).count() == 0
+    # default output is pass-through: no helper column leaks
+    assert salted_repartition(df, "k", nsalt=8, hot=[1]).columns == ["k", "v"]
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -414,3 +416,27 @@ def test_salted_join_matches_plain_join(spark):
            salted_join(big, small, "k", nsalt=4, hot=[1]).collect()}
     exp = {(r.k, r.v, r.tag) for r in big.join(small, "k").collect()}
     assert got == exp
+
+
+def test_salted_join_left_nulls_and_outer_rejection(spark):
+    import pytest
+    big_pdf = pd.DataFrame({"k": [1.0] * 50 + [2.0, None],
+                            "v": range(52)})
+    small_pdf = pd.DataFrame({"k": [1.0, None], "tag": ["a", "x"]})
+    big, small = spark.createDataFrame(big_pdf), spark.createDataFrame(small_pdf)
+    for how in ("left", "inner", "left_semi", "left_anti"):
+        got = {tuple(r) for r in
+               salted_join(big, small, "k", nsalt=4, hot=[1.0],
+                           how=how).collect()}
+        exp = {tuple(r) for r in big.join(small, "k", how).collect()}
+        assert got == exp, how
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(big, small, "k", how=how, hot=[1.0])
+
+
+def test_two_phase_agg_rejects_distinct(spark):
+    import pytest
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 1, 2], "x": [1, 1, 2]}))
+    with pytest.raises(ValueError, match="distinct"):
+        two_phase_agg(df, "k", {"d": "count(distinct x)"}, hot=[1])

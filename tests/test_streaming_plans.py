@@ -35,6 +35,21 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     assert got == exp
 
 
+def test_run_available_now_non_aggregated_stream(spark, sf_dir, tmp_path):
+    """A non-aggregated stream (raw read) must drain in append mode —
+    'complete' is illegal without a streaming aggregation."""
+    import shutil
+    stream_dir = tmp_path / "events_raw"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    stream = read_events_stream(spark, str(stream_dir))
+    run_available_now(stream.filter(F.col("value") >= 0), "raw_drain")
+    n = spark.sql("SELECT count(*) AS n FROM raw_drain").collect()[0].n
+    exp = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .filter(F.col("value") >= 0).count())
+    assert n == exp
+
+
 def test_sessionize_batch(spark):
     pdf = pd.DataFrame({
         "user_id": [1] * 5 + [2] * 2,
