@@ -62,14 +62,27 @@ def fit_centroids(vectors: DataFrame, vec_col: str = "embedding",
     The centroid matrix is tiny (n_centroids x dim) and broadcast to
     executors by closure.
 
-    The sample is a seeded uniform draw over the WHOLE table
-    (orderBy(rand).limit → per-partition top-k + driver merge, one
-    scan, bounded driver memory) — NOT ``limit(sample)``, which takes
-    the head of the first partition(s) and fits centroids on whatever
-    region of the sphere the table happens to start with (embedding
-    dumps are typically ordered by source)."""
-    pdf = (vectors.select(vec_col)
-           .orderBy(F.rand(seed)).limit(sample).toPandas())
+    The sample is a seeded uniform draw over the WHOLE table — NOT
+    ``limit(sample)``, which takes the head of the first partition(s)
+    and fits centroids on whatever region of the sphere the table
+    happens to start with (embedding dumps are typically ordered by
+    source). Mechanics chosen for scale: a count (metadata-only on
+    parquet/Iceberg) sizes a Bernoulli ``sample()`` whose expectation
+    is ~1.25x the target, the sampled rows (bounded, ~1.25x sample)
+    come to the driver, and a seeded driver-side choice trims to
+    exactly ``sample``. No global sort and no single task ever sees
+    more than its own partition's sampled rows — unlike
+    orderBy(rand).limit, which funnels partitions x sample rows
+    through one final task."""
+    n = vectors.count()
+    sel = vectors.select(vec_col)
+    if n > sample:
+        frac = min(1.0, 1.25 * sample / n)
+        sel = sel.sample(withReplacement=False, fraction=frac, seed=seed)
+    pdf = sel.toPandas()
+    if len(pdf) > sample:
+        rng0 = np.random.default_rng(seed)
+        pdf = pdf.iloc[rng0.choice(len(pdf), size=sample, replace=False)]
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True).clip(min=1e-12)
     rng = np.random.default_rng(seed)

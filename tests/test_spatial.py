@@ -440,3 +440,36 @@ def test_two_phase_agg_rejects_distinct(spark):
     df = spark.createDataFrame(pd.DataFrame({"k": [1, 1, 2], "x": [1, 1, 2]}))
     with pytest.raises(ValueError, match="distinct"):
         two_phase_agg(df, "k", {"d": "count(distinct x)"}, hot=[1])
+
+
+def test_salted_ops_randomized_equivalence(spark):
+    """Seeded randomized sweep: salted_join and two_phase_agg must equal
+    their plain Spark equivalents across hot-set choices (empty, one,
+    many, non-existent key), join types, nsalt values, and null keys."""
+    import pyspark.sql.functions as F
+    rng = np.random.default_rng(1234)
+    keys = rng.integers(0, 6, 400).astype(float)
+    keys[rng.random(400) < 0.05] = np.nan  # ~5% null keys
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "v": np.arange(400)})).cache()
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": [0.0, 1.0, 2.0, 3.0, None], "tag": list("abcdx")})).cache()
+    hot_sets = [[], [0.0], [0.0, 1.0, 2.0], [99.0]]
+    for hot in hot_sets:
+        for how in ("inner", "left", "left_anti"):
+            for nsalt in (2, 7):
+                got = sorted((tuple(r) for r in salted_join(
+                    big, small, "k", nsalt=nsalt, hot=hot, how=how)
+                    .collect()), key=str)
+                exp = sorted((tuple(r) for r in
+                              big.join(small, "k", how).collect()), key=str)
+                assert got == exp, (hot, how, nsalt)
+        agg = {(r.k,): (r.n, r.s, r.mn) for r in two_phase_agg(
+            big, "k", {"n": "count(*)", "s": "sum(v)", "mn": "min(v)"},
+            hot=hot).collect()}
+        plain = {(r.k,): (r.n, r.s, r.mn) for r in
+                 big.groupBy("k").agg(
+                     F.count("*").alias("n"), F.sum("v").alias("s"),
+                     F.min("v").alias("mn")).collect()}
+        assert agg == plain, hot
+    big.unpersist(); small.unpersist()
