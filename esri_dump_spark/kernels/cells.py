@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .rings import points_in_polygon, edges_intersect, points_in_ring
+from .rings import rects_intersect_polygon
 
 __all__ = [
     "MAX_RES", "latlng_to_cell", "cell_to_res_xy", "cell_bounds",
@@ -138,26 +138,5 @@ def polygon_cover(rings, res: int, exact: bool = True) -> np.ndarray:
         return cells
 
     x0, y0, x1, y1 = cell_bounds(cells)
-    keep = np.zeros(cells.shape[0], dtype=bool)
-
-    # (a) any cell corner or center inside the polygon
-    for px, py in ((x0, y0), (x0, y1), (x1, y0), (x1, y1),
-                   ((x0 + x1) / 2, (y0 + y1) / 2)):
-        pts = np.column_stack([px, py])
-        keep |= points_in_polygon(pts, rings)
-
-    # (b) any polygon vertex inside the cell rectangle
-    vx, vy = allpts[:, 0], allpts[:, 1]
-    for i in np.where(~keep)[0]:
-        if np.any((vx >= x0[i]) & (vx <= x1[i]) & (vy >= y0[i]) & (vy <= y1[i])):
-            keep[i] = True
-
-    # (c) cell boundary crosses a ring edge
-    for i in np.where(~keep)[0]:
-        rect = np.array([[x0[i], y0[i]], [x1[i], y0[i]], [x1[i], y1[i]],
-                         [x0[i], y1[i]], [x0[i], y0[i]]])
-        for ring in rings:
-            if edges_intersect(rect, ring):
-                keep[i] = True
-                break
+    keep = rects_intersect_polygon(rings, x0, y0, x1, y1)
     return cells[keep]

@@ -32,6 +32,7 @@ __all__ = [
     "polygons_intersect",
     "rings_to_geojson",
     "points_in_polygon",
+    "rects_intersect_polygon",
 ]
 
 
@@ -287,3 +288,42 @@ def points_in_polygon(points: np.ndarray, rings) -> np.ndarray:
     for ring in rings:
         inside ^= points_in_ring(points, np.asarray(ring, dtype=np.float64))
     return inside
+
+
+def rects_intersect_polygon(rings, x0, y0, x1, y1) -> np.ndarray:
+    """Which axis-aligned rectangles [x0,x1]x[y0,y1] intersect the
+    even-odd polygon ``rings``. The three-stage cover test shared by
+    ``cells.polygon_cover`` and ``tiles.tile_cover`` (one copy so a
+    predicate fix can never diverge between cell and tile covers):
+
+      (a) a rect corner or center inside the polygon (even-odd);
+      (b) a polygon vertex inside the rect;
+      (c) a rect boundary crossing a ring edge.
+
+    ``rings`` must be closed rings (first point == last) so stage (c)
+    sees every edge. Returns bool[len(x0)].
+    """
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    allpts = np.vstack(rings)
+    keep = np.zeros(x0.shape[0], dtype=bool)
+    for px, py in ((x0, y0), (x0, y1), (x1, y0), (x1, y1),
+                   ((x0 + x1) / 2, (y0 + y1) / 2)):
+        keep |= points_in_polygon(np.column_stack([px, py]), rings)
+    vx, vy = allpts[:, 0], allpts[:, 1]
+    for i in np.where(~keep)[0]:
+        if np.any((vx >= x0[i]) & (vx <= x1[i])
+                  & (vy >= y0[i]) & (vy <= y1[i])):
+            keep[i] = True
+            continue
+        rect = np.array([[x0[i], y0[i]], [x1[i], y0[i]],
+                         [x1[i], y1[i]], [x0[i], y1[i]],
+                         [x0[i], y0[i]]], dtype=np.float64)
+        for ring in rings:
+            if edges_intersect(rect, ring):
+                keep[i] = True
+                break
+    return keep

@@ -497,7 +497,16 @@ def _multi_index_plan(total_bits: int, max_hamming: int,
     if best is not None:
         return best
     # degenerate (hamming budget ~ hash width): fall back to the
-    # plain lossless single-block split — still correct, just narrow
+    # plain lossless single-block split. The pigeonhole guarantee
+    # needs m > max_hamming blocks; when the budget reaches the hash
+    # width that is impossible (every pair would qualify anyway), so
+    # refuse instead of silently missing pairs.
+    if max_hamming >= total_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= hash width {total_bits}: "
+            "every pair is within budget — block LSH cannot prune "
+            "and the single-block fallback would silently miss pairs; "
+            "use a crossJoin (all pairs qualify) or a smaller budget")
     m = min(max_hamming + 1, total_bits)
     return _block_widths(total_bits, m), [(j,) for j in range(m)]
 
@@ -825,9 +834,15 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
 
     va = slim.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     vb = slim.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    dot = "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    na = "sqrt(aggregate(v_a, 0D, (acc, v) -> acc + v * v))"
-    nb = "sqrt(aggregate(v_b, 0D, (acc, v) -> acc + v * v))"
+    # CAST to double before multiplying, same as ann._cos_expr: an
+    # array<float> column would otherwise accumulate at float32 and
+    # disagree with the exact path at the threshold boundary
+    dot = ("aggregate(zip_with(v_a, v_b, (x, y) -> "
+           "CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)")
+    na = ("sqrt(aggregate(v_a, 0D, (acc, v) -> "
+          "acc + CAST(v AS DOUBLE) * v))")
+    nb = ("sqrt(aggregate(v_b, 0D, (acc, v) -> "
+          "acc + CAST(v AS DOUBLE) * v))")
     return (pairs.join(va, "id_a").join(vb, "id_b")
             .withColumn("cosine", F.expr(f"{dot} / ({na} * {nb})"))
             .filter(F.col("cosine") >= threshold)

@@ -232,9 +232,24 @@ def extract(spark: SparkSession, server, approach: str = "iter",
                         f"page offset={rec.offset}")
                 else:
                     env = (rec.xmin, rec.ymin, rec.xmax, rec.ymax)
-                    feats, _ = _with_retries(
-                        lambda: server.query_bbox(env, top_filter=top_filter),
-                        f"bbox {env}")
+                    # a depth-capped quadtree leaf can still exceed the
+                    # transfer limit (coincident features the splitter
+                    # cannot separate — the reference's LIFO loop would
+                    # re-split such an envelope forever,
+                    # lib/geometry.ts:187-190). Drain it with
+                    # resultOffset paging within the envelope instead
+                    # of silently truncating.
+                    feats = []
+                    off = 0
+                    while True:
+                        page_feats, exceeded = _with_retries(
+                            lambda o=off: server.query_bbox(
+                                env, top_filter=top_filter, offset=o),
+                            f"bbox {env} offset={off}")
+                        feats.extend(page_feats)
+                        if not exceeded:
+                            break
+                        off += len(page_feats)
                 for esri in feats:
                     row = _decode_feature(esri, geom_type, oid_field,
                                           date_fields)
@@ -247,7 +262,12 @@ def extract(spark: SparkSession, server, approach: str = "iter",
 
     features = manifest.mapInPandas(decode_pages, schema=FEATURE_SCHEMA)
     # A2: cross-page/quadrant dedup — rows for a given OID are identical
-    # across duplicates, so dropDuplicates' arbitrary pick is deterministic
+    # across duplicates, so dropDuplicates' arbitrary pick is
+    # deterministic. NOTE dropDuplicates treats NULL ids as equal, so
+    # features missing their OID attribute collapse to one survivor —
+    # intentional reference parity: the reference's seen-set does the
+    # same (`this.set.add(undefined)` admits only the first OID-less
+    # feature, lib/geometry.ts:193-196).
     return features.dropDuplicates(["id"])
 
 

@@ -159,11 +159,20 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
     leaked flagged/remaining caches per round, never unpersisted).
 
     ``res=None`` derives the starting resolution from the points count.
+    ``broadcast_points=None`` auto-detects: one count (metadata-cheap
+    on parquet/Iceberg) and the points side is broadcast when it is
+    small enough to ship (<= 1M rows) — otherwise shuffle hash join.
     """
-    if broadcast_points is None:
-        broadcast_points = False
-    if res is None:
-        res = density_res(points.count(), k)
+    if res_step < 1:
+        raise ValueError(
+            f"res_step={res_step}: must be >= 1 — the escalation loop "
+            "re-runs the identical resolution forever otherwise")
+    if broadcast_points is None or res is None:
+        n_points = points.count()
+        if broadcast_points is None:
+            broadcast_points = n_points <= 1_000_000
+        if res is None:
+            res = density_res(n_points, k)
 
     remaining = queries
     resolved_parts: list[DataFrame] = []

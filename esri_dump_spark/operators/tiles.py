@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..kernels.rings import points_in_polygon, edges_intersect, close_ring
+from ..kernels.rings import close_ring, rects_intersect_polygon
 
 __all__ = ["tile_id_sql_expr", "assign_tiles", "tile_xy", "tile_cover",
            "polygon_tile_index", "raster_vector_join", "parent_tile_sql",
@@ -93,25 +93,11 @@ def tile_cover(rings, z: int) -> np.ndarray:
     xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1),
                          indexing="ij")
     xs, ys = xs.ravel(), ys.ravel()
-    keep = np.zeros(xs.shape[0], dtype=bool)
-    # corner/center-in-polygon
-    for ox, oy in ((0, 0), (0, 1), (1, 0), (1, 1), (0.5, 0.5)):
-        pts = np.column_stack([xs + ox, ys + oy]).astype(np.float64)
-        keep |= points_in_polygon(pts, trs)
-    # polygon vertex inside tile / edge crossing
-    vx, vy = allpts[:, 0], allpts[:, 1]
-    for i in np.where(~keep)[0]:
-        if np.any((vx >= xs[i]) & (vx <= xs[i] + 1)
-                  & (vy >= ys[i]) & (vy <= ys[i] + 1)):
-            keep[i] = True
-            continue
-        rect = np.array([[xs[i], ys[i]], [xs[i] + 1, ys[i]],
-                         [xs[i] + 1, ys[i] + 1], [xs[i], ys[i] + 1],
-                         [xs[i], ys[i]]], dtype=np.float64)
-        for tr in trs:
-            if edges_intersect(rect, tr):
-                keep[i] = True
-                break
+    # unit tile rects in tile space; the shared three-stage cover test
+    # (kernels/rings.py) keeps cell and tile covers on ONE predicate
+    keep = rects_intersect_polygon(
+        trs, xs.astype(np.float64), ys.astype(np.float64),
+        (xs + 1).astype(np.float64), (ys + 1).astype(np.float64))
     return _pack(z, xs[keep], ys[keep])
 
 

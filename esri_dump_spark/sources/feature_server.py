@@ -23,6 +23,7 @@ manifest* is the DataFrame, the page decode runs in ``mapInPandas``.
 from __future__ import annotations
 
 import math
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -71,12 +72,23 @@ class SyntheticFeatureServer:
     # the per-process attempt counter makes retries deterministic
     flaky_every: int = 0
     flaky_failures: int = 2
+    # every feature at ONE point (worst case for the quadtree: no split
+    # can separate coincident features, forcing the depth-capped-leaf
+    # offset-paging drain path)
+    coincident_at: tuple | None = None
     _attempts: dict = field(default_factory=dict, repr=False, compare=False)
 
     def _maybe_fail(self, key) -> None:
         if not self.flaky_every:
             return
-        page_no = key[1] if key[0] == "page" else hash(key)
+        if key[0] == "page":
+            page_no = key[1]
+        else:
+            # stable across processes — hash() of a str-bearing tuple is
+            # PYTHONHASHSEED-randomized, which would change WHICH
+            # envelopes fail run to run (the module contract is
+            # determinism as a pure function of the key)
+            page_no = zlib.crc32(repr(key).encode())
         # every flaky_every-th page starting at page 1; the `1 %` keeps
         # flaky_every=1 meaning "every page" (n % 1 == 0 for all n)
         if (page_no % self.flaky_every) != (1 % self.flaky_every):
@@ -105,6 +117,8 @@ class SyntheticFeatureServer:
     def _lonlat(self, i: int) -> tuple[float, float]:
         """Deterministic position; ~20% of rows collapse into one hot
         sub-cell of the extent to create join skew."""
+        if self.coincident_at is not None:
+            return self.coincident_at
         xmin, ymin, xmax, ymax = self.extent
         # splitmix-style integer scramble, stable across platforms
         z = (i + self.seed * 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
@@ -189,28 +203,39 @@ class SyntheticFeatureServer:
         what this replays."""
         group_fields = [s.strip()
                         for s in str(top_filter["groupByFields"]).split(",")]
-        fld, _, dirn = str(top_filter.get("orderByFields", "")) \
-            .strip().partition(" ")
-        desc = dirn.strip().upper() == "DESC"
+        # orderByFields is a comma-separated list of "field [ASC|DESC]"
+        # specs (ArcGIS accepts several, incl. string fields). Parse
+        # every spec; sort multi-key via sequential stable passes.
+        order: list[tuple[str, bool]] = []
+        for spec in str(top_filter.get("orderByFields", "")).split(","):
+            spec = spec.strip()
+            if not spec:
+                continue
+            fld, _, dirn = spec.partition(" ")
+            order.append((fld.strip(), dirn.strip().upper() == "DESC"))
         k = int(top_filter["topCount"])
         groups: dict[tuple, list] = {}
         for i in range(self.n_features):
             at = self.feature(i)["attributes"]
             key = tuple(at.get(g) for g in group_fields)
-            v = at.get(fld)
-            groups.setdefault(key, []).append((v, at["objectid"], i))
+            vals = tuple(at.get(f) for f, _ in order)
+            groups.setdefault(key, []).append((vals, at["objectid"], i))
         keep: list[int] = []
         for rows in groups.values():
-            # (value ASC|DESC, oid ASC, NULLs last) without arithmetic
-            # negation so string orderByFields work (ArcGIS permits
-            # them). Python sorts are stable and reverse=True keeps
-            # ties in original order, so sorting by oid first makes
-            # oid the tie-break in BOTH directions.
+            # (field1 dir1, field2 dir2, ..., oid ASC, NULLs last per
+            # field) without arithmetic negation so string orderByFields
+            # work. Python sorts are stable (reverse=True keeps ties in
+            # original order), so sorting by oid first, then applying
+            # one stable pass per field from LAST key to FIRST, yields
+            # the multi-key order with oid as the final tie-break.
             rows.sort(key=lambda r: r[1])
-            valued = [r for r in rows if r[0] is not None]
-            nones = [r for r in rows if r[0] is None]
-            valued.sort(key=lambda r: r[0], reverse=desc)
-            keep.extend(idx for _, _, idx in (valued + nones)[:k])
+            for j in range(len(order) - 1, -1, -1):
+                desc = order[j][1]
+                valued = [r for r in rows if r[0][j] is not None]
+                nones = [r for r in rows if r[0][j] is None]
+                valued.sort(key=lambda r: r[0][j], reverse=desc)
+                rows = valued + nones
+            keep.extend(idx for _, _, idx in rows[:k])
         return sorted(keep)
 
     def query_page(self, offset: int, page_size: int | None = None,
@@ -243,17 +268,24 @@ class SyntheticFeatureServer:
         return sum(1 for i in self._candidate_indices(top_filter)
                    if self._bbox_match(i, env))
 
-    def query_bbox(self, env,
-                   top_filter: dict | None = None) -> tuple[list[dict], bool]:
+    def query_bbox(self, env, top_filter: dict | None = None,
+                   offset: int = 0) -> tuple[list[dict], bool]:
         """Returns (features, exceeded_transfer_limit). Inclusive edge
         intersection => duplicates across adjacent quadrants. With
         ``top_filter`` the envelope scans the /queryTopFeatures-reduced
         set (top-k reduction precedes the spatial filter, as on the
-        live endpoint)."""
+        live endpoint). ``offset`` replays resultOffset paging WITHIN
+        an envelope (the live endpoint accepts geometry + resultOffset
+        together) — how a depth-capped quadtree leaf that still
+        exceeds maxRecordCount is drained without data loss."""
         self._maybe_fail(("bbox", tuple(env)))
         out = []
+        skipped = 0
         for i in self._candidate_indices(top_filter):
             if self._bbox_match(i, env):
+                if skipped < offset:
+                    skipped += 1
+                    continue
                 out.append(self.feature(i))
                 if len(out) > self.max_record_count:
                     return out[: self.max_record_count], True

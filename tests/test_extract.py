@@ -178,3 +178,60 @@ def test_extract_hard_fails_after_max_retries(spark):
     # fetches six times but its post-loop `attempts > 5` check fails
     # the stream even when the sixth fetch succeeded
     assert "failed after 5 attempts" in str(ei.value)
+
+
+def test_bbox_drains_depth_capped_coincident_leaf(spark):
+    """Every feature at ONE point: no quadtree split can separate them,
+    so the bbox approach hits a depth-capped leaf that exceeds the
+    transfer limit and must drain it by within-envelope offset paging
+    (the reference's LIFO loop would re-split such an envelope forever,
+    lib/geometry.ts:187-190)."""
+    srv = SyntheticFeatureServer(n_features=2500, max_record_count=1000,
+                                 geometry_type="esriGeometryPoint",
+                                 coincident_at=(-93.0, 24.0))
+    got_bbox = {r.id for r in extract(spark, srv, "bbox")
+                .select("id").collect()}
+    got_iter = {r.id for r in extract(spark, srv, "iter")
+                .select("id").collect()}
+    # all geometry-bearing features (i % 97 != 5 are kept) survive;
+    # nothing is silently truncated at the transfer limit
+    exp = {i + 1 for i in range(2500) if i % 97 != 5}
+    assert got_iter == exp
+    assert got_bbox == exp
+
+
+class _AttrServer(SyntheticFeatureServer):
+    """Handcrafted attribute rows for order-semantics tests."""
+    ROWS = [
+        # (objectid, grp, a, b)
+        (1, 1, 5, "x"),
+        (2, 1, 5, "a"),
+        (3, 1, 7, "z"),
+        (4, 1, None, "a"),
+        (5, 1, 5, "a"),
+        (6, 2, 1, None),
+        (7, 2, 1, "b"),
+    ]
+
+    def feature(self, i):
+        oid, grp, a, b = self.ROWS[i]
+        return {"attributes": {"objectid": oid, "grp": grp,
+                               "a": a, "b": b},
+                "geometry": {"x": 0.0, "y": 0.0}}
+
+
+def test_top_feature_indices_multi_field_order():
+    """ArcGIS orderByFields accepts a comma-separated multi-field list;
+    each field keeps its own direction, NULLs last per field, OID as
+    the final tie-break."""
+    srv = _AttrServer(n_features=7)
+    # single field: a DESC -> oid3 (a=7), then a=5 tie -> oid ASC -> oid1
+    got = srv.top_feature_indices({"groupByFields": "grp", "topCount": 2,
+                                   "orderByFields": "a DESC"})
+    assert [srv.ROWS[i][0] for i in got] == [1, 3, 6, 7]
+    # multi field: a DESC then b ASC -> oid3, then (5,'a') pair by oid
+    got = srv.top_feature_indices({"groupByFields": "grp", "topCount": 2,
+                                   "orderByFields": "a DESC, b ASC"})
+    # grp1 keeps oid3 (a=7) then oid2 ((5,'a') beats (5,'x'), oid beats
+    # oid5 on the tie); grp2 keeps oid7 then oid6 (NULL b last)
+    assert [srv.ROWS[i][0] for i in got] == [2, 3, 6, 7]

@@ -614,3 +614,28 @@ def test_observe_metrics(spark):
     observed, obs = L.observe_metrics(df)
     observed.count()
     assert obs.get["n_rows"] == 100
+
+
+def test_multi_index_plan_rejects_budget_at_hash_width():
+    """max_hamming >= total_bits means EVERY pair qualifies — no block
+    split can prune, and the old single-block fallback silently missed
+    pairs differing in all bits. Must refuse loudly instead."""
+    import pytest
+    from esri_dump_spark.operators.dedup import _multi_index_plan
+    for bits, k in ((60, 60), (64, 64), (64, 70)):
+        with pytest.raises(ValueError, match="every pair is within"):
+            _multi_index_plan(bits, k)
+    # one below the width still yields a lossless plan
+    widths, subs = _multi_index_plan(8, 7)
+    assert len(widths) == 8 and subs == [(j,) for j in range(8)]
+
+
+def test_knn_join_rejects_non_positive_res_step(spark):
+    import pytest
+    from esri_dump_spark.operators.knn import knn_join
+    q = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1], "lon": [0.0], "lat": [0.0]}))
+    p = spark.createDataFrame(pd.DataFrame(
+        {"point_id": [1], "lon": [0.1], "lat": [0.1]}))
+    with pytest.raises(ValueError, match="res_step"):
+        knn_join(q, p, k=1, res=5, res_step=0, broadcast_points=True)
