@@ -60,7 +60,10 @@ def rewind(gj, outer=None):
         for g in gj["geometries"]:
             rewind(g, outer)
     elif t == "Feature":
-        rewind(gj["geometry"], outer)
+        # .get: a Feature with no geometry key is legal lenient
+        # GeoJSON; the reference's `gj && gj.type` guard recurses on
+        # undefined and returns safely (rewind.ts)
+        rewind(gj.get("geometry"), outer)
     elif t == "Polygon":
         _rewind_rings(gj["coordinates"], outer)
     elif t == "MultiPolygon":

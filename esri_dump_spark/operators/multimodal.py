@@ -70,7 +70,9 @@ def decode_stats(images: DataFrame) -> DataFrame:
                         "phash_decoded": average_phash(px),
                         "error": None,
                     })
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, TypeError) as e:
+                    # TypeError covers NULL bytes cells (decode sees
+                    # None) — still an invalid ROW, never a task death
                     rows.append({
                         "image_id": rec.image_id, "ok": False,
                         "w_decoded": None, "h_decoded": None,
@@ -116,7 +118,19 @@ def verify_images(images: DataFrame, min_psnr_db: float = 40.0,
         for b in batches:
             rows = []
             for rec in b.itertuples(index=False):
-                px = decode_image(rec.bytes, rec.fmt)
+                try:
+                    px = decode_image(rec.bytes, rec.fmt)
+                except (NotImplementedError, ValueError, TypeError):
+                    # undecodable row (corrupt stream, unsupported fmt,
+                    # NULL bytes): report a failing verification row,
+                    # never a task death — same P3 invalid-row contract
+                    # as decode_stats
+                    rows.append({
+                        "image_id": rec.image_id, "dims_ok": False,
+                        "phash_ok": False, "caption_ok": False,
+                        "roundtrip_psnr": 0.0, "psnr_ok": False,
+                    })
+                    continue
                 dims_ok = (px.shape[1] == rec.w and px.shape[0] == rec.h)
                 # stored phash is computed over the ORIGINAL pixels; the
                 # decoded phash may differ for lossy rows by a few bits
@@ -124,7 +138,9 @@ def verify_images(images: DataFrame, min_psnr_db: float = 40.0,
                 hamming = bin((ph ^ rec.phash) & ((1 << 64) - 1)).count("1")
                 phash_ok = hamming <= (0 if rec.fmt == "png" else 8)
                 # true codec loss: decoded vs the reference regeneration
-                p = psnr(reference_pixels(rec.image_id), px)
+                # (comparable only when the decoded dims match it)
+                ref = reference_pixels(rec.image_id)
+                p = psnr(ref, px) if ref.shape == px.shape else 0.0
                 rows.append({
                     "image_id": rec.image_id, "dims_ok": dims_ok,
                     "phash_ok": phash_ok,

@@ -38,6 +38,15 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
     columns preserved). ``band_key='exact'`` is the oracle mode; the
     default murmur keys are the narrow-shuffle scale path."""
     cols = docs.columns
+    clash = {"quality", "n_chars_t", "n_words", "punct_ratio",
+             "stop_ratio"} & set(cols)
+    if clash:
+        # quality_score's withColumn would silently REPLACE these and
+        # the final select(*cols) would return the heuristic values
+        # under the caller's column names — refuse instead of corrupting
+        raise ValueError(
+            f"clean_corpus: input columns {sorted(clash)} collide with "
+            "the quality_score outputs; rename them before cleaning")
     scored = X.quality_score(docs)
     kept = scored.filter(F.col("quality") >= min_quality).select(*cols)
     exact = D.exact_dedup_by_hash(kept, text_col, id_col)

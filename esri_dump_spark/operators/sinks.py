@@ -40,10 +40,23 @@ def write_jsonl(df: DataFrame, path: str, json_col: str = "geojson",
 
 
 def features_to_collection(df: DataFrame, json_col: str = "geojson",
-                           limit: int | None = None) -> dict:
-    """Driver-side FeatureCollection (small results only — guarded)."""
-    take = df.select(json_col) if limit is None else df.select(json_col).limit(limit)
-    features = [json.loads(r[0]) for r in take.collect()]
+                           limit: int | None = None,
+                           max_rows: int = 100_000) -> dict:
+    """Driver-side FeatureCollection — small results only. With
+    ``limit=None`` the collect is guarded by ``max_rows``: one extra
+    row is fetched and an oversized result raises instead of OOMing
+    the driver. Use ``write_jsonl`` for large outputs."""
+    if limit is not None:
+        take = df.select(json_col).limit(limit)
+        rows = take.collect()
+    else:
+        rows = df.select(json_col).limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"features_to_collection: result exceeds max_rows="
+                f"{max_rows}; pass limit= or use write_jsonl for "
+                "large feature sets")
+    features = [json.loads(r[0]) for r in rows]
     return {"type": "FeatureCollection", "features": features}
 
 

@@ -181,6 +181,12 @@ def point_in_polygon_join_dist(points: DataFrame, polygons: DataFrame,
     cover's runtime size."""
     keep = ("name",) if "name" in polygons.columns else ()
     cover = polygon_cover_df(polygons, res, keep_cols=keep)
+    if "name" in cover.columns:
+        # rename BEFORE the join: a points table with its own `name`
+        # column would otherwise be ambiguous (left_semi's
+        # select(*points.columns) raises) or double-renamed in inner
+        # mode — same poly_name contract as point_in_polygon_join
+        cover = cover.withColumnRenamed("name", "poly_name")
     if broadcast_cover is True:
         cover = F.broadcast(cover)
     elif broadcast_cover is False:
@@ -193,10 +199,7 @@ def point_in_polygon_join_dist(points: DataFrame, polygons: DataFrame,
                                  F.col("rings_json")))
 
     if how == "inner":
-        out = matched.drop("cell", "rings_json")
-        if "name" in polygons.columns:
-            out = out.withColumnRenamed("name", "poly_name")
-        return out
+        return matched.drop("cell", "rings_json")
     key = id_col if id_col is not None else points.columns[0]
     if key not in points.columns:
         raise ValueError(f"id_col {key!r} not in points columns")

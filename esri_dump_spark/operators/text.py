@@ -35,11 +35,13 @@ def _spark_re(pat: str) -> str:
 
 def token_count(df: DataFrame, text_col: str = "text",
                 out: str = "n_tokens") -> DataFrame:
-    """Number of BPE-ish tokens (letter runs / digit runs / symbols)."""
-    return df.withColumn(
-        out, F.size(F.expr(
-            f"filter(regexp_extract_all({text_col}, '{_spark_re(_TOKEN_RE)}', 0), x -> x != '')"
-        )).cast("long"))
+    """Number of BPE-ish tokens (letter runs / digit runs / symbols).
+    NULL text yields NULL (matching the SQL twin) — Spark's
+    ``size(NULL)`` would otherwise surface the -1 sentinel."""
+    cnt = F.size(F.expr(
+        f"filter(regexp_extract_all({text_col}, '{_spark_re(_TOKEN_RE)}', 0), x -> x != '')"
+    )).cast("long")
+    return df.withColumn(out, F.when(F.col(text_col).isNotNull(), cnt))
 
 
 def token_count_sql(text_col: str = "text") -> str:
@@ -61,23 +63,30 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
       quality     — 1 bounded-length point + 1 low-punct point +
                     1 natural-stopword-rate point, /3
     """
-    words = F.size(F.expr(f"filter(split({text_col}, ' '), w -> w != '')"))
+    # null-wrap the size() calls: Spark's size(NULL) is the -1
+    # sentinel, DuckDB's len() is NULL — NULL text must flow through
+    # as NULL on both sides
+    words = F.when(F.col(text_col).isNotNull(), F.size(
+        F.expr(f"filter(split({text_col}, ' '), w -> w != '')")))
     punct = (F.length(text_col)
              - F.length(F.regexp_replace(text_col, r"[\.,;:!\?'\"]", "")))
     stop_pat = "(?i)\\b(" + "|".join(_STOPWORDS) + ")\\b"
-    stops = F.size(F.expr(
-        f"regexp_extract_all({text_col}, '{_spark_re(stop_pat)}', 0)"))
+    stops = F.when(F.col(text_col).isNotNull(), F.size(F.expr(
+        f"regexp_extract_all({text_col}, '{_spark_re(stop_pat)}', 0)")))
+    # the quality points test the RAW ratios, exactly as the SQL twin
+    # does — testing the rounded output columns would disagree with it
+    # when a true ratio rounds across a 0.1 / 0.01 / 0.7 boundary
+    punct_ratio_raw = punct / F.greatest(F.length(text_col), F.lit(1))
+    stop_ratio_raw = stops / F.greatest(words, F.lit(1))
     d = (df.withColumn("n_chars_t", F.length(text_col).cast("long"))
          .withColumn("n_words", words.cast("long"))
-         .withColumn("punct_ratio",
-                     F.round(punct / F.greatest(F.length(text_col), F.lit(1)), 6))
-         .withColumn("stop_ratio",
-                     F.round(stops / F.greatest(words, F.lit(1)), 6)))
+         .withColumn("punct_ratio", F.round(punct_ratio_raw, 6))
+         .withColumn("stop_ratio", F.round(stop_ratio_raw, 6)))
     return d.withColumn(
         "quality",
         F.round(((F.col("n_chars_t").between(20, 20000)).cast("int")
-                 + (F.col("punct_ratio") < 0.1).cast("int")
-                 + (F.col("stop_ratio").between(0.01, 0.7)).cast("int")) / 3.0,
+                 + (punct_ratio_raw < 0.1).cast("int")
+                 + (stop_ratio_raw.between(0.01, 0.7)).cast("int")) / 3.0,
                 6))
 
 
@@ -124,7 +133,10 @@ def language_id(df: DataFrame, text_col: str = "text",
     langs = list(_LANG_MARKERS)
     counts = [_marker_count(text_col, lang) for lang in langs]
     best = F.greatest(*counts)
-    expr = F.when(best <= 0, F.lit("und"))
+    # NULL text -> NULL prediction (the SQL CASE yields NULL too);
+    # without the guard size(NULL) = -1 would classify NULL as 'und'
+    expr = F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+    expr = expr.when(best <= 0, F.lit("und"))
     for lang, cnt in zip(langs, counts):
         expr = expr.when(cnt == best, F.lit(lang))
     return df.withColumn(out, expr)

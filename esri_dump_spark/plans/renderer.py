@@ -137,6 +137,11 @@ def compile_renderer(renderer: dict, value_key: str = "label") -> Column:
             stop = info.get("classMinValue")
             if stop is None:
                 stop = lo if i == 0 else infos[i - 1].get("classMaxValue")
+            if stop is None:
+                # stylejson.ts:970: `renderer.minValue ?? -Infinity` —
+                # classMinValue and minValue are both optional; the
+                # first class is open below
+                stop = float("-inf")
             breaks.append((float(stop), info.get(value_key, f"class{i}")))
         return step_expr(field, breaks, fallback)
     raise ValueError(f"unknown renderer type {rtype!r}")

@@ -32,7 +32,17 @@ def read_images(spark: SparkSession, source: str,
     """
     try:
         df = spark.read.table(source)
-    except Exception:
+    except Exception as e:
+        # fall back to a parquet path ONLY for not-a-table errors; a
+        # real catalog failure (permissions, corrupt Iceberg metadata)
+        # must surface, not morph into a misleading 'path does not
+        # exist' from the parquet reader
+        msg = f"{type(e).__name__}: {e}"
+        if not any(tok in msg for tok in
+                   ("TABLE_OR_VIEW_NOT_FOUND", "Table or view not found",
+                    "PATH_NOT_FOUND", "ParseException",
+                    "INVALID_IDENTIFIER", "not found")):
+            raise
         df = spark.read.parquet(source)
     if not with_bytes:
         df = df.select([c for c in df.columns if c != "bytes"])

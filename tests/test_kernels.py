@@ -279,3 +279,9 @@ def test_field_to_schema_null_length_js_nan_parity():
     assert p["strnum"] == {"type": "string", "maxLength": "12"}
     assert p["junk"] == {"type": "string"}
     assert p["num_null"] == {"type": "number"}  # non-string: no maxLength
+
+
+def test_rewind_feature_without_geometry_key():
+    from esri_dump_spark.kernels.rewind import rewind
+    gj = {"type": "Feature", "properties": {}}
+    assert rewind(gj) == gj  # reference guard parity: no KeyError

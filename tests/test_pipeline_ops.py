@@ -639,3 +639,56 @@ def test_knn_join_rejects_non_positive_res_step(spark):
         {"point_id": [1], "lon": [0.1], "lat": [0.1]}))
     with pytest.raises(ValueError, match="res_step"):
         knn_join(q, p, k=1, res=5, res_step=0, broadcast_points=True)
+
+
+def test_text_ops_null_text_matches_duckdb(spark):
+    """NULL text must flow through as NULL on BOTH sides — Spark's
+    size(NULL) = -1 sentinel must never leak into token_count /
+    quality_score / language_id outputs."""
+    import duckdb
+    pdf = pd.DataFrame({"doc_id": [0, 1],
+                        "text": ["the cat sat on the mat", None]})
+    df = spark.createDataFrame(pdf)
+    got = (X.language_id(X.quality_score(X.token_count(df)))
+           .orderBy("doc_id").toPandas())
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    q = X.quality_score_sql()
+    sql = (f"SELECT doc_id, {X.token_count_sql()} AS n_tokens, "
+           + ", ".join(f"{v} AS {k}" for k, v in q.items())
+           + f", {X.language_id_sql()} AS lang_pred "
+           "FROM docs ORDER BY doc_id")
+    exp = con.execute(sql).fetchdf()
+    for col in ("n_tokens", "n_words", "punct_ratio", "stop_ratio",
+                "quality", "lang_pred"):
+        g, e = got[col].iloc[1], exp[col].iloc[1]
+        assert (pd.isna(g) and pd.isna(e)), (col, g, e)
+        if col != "lang_pred":
+            assert float(got[col].iloc[0]) == pytest.approx(
+                float(exp[col].iloc[0])), col
+    assert got["lang_pred"].iloc[0] == exp["lang_pred"].iloc[0] == "en"
+
+
+def test_clean_corpus_rejects_colliding_columns(spark):
+    from esri_dump_spark.operators.pipeline import clean_corpus
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["x"], "quality": [0.5]}))
+    with pytest.raises(ValueError, match="collide"):
+        clean_corpus(df)
+
+
+def test_decode_stats_and_verify_survive_corrupt_rows(spark):
+    """One NULL-bytes row and one garbage row must land as failing ROWS
+    (ok=false / all-False verification), never kill the task."""
+    from esri_dump_spark.sources.fixtures import images_pdf
+    base = images_pdf(6, with_geo=False)
+    bad = base.copy()
+    bad.loc[0, "bytes"] = None
+    bad.loc[1, "bytes"] = b"\xff\xd8garbage-not-a-jpeg"
+    df = spark.createDataFrame(bad)
+    stats = M.decode_stats(df).orderBy("image_id").toPandas()
+    assert len(stats) == 6
+    assert stats["ok"].sum() == 4 and (~stats["ok"]).sum() == 2
+    v = M.verify_images(df).toPandas()
+    assert len(v) == 6
+    assert (~v["psnr_ok"]).sum() >= 2  # the two corrupt rows fail

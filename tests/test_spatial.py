@@ -473,3 +473,25 @@ def test_salted_ops_randomized_equivalence(spark):
                      F.min("v").alias("mn")).collect()}
         assert agg == plain, hot
     big.unpersist(); small.unpersist()
+
+
+def test_pip_join_dist_points_with_name_column(spark, points_pdf):
+    """A points table that itself has a `name` column must not become
+    ambiguous with the polygon dimension's kept name (renamed to
+    poly_name BEFORE the join)."""
+    from esri_dump_spark.operators.spatial_join import (
+        point_in_polygon_join_dist)
+    polys = polygons_pdf()
+    pts_named = spark.createDataFrame(
+        points_pdf.assign(name=points_pdf["image_id"]))
+    pdf_polys = spark.createDataFrame(polys)
+    inner = point_in_polygon_join_dist(pts_named, pdf_polys, res=9)
+    assert inner.columns.count("poly_name") == 1
+    assert inner.columns.count("name") == 1  # the points' own column
+    semi = point_in_polygon_join_dist(pts_named, pdf_polys, res=9,
+                                      how="left_semi", id_col="image_id")
+    assert set(semi.columns) == set(pts_named.columns)
+    exp = {(r.image_id, r.poly_id) for r in point_in_polygon_join(
+        spark.createDataFrame(points_pdf), polys, res=9).collect()}
+    got = {(r.image_id, r.poly_id) for r in inner.collect()}
+    assert got == exp

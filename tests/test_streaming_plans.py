@@ -297,3 +297,16 @@ def test_streaming_pip_counts_match_batch(spark, sf_dir, tmp_path):
     exp = {(r.window_start, r.poly_id): r.n for r in batch.collect()}
     for k, v in got.items():
         assert exp.get(k) == v, (k, v, exp.get(k))
+
+
+def test_class_breaks_open_below_first_class(spark):
+    """stylejson.ts:970: `renderer.minValue ?? -Infinity` — a first
+    class with neither classMinValue nor renderer minValue is open
+    below, not a TypeError."""
+    rend = {"type": "classBreaks", "field": "v",
+            "classBreakInfos": [{"classMaxValue": 10, "label": "low"},
+                                {"classMaxValue": 99, "label": "high"}]}
+    df = spark.createDataFrame(pd.DataFrame({"v": [-1e9, 5.0, 50.0]}))
+    got = [r.cls for r in df.withColumn(
+        "cls", compile_renderer(rend)).orderBy("v").collect()]
+    assert got == ["low", "low", "high"]
