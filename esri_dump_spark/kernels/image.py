@@ -104,13 +104,11 @@ def decode_png(data: bytes) -> np.ndarray:
         f = filters[y]
         if f == 0:
             out[y] = line.astype(np.uint8)
-        elif f == 1:  # Sub
+        elif f == 1:  # Sub: in-place cumulative defilter
             acc = line.copy()
-            acc[3:] = line[3:]
-            cur = acc
             for i in range(3, w * 3):
-                cur[i] = (cur[i] + cur[i - 3]) & 0xFF
-            out[y] = cur.astype(np.uint8)
+                acc[i] = (acc[i] + acc[i - 3]) & 0xFF
+            out[y] = acc.astype(np.uint8)
         elif f == 2:  # Up
             prev = out[y - 1].astype(np.int16) if y else 0
             out[y] = ((line + prev) & 0xFF).astype(np.uint8)

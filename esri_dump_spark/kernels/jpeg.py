@@ -402,6 +402,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if pos + 1 >= len(data):
             raise ValueError("truncated JPEG (dangling marker byte)")
         marker = data[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker code — consume one fill byte, not a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

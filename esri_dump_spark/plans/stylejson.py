@@ -11,9 +11,16 @@ targets: constant-collapse in match (:355-371), sprite content-hash id
 (:320-348), dash table (:300-315), pt->px and opacity rounding
 (:277-295), placement anchors (:1066-1080).
 
-Driver-side, single-document — no Spark needed. The row-level twin of
-the ``match``/``step`` trees is ``plans/renderer.py:compile_renderer``
-(Catalyst CASE WHEN columns over feature rows).
+Driver-side, single-document — no Spark needed. The row-level analog
+of the ``match``/``step`` trees is ``plans/renderer.py:
+compile_renderer`` (Catalyst CASE WHEN columns over feature rows) —
+analog, not twin: the classBreaks ``step`` here pairs each
+classMaxValue stop with that SAME class's style, exactly as the
+reference's stepExpr does (stylejson.ts:853/898 — parity-pinned), so a
+value between two maxima draws the PREVIOUS class's style, while
+compile_renderer (classMinValue-based stops) assigns it the next
+class. Do not "fix" either side: both faithfully mirror their
+reference counterparts.
 """
 
 from __future__ import annotations
@@ -127,7 +134,7 @@ def _circle_props(s: dict) -> dict:
     return {
         "color": rgba(s.get("color")),
         "radius": pt_to_px((s.get("size") or 0) / 2),
-        "strokeColor": rgba(ol["color"]) if ol else "rgba(0,0,0,0)",
+        "strokeColor": rgba(ol.get("color")) if ol else "rgba(0,0,0,0)",
         "strokeWidth": (ol.get("width", 1)
                         if ol and ol.get("style") != "esriSLSNull" else 0),
     }
@@ -343,11 +350,23 @@ def _unique_value_layers(renderer, transparency, sprites) -> list:
     types = {_ML_TYPE[i["symbol"]["type"]] for i in infos}
 
     if len(types) > 1:
+        # reference parity (stylejson.ts:786-805): infos are GROUPED by
+        # MapLibre type first (insertion-ordered Map), so all circles
+        # come before all lines etc. — ids and draw order follow the
+        # grouped sequence, not the original info order
+        groups: dict[str, list] = {}
+        for info in infos:
+            groups.setdefault(_ML_TYPE[info["symbol"]["type"]],
+                              []).append(info)
         layers = []
-        for idx, info in enumerate(infos):
-            filt = ["==", field, parse_value(info["value"])]
-            layers += symbol_layers(f"esri-layer-{idx}", info["symbol"],
-                                    transparency, sprites, filt)
+        idx = 0
+        for ginfos in groups.values():
+            for info in ginfos:
+                filt = ["==", field, parse_value(info["value"])]
+                layers += symbol_layers(f"esri-layer-{idx}",
+                                        info["symbol"],
+                                        transparency, sprites, filt)
+                idx += 1
         if renderer.get("defaultSymbol"):
             matched = [parse_value(i["value"]) for i in infos]
             filt = ["!", ["in", field, ["literal", matched]]]
@@ -508,7 +527,10 @@ def stylejson(metadata: dict) -> dict:
     if renderer:
         rtype = renderer.get("type")
         if rtype == "simple":
-            layers = symbol_layers("esri-layer", renderer.get("symbol", {}),
+            # `or {}`: an explicit JSON null symbol (common in real
+            # layer metadata) must behave like a missing one
+            layers = symbol_layers("esri-layer",
+                                   renderer.get("symbol") or {},
                                    transparency, sprites)
         elif rtype == "uniqueValue":
             layers = _unique_value_layers(renderer, transparency, sprites)

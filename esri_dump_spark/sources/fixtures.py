@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -126,7 +127,11 @@ def ensure_images_parquet(n: int, seed: int = 42,
     path = os.path.join(FIXTURE_CACHE, f"images_v2_n{n}_s{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
+        if os.path.exists(tmp):
+            # a crashed prior run may have left MORE part files than
+            # this run will write — promoting them would duplicate rows
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
         pdf = images_pdf(n, seed)
         parts = max(1, min(n_files, len(pdf)))
         step = (len(pdf) + parts - 1) // parts
@@ -146,8 +151,13 @@ def ensure_points_parquet(spark, n: int, seed: int = 42,
     into a tiny hot box (skew), mirroring images_pdf."""
     os.makedirs(FIXTURE_CACHE, exist_ok=True)
     path = os.path.join(FIXTURE_CACHE, f"points_n{n}_s{seed}.parquet")
-    if os.path.exists(path):
+    # a bare exists() would serve a crashed/interrupted write forever
+    # (Spark leaves the directory behind); trust only a completed
+    # commit — _SUCCESS is written last by the committer
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    if os.path.exists(path):
+        shutil.rmtree(path)
     xmin, ymin, xmax, ymax = DEFAULT_EXTENT
     df = spark.range(0, n, 1, n_files).selectExpr(
         "id",

@@ -213,3 +213,19 @@ def test_solid_color_compresses_tightly():
     assert len(b) < 2000  # DC-only blocks: tiny entropy segment
     out = decode_jpeg(b)
     assert psnr(img, out) >= 50.0
+
+
+def test_fill_bytes_before_marker_are_consumed():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code; the scanner must treat them as padding, not as a
+    marker with a bogus length."""
+    from esri_dump_spark.kernels.jpeg import encode_jpeg, decode_jpeg
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(px)
+    # inject one fill byte before the first DQT marker (FF DB)
+    i = data.index(b"\xff\xdb")
+    padded = data[:i] + b"\xff" + data[i:]
+    a = decode_jpeg(data)
+    b = decode_jpeg(padded)
+    assert np.array_equal(a, b)

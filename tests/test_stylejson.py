@@ -166,3 +166,38 @@ def test_label_multifield_concat():
     assert _label_field("[A] - [B]") == ["concat", ["get", "A"], " - ",
                                          ["get", "B"]]
     assert _label_field("[ONLY]") == ["get", "ONLY"]
+
+
+def test_unique_value_mixed_types_groups_by_ml_type():
+    """stylejson.ts:786-805: mixed-type infos are GROUPED by MapLibre
+    type (first-occurrence order) before ids are assigned — an
+    interleaved [SMS, SLS, SMS] renderer emits circle-0, circle-1,
+    line-2, not circle-0, line-1, circle-2."""
+    renderer = {
+        "type": "uniqueValue", "field1": "kind",
+        "uniqueValueInfos": [
+            {"value": "p1", "symbol": SMS},
+            {"value": "ln", "symbol": SLS_DASHED},
+            {"value": "p2", "symbol": SMS},
+        ]}
+    doc = stylejson({"drawingInfo": {"renderer": renderer}})
+    got = [(l["id"], l["type"], l["filter"][2]) for l in doc["layers"]]
+    assert got == [("esri-layer-0", "circle", "p1"),
+                   ("esri-layer-1", "circle", "p2"),
+                   ("esri-layer-2", "line", "ln")]
+
+
+def test_null_symbol_and_colorless_outline_tolerated():
+    """An explicit JSON null symbol behaves like a missing one, and an
+    esriSMS outline with no color falls back to the default rgba
+    (reference: rgba(undefined) -> 'rgba(0,0,0,1)')."""
+    doc = stylejson({"drawingInfo": {"renderer":
+                                     {"type": "simple", "symbol": None}}})
+    assert doc["layers"] == []
+    sms = {"type": "esriSMS", "style": "esriSMSCircle", "size": 8,
+           "color": [10, 20, 30, 255],
+           "outline": {"style": "esriSLSSolid", "width": 1}}
+    doc2 = stylejson({"drawingInfo": {"renderer":
+                                      {"type": "simple", "symbol": sms}}})
+    paint = doc2["layers"][0]["paint"]
+    assert paint["circle-stroke-color"] == "rgba(0,0,0,1)"
