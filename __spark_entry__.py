@@ -807,6 +807,30 @@ def q_emb_near_dup_lsh(spark, sf_dir):
                                 threshold=0.45, bands=16, rows_per_band=4)
 
 
+def q_emb_near_dup_lsh_golden(spark, sf_dir):
+    """GOLDEN-LITERAL twin of emb_near_dup_lsh: on the FIXED sf0.001
+    embeddings table the LSH pair set is a pure function of the seed
+    (hyperplanes derive from it executor-side) and the rollup below is
+    integer-only (ids + micro-rounded cosines — each cosine is a
+    sequential array fold, bit-deterministic), so it freezes like
+    ``lineage_metrics``. Verified identical across repartition(3) /
+    shuffle.partitions=7 before freezing. This gives the LSH scale
+    path a full rows+schema+hash gate; the sf-parameterized
+    ``emb_near_dup_lsh`` stays rows-only (recall < 1 by design,
+    asserted >= 0.9 vs the exact twin in pytest)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = D.embedding_near_dup(emb, "vec_id", "embedding",
+                                 threshold=0.45, bands=16,
+                                 rows_per_band=4)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_a").alias("n_distinct_a"),
+        F.sum("id_a").alias("sum_a"),
+        F.sum("id_b").alias("sum_b"),
+        F.sum(F.round(F.col("cosine") * 1e6).cast("long"))
+        .alias("sum_cos_micro"))
+
+
 def q_extract_bbox(spark, sf_dir):
     """EP1 via the bbox quadtree strategy (S4): adaptive envelope
     splitting against count probes, overlap dedup — golden rollup;
@@ -1107,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_clean": q_image_clean,
         # ---- rows-only (non-SQL-expressible: LSH recall < 1) ----
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_near_dup_lsh_golden": q_emb_near_dup_lsh_golden,
     }
 
 
@@ -1511,6 +1536,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(254186 AS BIGINT) AS sum_floor_mean_g,
                CAST(253946 AS BIGINT) AS sum_floor_mean_b,
                CAST(96652 AS BIGINT) AS sum_phash_mod"""
+    # golden-literal LSH rollup on the fixed sf0.001 embeddings (see
+    # q_emb_near_dup_lsh_golden for the determinism argument)
+    oracles["emb_near_dup_lsh_golden"] = """
+        SELECT CAST(7 AS BIGINT) AS n_pairs,
+               CAST(7 AS BIGINT) AS n_distinct_a,
+               CAST(1349 AS BIGINT) AS sum_a,
+               CAST(2739 AS BIGINT) AS sum_b,
+               CAST(3254513 AS BIGINT) AS sum_cos_micro"""
     oracles["verify_images"] = """
         SELECT CAST(2000 AS BIGINT) AS n_images,
                CAST(2000 AS BIGINT) AS n_dims_ok,
