@@ -83,8 +83,11 @@ def run_headline(spark) -> dict[str, float]:
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not
-    # attributed to the first query
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).count()
+    # attributed to the first query; the mapInPandas pass actually
+    # launches the Arrow python workers (a pure-JVM count would not)
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000)
+    warm.count()
+    warm.mapInPandas(lambda it: it, schema=warm.schema).count()
     times: dict[str, float] = {}
     for name in names:
         t0 = time.time()
@@ -98,19 +101,23 @@ def run_headline(spark) -> dict[str, float]:
 def _scale_input():
     """Points table + polygon dim for the scaling job (cached)."""
     from esri_dump_spark.operators.spatial_join import build_polygon_dim
-    from esri_dump_spark.sources.fixtures import (bench_polygons_pdf,
-                                                  ensure_points_parquet)
-    path_probe = os.path.join(
-        os.environ.get("SPARK_GRAFT_FIXTURE_CACHE",
-                       f"{REPO}/.fixtures_cache"),
-        f"points_n{N_POINTS}_s42.parquet")
-    if not os.path.exists(path_probe):
+    from esri_dump_spark.sources.fixtures import (
+        bench_polygons_pdf, ensure_points_parquet,
+        points_parquet_committed, points_parquet_path)
+    # the commit probe lives in fixtures (validates the _SUCCESS
+    # marker — a bare exists() here once served a crashed partial
+    # write as the scaling table, inflating every recorded rows/sec)
+    if points_parquet_committed(N_POINTS):
+        path = points_parquet_path(N_POINTS)
+    else:
         gen = _spark(CPUS)
-        ensure_points_parquet(gen, N_POINTS)
-        gen.stop()
+        try:
+            path = ensure_points_parquet(gen, N_POINTS)
+        finally:
+            gen.stop()
     polys = bench_polygons_pdf()
     dim = build_polygon_dim(polys, RES)
-    return path_probe, polys, dim
+    return path, polys, dim
 
 
 def run_scaling(points_path: str, polys, dim) -> dict:
@@ -168,13 +175,13 @@ input. The 4->16 pair is used because this 32-vCPU single box saturates
 shared DRAM bandwidth and all-core turbo near full subscription, which
 measures the host, not the engine; executors on a real multi-node
 cluster each own their memory bandwidth. Absolute throughput at
-local[32] is reported alongside.
+local[{CPUS}] is reported alongside.
 
 | parallelism | elapsed (s, best rep) | rows/sec |
 |---|---|---|
 | local[{lo}]  | {results[lo]['sec']} | {results[lo]['rows_per_sec']:,.0f} |
 | local[{hi}] | {results[hi]['sec']} | {results[hi]['rows_per_sec']:,.0f} |
-| local[32] (absolute) | {abs32['sec']} | {abs32['rows_per_sec']:,.0f} |
+| local[{CPUS}] (absolute) | {abs32['sec']} | {abs32['rows_per_sec']:,.0f} |
 
 **Scaling efficiency (rows/sec@{hi} / rows/sec@{lo}) / {hi // lo} =
 {eff:.3f}** (target >= 0.8 per BASELINE.json north rule)
@@ -229,7 +236,7 @@ def main() -> None:
         out["scaling_efficiency"] = scaling["scaling_efficiency"]
         out[f"rows_per_sec_local{lo}"] = scaling[lo]["rows_per_sec"]
         out[f"rows_per_sec_local{hi}"] = scaling[hi]["rows_per_sec"]
-        out["rows_per_sec_local32"] = abs32["rows_per_sec"]
+        out[f"rows_per_sec_local{CPUS}"] = abs32["rows_per_sec"]
     archive_run(out)
     print(json.dumps(out))
 

@@ -64,6 +64,11 @@ def parse_wkt(s: str):
         args = []
         while True:
             skip_ws()
+            if pos >= len(s):
+                # truncated WKT must surface as the documented
+                # ValueError family, not a bare IndexError
+                raise ValueError(
+                    f"truncated WKT: unterminated {keyword!r} node")
             ch = s[pos]
             if ch == "]":
                 pos += 1
@@ -73,7 +78,11 @@ def parse_wkt(s: str):
                 continue
             if ch == '"':
                 pos += 1
-                q = s.index('"', pos)
+                q = s.find('"', pos)
+                if q < 0:
+                    raise ValueError(
+                        f"truncated WKT: unterminated quote in "
+                        f"{keyword!r} node")
                 args.append(s[pos:q])
                 pos = q + 1
             elif ch.isdigit() or ch in "+-.":
@@ -644,6 +653,13 @@ class _Stere(_Proj):
                 math.tan(math.pi / 4 + self.lat0 / 2)
                 * ((1 - e * sinp) / (1 + e * sinp)) ** (e / 2)) \
                 - math.pi / 2
+            # Snyder 21-29's m1/cos(chi1) factor: without it every
+            # oblique coordinate is scaled by cos(chi1)/m1 (~0.2% at
+            # mid-latitudes) and the scale at the origin is not k0.
+            # 1 at the equator (m1 = cos(chi1) = 1), so the
+            # equatorial aspect is unchanged.
+            m1 = _msfn(sinp, math.cos(self.lat0), e2)
+            self.m1_factor = m1 / math.cos(self.chi0)
 
     def fwd(self, lon, lat):
         a, e, k0 = self.a, self.e, self.k0
@@ -666,7 +682,8 @@ class _Stere(_Proj):
         sc0, cc0 = math.sin(self.chi0), math.cos(self.chi0)
         sc, cc = math.sin(chi), math.cos(chi)
         dl = lon - self.lon0
-        A = 2 * a * k0 / (1 + sc0 * sc + cc0 * cc * math.cos(dl))
+        A = 2 * a * k0 * self.m1_factor \
+            / (1 + sc0 * sc + cc0 * cc * math.cos(dl))
         return (self.x0 + A * cc * math.sin(dl),
                 self.y0 + A * (cc0 * sc - sc0 * cc * math.cos(dl)))
 
@@ -682,7 +699,7 @@ class _Stere(_Proj):
             lon = self.lon0 + math.atan2(dx, -sign * dy)
             return lon, lat
         rho = math.hypot(dx, dy)
-        ce = 2 * math.atan2(rho, 2 * a * k0)
+        ce = 2 * math.atan2(rho, 2 * a * k0 * self.m1_factor)
         sce, cce = math.sin(ce), math.cos(ce)
         sc0, cc0 = math.sin(self.chi0), math.cos(self.chi0)
         if rho < 1e-10:
@@ -702,6 +719,84 @@ class _Stere(_Proj):
                 * ((1 + e * sinp) / (1 - e * sinp)) ** (e / 2)) \
                 - math.pi / 2
             if abs(new - lat) < 1e-12:
+                break
+            lat = new
+        return lon, lat
+
+
+class _Sterea(_Proj):
+    """Oblique ('Double') Stereographic, EPSG method 9809 — the
+    Gauss-Schreiber double projection (ellipsoid -> conformal sphere ->
+    spherical stereographic), proj4's ``sterea``. ESRI names it
+    Double_Stereographic (Netherlands RD New, New Brunswick). NOT the
+    same projection as Snyder's single-step ellipsoidal ``_Stere`` —
+    the two diverge by meters growing with distance from the origin.
+    Constants follow the published EPSG Guidance Note 7-2 formulas
+    (equivalently PROJ gauss.c/sterea.c)."""
+
+    def __init__(self, crs: dict):
+        super().__init__(crs)
+        e, es = self.e, self.e2
+        sphi, cphi = math.sin(self.lat0), math.cos(self.lat0)
+        cphi2 = cphi * cphi
+        # conformal-sphere radius (units of a) and Gauss constants
+        self.rc = math.sqrt(1 - es) / (1 - es * sphi * sphi)
+        self.C = math.sqrt(1 + es * cphi2 * cphi2 / (1 - es))
+        self.chi0 = math.asin(sphi / self.C)
+        self.ratexp = 0.5 * self.C * e
+        self.K = (math.tan(0.5 * self.chi0 + math.pi / 4)
+                  / (math.tan(0.5 * self.lat0 + math.pi / 4) ** self.C
+                     * self._srat(e * sphi, self.ratexp)))
+        self.sinc0 = math.sin(self.chi0)
+        self.cosc0 = math.cos(self.chi0)
+        self.R2 = 2.0 * self.rc
+
+    @staticmethod
+    def _srat(esinp: float, expo: float) -> float:
+        return ((1.0 - esinp) / (1.0 + esinp)) ** expo
+
+    def _gauss_fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        chi = 2 * math.atan(
+            self.K * math.tan(0.5 * lat + math.pi / 4) ** self.C
+            * self._srat(self.e * math.sin(lat), self.ratexp)) \
+            - math.pi / 2
+        return self.C * (lon - self.lon0), chi
+
+    def fwd(self, lon, lat):
+        dl, chi = self._gauss_fwd(lon, lat)
+        sinc, cosc = math.sin(chi), math.cos(chi)
+        cosl = math.cos(dl)
+        k = self.a * self.k0 * self.R2 \
+            / (1 + self.sinc0 * sinc + self.cosc0 * cosc * cosl)
+        return (self.x0 + k * cosc * math.sin(dl),
+                self.y0 + k * (self.cosc0 * sinc
+                               - self.sinc0 * cosc * cosl))
+
+    def inv(self, x, y):
+        dx = (x - self.x0) / (self.a * self.k0)
+        dy = (y - self.y0) / (self.a * self.k0)
+        rho = math.hypot(dx, dy)
+        if rho < 1e-12:
+            chi = self.chi0
+            dl = 0.0
+        else:
+            c = 2 * math.atan2(rho, self.R2)
+            sinc, cosc = math.sin(c), math.cos(c)
+            chi = math.asin(max(-1.0, min(
+                1.0, cosc * self.sinc0 + dy * sinc * self.cosc0 / rho)))
+            dl = math.atan2(dx * sinc,
+                            rho * self.cosc0 * cosc
+                            - dy * self.sinc0 * sinc)
+        lon = dl / self.C + self.lon0
+        # inverse Gauss: iterate geodetic latitude from conformal
+        num = (math.tan(0.5 * chi + math.pi / 4) / self.K) ** (1.0 / self.C)
+        lat = chi
+        for _ in range(20):
+            new = 2 * math.atan(
+                num * self._srat(self.e * math.sin(lat), -0.5 * self.e)) \
+                - math.pi / 2
+            if abs(new - lat) < 1e-14:
+                lat = new
                 break
             lat = new
         return lon, lat
@@ -1310,7 +1405,7 @@ SUPPORTED_PROJECTIONS = {
     "mollweide": _Mollweide,
     "lambert_azimuthal_equal_area": _LAEA,
     "stereographic": _Stere,
-    "double_stereographic": _Stere,
+    "double_stereographic": _Sterea,
     "stereographic_north_pole":
         lambda crs: _Stere(crs, forced_pole="north"),
     "stereographic_south_pole":

@@ -142,6 +142,17 @@ def ensure_images_parquet(n: int, seed: int = 42,
     return path
 
 
+def points_parquet_path(n: int, seed: int = 42) -> str:
+    return os.path.join(FIXTURE_CACHE, f"points_n{n}_s{seed}.parquet")
+
+
+def points_parquet_committed(n: int, seed: int = 42) -> bool:
+    """True only for a COMPLETED write (_SUCCESS marker) — callers
+    must never trust a bare directory-exists probe."""
+    return os.path.exists(os.path.join(points_parquet_path(n, seed),
+                                       "_SUCCESS"))
+
+
 def ensure_points_parquet(spark, n: int, seed: int = 42,
                           n_files: int = 128) -> str:
     """Big point-only table (id, lon, lat) for the scaling protocol,
@@ -150,11 +161,11 @@ def ensure_points_parquet(spark, n: int, seed: int = 42,
     property a 10^12-row synthetic input needs. 20% of rows collapse
     into a tiny hot box (skew), mirroring images_pdf."""
     os.makedirs(FIXTURE_CACHE, exist_ok=True)
-    path = os.path.join(FIXTURE_CACHE, f"points_n{n}_s{seed}.parquet")
+    path = points_parquet_path(n, seed)
     # a bare exists() would serve a crashed/interrupted write forever
     # (Spark leaves the directory behind); trust only a completed
     # commit — _SUCCESS is written last by the committer
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if points_parquet_committed(n, seed):
         return path
     if os.path.exists(path):
         shutil.rmtree(path)

@@ -60,6 +60,16 @@ def run(spark: SparkSession, images_path: str, out_dir: str,
     n_done = done.count()
     pending = pending_work(imgs, done, "work_key")
 
+    # lineage wraps the SCAN side (pre-join): a file whose points all
+    # miss every polygon still contributes zero rows to the sink — it
+    # is complete once scanned + committed. Wrapping post-join left
+    # such files uncertified forever (re-scanned on every resume, the
+    # pending set never converging to empty). The crash-safety
+    # ordering is unchanged: these keys certify nothing until the
+    # commit marker lands after the sink write below.
+    pending = with_lineage(pending, run_id, lineage_dir,
+                           work_key_col="work_key", collect_keys=True,
+                           attempt_id=attempt_id)
     if polygons_path is not None:
         polys = spark.read.parquet(polygons_path)
         joined = point_in_polygon_join_dist(pending, polys, res=11,
@@ -67,9 +77,6 @@ def run(spark: SparkSession, images_path: str, out_dir: str,
     else:
         joined = point_in_polygon_join(pending, polygons_pdf(), res=11)
     tiled = assign_tiles(joined, z=13)
-    tiled = with_lineage(tiled, run_id, lineage_dir,
-                         work_key_col="work_key", collect_keys=True,
-                         attempt_id=attempt_id)
     out = tiled.groupBy("poly_id", "tile_id").agg(
         F.count(F.lit(1)).alias("n"))
     observed, obs = observe_metrics(out)

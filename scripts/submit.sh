@@ -1,6 +1,9 @@
 #!/usr/bin/env bash
 # spark-submit packaging path (north_rule: ships via --py-files).
-# Usage: scripts/submit.sh [job-script] [spark-submit args...]
+# Usage: scripts/submit.sh [job-script] [job args...]
+# Extra args are passed to the JOB (images_parquet out_dir run_id
+# [polygons_parquet]), NOT to spark-submit — edit SUBMIT_ARGS below
+# for spark-submit configuration.
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 JOB="${1:-$REPO/scripts/job_spatial_tiles.py}"

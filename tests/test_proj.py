@@ -273,3 +273,60 @@ def test_non_numeric_wkid_falls_back_to_passthrough():
         ext = {"xmin": 1.0, "ymin": 2.0, "xmax": 3.0, "ymax": 4.0,
                "spatialReference": sr}
         assert bounds_from_extent(ext) == [1.0, 2.0, 3.0, 4.0], sr
+
+
+def test_double_stereographic_epsg_9809_worked_example():
+    """EPSG Guidance Note 7-2 Oblique Stereographic example
+    (Amersfoort / RD New, Bessel 1841): 53N 6E ->
+    E 196105.283 m, N 557057.739 m. The Gauss-Schreiber double
+    projection — NOT Snyder's single-step ellipsoidal stereographic,
+    which lands meters away."""
+    import math
+    crs = {"a": 6377397.155, "rf": 299.15281, "unit_to_m": 1.0,
+           "params": {"latitude_of_origin": 52 + 9/60 + 22.178/3600,
+                      "central_meridian": 5 + 23/60 + 15.5/3600,
+                      "scale_factor": 0.9999079,
+                      "false_easting": 155000.0,
+                      "false_northing": 463000.0}}
+    st = P._Sterea(crs)
+    x, y = st.fwd(math.radians(6.0), math.radians(53.0))
+    assert abs(x - 196105.283) < 2e-3 and abs(y - 557057.739) < 2e-3
+    lon, lat = st.inv(196105.283, 557057.739)
+    assert abs(math.degrees(lon) - 6.0) < 1e-8
+    assert abs(math.degrees(lat) - 53.0) < 1e-8
+    # the registry maps ESRI Double_Stereographic to this class
+    assert P.SUPPORTED_PROJECTIONS["double_stereographic"] is P._Sterea
+
+
+def test_oblique_stereographic_scale_at_origin_is_k0():
+    """Conformal-projection invariant: the scale factor at the natural
+    origin equals k0 in every direction. Catches the missing
+    m1/cos(chi1) factor of Snyder 21-29 (a ~0.2% scale error at
+    mid-latitudes) that fwd/inv round-trips can never see."""
+    import math
+    k0 = 0.9999079
+    crs = {"a": 6378137.0, "rf": 298.257223563, "unit_to_m": 1.0,
+           "params": {"latitude_of_origin": 52.15616056,
+                      "central_meridian": 5.38763889,
+                      "scale_factor": k0,
+                      "false_easting": 0.0, "false_northing": 0.0}}
+    lat0, lon0 = math.radians(52.15616056), math.radians(5.38763889)
+    a, e2 = 6378137.0, P._e2(298.257223563)
+    M = a * (1 - e2) / (1 - e2 * math.sin(lat0) ** 2) ** 1.5
+    N = a / math.sqrt(1 - e2 * math.sin(lat0) ** 2)
+    d = 1e-7
+    for cls in (P._Stere, P._Sterea):
+        pr = cls(crs)
+        x1, y1 = pr.fwd(lon0, lat0)
+        x2, y2 = pr.fwd(lon0, lat0 + d)
+        x3, y3 = pr.fwd(lon0 + d, lat0)
+        k_mer = math.hypot(x2 - x1, y2 - y1) / (M * d)
+        k_par = math.hypot(x3 - x1, y3 - y1) / (N * math.cos(lat0) * d)
+        assert abs(k_mer - k0) < 1e-6, cls.__name__
+        assert abs(k_par - k0) < 1e-6, cls.__name__
+
+
+def test_parse_wkt_truncated_raises_value_error():
+    for bad in ('GEOGCS["a",', 'PROJCS["x', 'GEOGCS["a", DATUM["d"'):
+        with pytest.raises(ValueError, match="truncated WKT"):
+            P.parse_wkt(bad)

@@ -142,3 +142,24 @@ def test_resume_with_comma_in_file_path(spark, tmp_path):
     r2 = job.run(spark, inp, out, run_id="c")
     assert r2["resumed_skipping_files"] == 2
     assert r2["metrics"]["n_rows"] == 0
+
+
+def test_no_match_files_certified_and_converge(spark, tmp_path):
+    """A file whose points all miss every polygon contributes zero sink
+    rows but IS complete once scanned+committed — resume must skip it,
+    not re-scan it forever (lineage wraps the scan side, pre-join)."""
+    inp = str(tmp_path / "points")
+    out = str(tmp_path / "out")
+    # 2 files inside the fixture polygon extent, 2 files far away
+    _write_points(spark, inp, 0, 2000, 2)
+    (spark.range(0, 1000, 1, 2).selectExpr(
+        "concat('far', id) AS image_id",
+        "CAST(120.0 + (id % 7) * 0.01 AS DOUBLE) AS lon",
+        "CAST(-40.0 + (id % 5) * 0.01 AS DOUBLE) AS lat",
+    ).write.mode("append").parquet(inp))
+    r1 = job.run(spark, inp, out, run_id="n")
+    assert r1["resumed_skipping_files"] == 0
+    # restart: ALL 4 files are certified, including the two no-match ones
+    r2 = job.run(spark, inp, out, run_id="n")
+    assert r2["resumed_skipping_files"] == 4
+    assert r2["metrics"]["n_rows"] == 0
