@@ -3,9 +3,11 @@ projections (forward and inverse), replacing the reference's
 proj4js dependency (/root/reference/lib/tilejson.ts:2,119-128) for
 extent reprojection to EPSG:4326.
 
-Scope: 43 projection families with forward AND inverse — the full
+Scope: 44 projection families with forward AND inverse — the full
 cylindrical/conic/azimuthal canon plus Krovak (``_Krovak``), Hotine
-oblique Mercator, and the pseudocylindricals (Eckert I-VI, Winkel,
+oblique Mercator, Gauss-Schreiber Double Stereographic (``_Sterea``,
+EPSG 9809, validated against the published RD New worked example),
+and the pseudocylindricals (Eckert I-VI, Winkel,
 Robinson, ...), covering 98.8% of the 4582-wkid parameter table
 (``data/wkid_params.json``). The residual fraction of exotic wkids
 raises ``UnsupportedProjectionError``; proj4js throws on a superset
