@@ -241,11 +241,27 @@ def extract(spark: SparkSession, server, approach: str = "iter",
                     # of silently truncating.
                     feats = []
                     off = 0
+                    prev_first = object()
                     while True:
                         page_feats, exceeded = _with_retries(
                             lambda o=off: server.query_bbox(
                                 env, top_filter=top_filter, offset=o),
                             f"bbox {env} offset={off}")
+                        # forward-progress guard: a server that ignores
+                        # resultOffset (supportsPagination=false) or
+                        # returns an empty exceeded page would loop
+                        # forever accumulating the same rows — fail
+                        # loudly instead of OOMing the executor
+                        first = (page_feats[0]["attributes"]
+                                 if page_feats else None)
+                        if exceeded and (not page_feats
+                                         or first == prev_first):
+                            raise ValueError(
+                                f"bbox {env}: server reports "
+                                "exceededTransferLimit but makes no "
+                                "paging progress (resultOffset "
+                                "unsupported?) — cannot drain leaf")
+                        prev_first = first
                         feats.extend(page_feats)
                         if not exceeded:
                             break

@@ -161,12 +161,17 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
     ``res=None`` derives the starting resolution from the points count.
     ``broadcast_points=None`` auto-detects: one count (metadata-cheap
     on parquet/Iceberg) and the points side is broadcast when it is
-    small enough to ship (<= 1M rows) — otherwise shuffle hash join.
+    small enough to ship (<= 1M rows). The broadcast payload is ALWAYS
+    the slim (id, lon, lat) projection — the output carries only
+    (query_id, point_id, dist, rank), so any other points columns are
+    pruned before the join and the count-based size estimate is safe
+    regardless of the source table's width.
     """
     if res_step < 1:
         raise ValueError(
             f"res_step={res_step}: must be >= 1 — the escalation loop "
             "re-runs the identical resolution forever otherwise")
+    points = points.select(point_id, p_lon, p_lat)
     if broadcast_points is None or res is None:
         n_points = points.count()
         if broadcast_points is None:

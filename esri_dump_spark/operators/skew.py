@@ -24,6 +24,8 @@ see the skew (e.g. pre-shuffle pandas UDF stages):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,7 +102,9 @@ def two_phase_agg(df: DataFrame, key: str, aggs: dict[str, str],
         arg = arg.rstrip(")")
         fn = fn.strip().lower()
         p = f"__p_{out}"
-        if arg.strip().lower().startswith("distinct"):
+        # \b: reject only the DISTINCT keyword, not a column whose
+        # name happens to start with 'distinct'
+        if re.match(r"distinct\b", arg.strip(), re.IGNORECASE):
             # per-(key,salt) distinct partials double-count values that
             # land in several salt buckets — not decomposable this way
             raise ValueError(

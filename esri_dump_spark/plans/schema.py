@@ -69,6 +69,22 @@ def _js_not_nan(v) -> bool:
         s = v.strip()
         if s == "":
             return True       # Number('') = 0
+        # JS Number() literal grammar differs from Python float():
+        if s in ("Infinity", "+Infinity", "-Infinity"):
+            return True
+        low = s.lower()
+        if low in ("inf", "+inf", "-inf", "infinity", "+infinity",
+                   "-infinity", "nan", "+nan", "-nan"):
+            return False      # float() accepts; Number() is NaN
+        if "_" in s:
+            return False      # Number('1_2') = NaN; float('1_2') = 12
+        if low.startswith(("0x", "0b", "0o")):
+            # unsigned radix literals parse in JS (signed do not)
+            try:
+                int(s, 0)
+                return True
+            except ValueError:
+                return False
         try:
             return not math.isnan(float(s))
         except ValueError:

@@ -132,7 +132,10 @@ def bounds_from_extent(extent: dict | None):
         return _fold_corners(
             lambda x, y: inverse_to_lonlat(crs, x, y), extent)
 
-    candidates = [c for c in (latest, wkid) if isinstance(c, (int, float))]
+    # `not bool`: the reference's `typeof === 'number'` filter drops
+    # booleans, and Python's bool is an int subclass
+    candidates = [c for c in (latest, wkid)
+                  if isinstance(c, (int, float)) and not isinstance(c, bool)]
     for c in candidates:
         if int(c) == 4326:
             return [extent["xmin"], extent["ymin"],

@@ -76,6 +76,10 @@ class SyntheticFeatureServer:
     # can separate coincident features, forcing the depth-capped-leaf
     # offset-paging drain path)
     coincident_at: tuple | None = None
+    # False replays an ArcGIS endpoint with supportsPagination=false:
+    # resultOffset is ignored on envelope queries — the same first page
+    # returns with exceededTransferLimit=true forever
+    supports_pagination: bool = True
     _attempts: dict = field(default_factory=dict, repr=False, compare=False)
 
     def _maybe_fail(self, key) -> None:
@@ -279,6 +283,8 @@ class SyntheticFeatureServer:
         together) — how a depth-capped quadtree leaf that still
         exceeds maxRecordCount is drained without data loss."""
         self._maybe_fail(("bbox", tuple(env)))
+        if not self.supports_pagination:
+            offset = 0
         out = []
         skipped = 0
         for i in self._candidate_indices(top_filter):

@@ -96,10 +96,15 @@ def run_available_now(stream_df: DataFrame, query_name: str,
     returning a still-running query would hand callers a partially
     populated memory table with no warning."""
     if output_mode is None:
-        # streaming aggregation ⇒ isStreaming plan contains stateful agg;
-        # cheap reliable probe: complete-mode requires an Aggregate node
+        # complete-mode requires a streaming aggregation: probe for an
+        # Aggregate NODE at the start of a plan line (after the tree
+        # art) — a raw substring match would also hit attribute names
+        # like `AggregateScore#12`
+        import re
         plan = stream_df._jdf.queryExecution().analyzed().toString()
-        output_mode = "complete" if "Aggregate" in plan else "append"
+        # tree-art prefix includes `~` on streaming nodes
+        has_agg = re.search(r"(?m)^[\s:+\-~]*Aggregate[ \[]", plan)
+        output_mode = "complete" if has_agg else "append"
     q = (stream_df.writeStream.format("memory")
          .queryName(query_name)
          .outputMode(output_mode)

@@ -235,3 +235,15 @@ def test_top_feature_indices_multi_field_order():
     # grp1 keeps oid3 (a=7) then oid2 ((5,'a') beats (5,'x'), oid beats
     # oid5 on the tie); grp2 keeps oid7 then oid6 (NULL b last)
     assert [srv.ROWS[i][0] for i in got] == [2, 3, 6, 7]
+
+
+def test_bbox_drain_fails_loudly_without_paging_progress(spark):
+    """supportsPagination=false + a coincident cluster: the drain loop
+    must detect that resultOffset makes no progress and raise, never
+    spin forever accumulating the same page."""
+    srv = SyntheticFeatureServer(n_features=2500, max_record_count=1000,
+                                 geometry_type="esriGeometryPoint",
+                                 coincident_at=(-93.0, 24.0),
+                                 supports_pagination=False)
+    with pytest.raises(Exception, match="no paging progress"):
+        extract(spark, srv, "bbox").count()

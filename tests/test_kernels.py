@@ -285,3 +285,17 @@ def test_rewind_feature_without_geometry_key():
     from esri_dump_spark.kernels.rewind import rewind
     gj = {"type": "Feature", "properties": {}}
     assert rewind(gj) == gj  # reference guard parity: no KeyError
+
+
+def test_js_number_grammar_divergences():
+    """Number() vs float() literal-grammar corners that would break
+    schema golden parity: underscores NaN, unsigned hex parses,
+    'inf' NaN but 'Infinity' finite-check true."""
+    from esri_dump_spark.plans.schema import _js_not_nan
+    assert _js_not_nan("1_2") is False     # Number('1_2') = NaN
+    assert _js_not_nan("0x10") is True     # Number('0x10') = 16
+    assert _js_not_nan("-0x10") is False   # signed radix = NaN
+    assert _js_not_nan("inf") is False     # Number('inf') = NaN
+    assert _js_not_nan("Infinity") is True
+    assert _js_not_nan("infinity") is False  # case-sensitive in JS
+    assert _js_not_nan("1e3") is True

@@ -330,3 +330,11 @@ def test_parse_wkt_truncated_raises_value_error():
     for bad in ('GEOGCS["a",', 'PROJCS["x', 'GEOGCS["a", DATUM["d"'):
         with pytest.raises(ValueError, match="truncated WKT"):
             P.parse_wkt(bad)
+
+
+def test_boolean_wkid_falls_back_like_non_numeric():
+    """typeof true !== 'number' in the reference — a boolean wkid must
+    take the EPSG:4326 passthrough, not raise via int(True) == 1."""
+    ext = {"xmin": 1.0, "ymin": 2.0, "xmax": 3.0, "ymax": 4.0,
+           "spatialReference": {"wkid": True}}
+    assert bounds_from_extent(ext) == [1.0, 2.0, 3.0, 4.0]

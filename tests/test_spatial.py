@@ -495,3 +495,13 @@ def test_pip_join_dist_points_with_name_column(spark, points_pdf):
         spark.createDataFrame(points_pdf), polys, res=9).collect()}
     got = {(r.image_id, r.poly_id) for r in inner.collect()}
     assert got == exp
+
+
+def test_two_phase_agg_allows_distinct_prefixed_column(spark):
+    """Only the DISTINCT keyword is rejected — a column literally named
+    distinct_id is a plain decomposable count."""
+    df = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 1, 2], "distinct_id": [10, 11, 12]}))
+    got = {r.k: r.n for r in two_phase_agg(
+        df, "k", {"n": "count(distinct_id)"}, hot=[1]).collect()}
+    assert got == {1: 2, 2: 1}
