@@ -120,8 +120,9 @@ def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 64,
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
         out_rows = []
+        cache: dict = {}   # per-batch gram-hash memo (grams repeat)
         for t in texts:
-            h = _md5_shingle_hashes(t or "", shingle_n) % P   # (g,)
+            h = _md5_shingle_hashes(t or "", shingle_n, cache) % P
             m = (h[:, None] * a[None, :] + b[None, :]) % P    # (g, k)
             out_rows.append(m.min(axis=0).astype(np.int64))
         return pd.Series(out_rows)
@@ -375,19 +376,41 @@ def minhash_cluster_dedup_oracle_sql(id_col: str = "doc_id",
 SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed 64-bit in every engine
 
 
-def _md5_shingle_hashes(text: str, n: int) -> np.ndarray:
+def _md5_shingle_hashes(text: str, n: int,
+                        cache: dict | None = None) -> np.ndarray:
     """uint64 hashes of distinct character n-grams: the low 60 bits of
     md5 (first 15 hex chars). md5 — not blake2b like minhash — because
     the whole derivation is reproducible in ANSI SQL (DuckDB:
     CAST(concat('0x', substr(md5(g), 1, 15)) AS UBIGINT)), which makes
-    the simhash operator oracle-able end to end."""
+    the simhash operator oracle-able end to end.
+
+    The value is computed as ``int.from_bytes(digest[:8]) >> 4`` —
+    bit-identical to ``int(hexdigest[:15], 16)`` (first 15 hex chars =
+    top 60 of the first 64 digest bits) but ~3x faster, and a caller-
+    supplied per-batch ``cache`` exploits cross-document gram
+    repetition (natural-language shingle vocabularies are small
+    relative to the corpus)."""
     import hashlib
+    md5 = hashlib.md5
     t = (text or "").lower()
     if len(t) < n:
         t = t.ljust(n)
     grams = {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
-    return np.array([int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                     for g in grams], dtype=np.uint64)
+    out = np.empty(len(grams), dtype=np.uint64)
+    if cache is None:
+        for j, g in enumerate(grams):
+            out[j] = int.from_bytes(
+                md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+        return out
+    if len(cache) > 1_000_000:    # bound executor memory on huge
+        cache.clear()             # synthetic vocabularies
+    for j, g in enumerate(grams):
+        v = cache.get(g)
+        if v is None:
+            v = cache[g] = int.from_bytes(
+                md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+        out[j] = v
+    return out
 
 
 def simhash(df: DataFrame, text_col: str, out: str = "simhash",
@@ -399,8 +422,9 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash",
     def sh(texts: pd.Series) -> pd.Series:
         vals = np.empty(len(texts), dtype=np.int64)
         shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]
+        cache: dict = {}   # per-batch gram-hash memo (grams repeat)
         for i, t in enumerate(texts):
-            h = _md5_shingle_hashes(t, shingle_n)
+            h = _md5_shingle_hashes(t, shingle_n, cache)
             bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             score = (2 * bits - 1).sum(axis=0)
             v = np.uint64(0)
