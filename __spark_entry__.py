@@ -392,6 +392,22 @@ def q_knn_geo_sparse(spark, sf_dir):
                       F.round("dist", 6).alias("dist_r"))
 
 
+def q_radius_geo(spark, sf_dir):
+    """J7b: exact within-distance join — one-pass grid-disk candidates
+    (finest res whose disk covers the radius) + exact distance filter.
+    No window, no dedup: each qualifying pair is produced exactly once
+    because a point occupies one cell and the exploded disk is
+    distinct."""
+    from esri_dump_spark.operators.knn import radius_join
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS point_id", f"{_CLON} AS lon", f"{_CLAT} AS lat")
+    queries = (pts.orderBy("point_id").limit(30)
+               .selectExpr("point_id AS query_id", "lon", "lat"))
+    out = radius_join(queries, pts, radius=2.0, broadcast_points=True)
+    return out.select("query_id", "point_id",
+                      F.round("dist", 6).alias("dist_r"))
+
+
 def q_running_total(spark, sf_dir):
     """Window running sum: cumulative revenue per customer by order."""
     from pyspark.sql import Window
@@ -905,6 +921,21 @@ def q_phash_near_dup(spark, sf_dir):
         .alias("n_exact"))
 
 
+def q_phash_cluster_dedup(spark, sf_dir):
+    """Image cluster dedup: min-id survivor per connected component of
+    the phash near-dup graph (chained bursts collapse to ONE survivor,
+    unlike one-hop dropping). Golden-literal rollup: lossless
+    candidate gen + seeded fixture => frozen integer invariants."""
+    from esri_dump_spark.operators.dedup import phash_cluster_dedup
+    from esri_dump_spark.sources.fixtures import ensure_images_parquet
+    imgs = spark.read.parquet(ensure_images_parquet(2000))
+    kept = phash_cluster_dedup(imgs, max_hamming=8)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("w").alias("sum_w"),
+        F.sum("h").alias("sum_h"))
+
+
 def q_image_clean(spark, sf_dir):
     """Image-side cleaning pipeline: decode-invariant gate (dims,
     phash, caption, PSNR vs reference) -> phash near-dedup, min-id
@@ -1073,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_intersect_anti": q_poly_intersect_anti,
         "knn_geo": q_knn_geo,
         "knn_geo_sparse": q_knn_geo_sparse,
+        "radius_geo": q_radius_geo,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1126,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_bbox": q_extract_bbox,
         "pip_fixture_polygons": q_pip_fixture_polygons,
         "phash_near_dup": q_phash_near_dup,
+        "phash_cluster_dedup": q_phash_cluster_dedup,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "crossmodal_near_dup": q_crossmodal_near_dup,
         "image_clean": q_image_clean,
@@ -1295,6 +1328,18 @@ def oracle_sql() -> dict[str, str]:
               FROM qs q CROSS JOIN pts p)
             SELECT query_id, point_id, rank, round(dist, 6) AS dist_r
             FROM scored WHERE rank <= 5""",
+        "radius_geo": f"""
+            WITH pts AS (SELECT c_custkey AS point_id, {_CLON} AS lon,
+                                {_CLAT} AS lat FROM customer),
+            qs AS (SELECT point_id AS query_id, lon AS qlon, lat AS qlat
+                   FROM pts ORDER BY point_id LIMIT 30)
+            SELECT q.query_id, p.point_id,
+                   round(sqrt((q.qlon - p.lon) * (q.qlon - p.lon)
+                            + (q.qlat - p.lat) * (q.qlat - p.lat)), 6)
+                     AS dist_r
+            FROM qs q CROSS JOIN pts p
+            WHERE sqrt((q.qlon - p.lon) * (q.qlon - p.lon)
+                     + (q.qlat - p.lat) * (q.qlat - p.lat)) <= 2.0""",
         "token_count": f"SELECT doc_id, {X.token_count_sql('text')} AS n_tokens FROM documents",
         "quality_score": f"""
             SELECT doc_id, {qmeta['n_chars_t']} AS n_chars_t,
@@ -1573,6 +1618,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(50594 AS BIGINT) AS n_pairs,
                CAST(298459 AS BIGINT) AS sum_hamming,
                CAST(363 AS BIGINT) AS n_exact"""
+    # min-id-per-component survivors over the SAME (lossless) pair
+    # graph; union-find parity asserted in
+    # tests/test_pipeline_ops.py::test_phash_cluster_dedup_matches_union_find
+    oracles["phash_cluster_dedup"] = """
+        SELECT CAST(1145 AS BIGINT) AS n_survivors,
+               CAST(32712 AS BIGINT) AS sum_w,
+               CAST(32568 AS BIGINT) AS sum_h"""
     oracles["image_clean"] = """
         SELECT CAST(1431 AS BIGINT) AS n_survivors,
                CAST(41384 AS BIGINT) AS sum_w,

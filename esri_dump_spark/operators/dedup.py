@@ -34,7 +34,7 @@ __all__ = [
     "minhash_pairs_oracle_sql", "minhash_permutation_consts",
     "simhash", "simhash_pairs", "simhash_sql_cte",
     "ngram_jaccard_pairs", "embedding_near_dup", "phash_near_dup",
-    "crossmodal_near_dup",
+    "phash_cluster_dedup", "crossmodal_near_dup",
 ]
 
 
@@ -934,3 +934,21 @@ def phash_near_dup(images: DataFrame, id_col: str = "image_id",
             .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def phash_cluster_dedup(images: DataFrame, id_col: str = "image_id",
+                        phash_col: str = "phash", max_hamming: int = 6,
+                        blocks: int | None = None) -> DataFrame:
+    """Image cluster dedup: one survivor — the minimum id — per
+    connected component of the ``phash_near_dup`` pair graph (same
+    posture as ``minhash_dedup(connected=True)`` on the text side;
+    one-hop dropping keeps multiple survivors in chained components,
+    e.g. a burst of near-identical frames A~B~C with only A-B and B-C
+    edges). Candidate gen is the lossless block-LSH, so the survivor
+    set is exact for the hamming threshold. Returns the surviving rows
+    of ``images`` unchanged."""
+    pairs = phash_near_dup(images, id_col, phash_col, max_hamming, blocks)
+    labels = component_min_labels(pairs)
+    losers = (labels.filter(F.col("rep") != F.col("id"))
+              .select(F.col("id").alias(id_col)))
+    return images.join(losers, id_col, "left_anti")

@@ -37,8 +37,9 @@ from pyspark.sql import functions as F
 
 from ..kernels import cells as C
 
-__all__ = ["knn_join", "knn_join_exact", "neighbor_cells_expr",
-           "safe_radius", "density_res"]
+__all__ = ["knn_join", "knn_join_exact", "radius_join",
+           "radius_join_exact", "neighbor_cells_expr",
+           "safe_radius", "density_res", "radius_res"]
 
 
 def safe_radius(res: int) -> float:
@@ -59,18 +60,35 @@ def density_res(n_points: int, k: int, max_res: int = 12) -> int:
     return 0
 
 
-def neighbor_cells_expr(lon_col: str, lat_col: str, res: int) -> str:
-    """SQL array expression of the 3x3 grid-disk cell ids around a
-    point — same arithmetic as kernels.cells.grid_disk, clamped at the
-    grid edge (duplicate edge cells are fine: the join dedups)."""
+def radius_res(radius: float) -> int:
+    """Finest resolution whose 3x3 grid-disk still covers ``radius``
+    degrees (safe_radius(res) >= radius) — one-pass-exact for
+    ``radius_join``. Coarser would work too but widens buckets."""
+    if radius <= 0:
+        raise ValueError(f"radius={radius}: must be > 0")
+    if radius >= 180.0:
+        return 0
+    return min(int(math.floor(math.log2(180.0 / radius))), C.MAX_RES)
+
+
+def neighbor_cells_expr(lon_col: str, lat_col: str, res: int,
+                        width: int = 1) -> str:
+    """SQL array expression of the (2*width+1)^2 grid-disk cell ids
+    around a point — same arithmetic as kernels.cells.grid_disk,
+    clamped at the grid edge (duplicate edge cells are fine: callers
+    array_distinct before exploding)."""
+    if width < 1 or (2 * width + 1) ** 2 > 289:
+        raise ValueError(
+            f"width={width}: must be in [1, 8] — a wider disk fans the "
+            "query side out quadratically; use a coarser res instead")
     n = 1 << res
     cx = (f"LEAST(GREATEST(CAST(FLOOR(({lon_col} + 180.0) / 360.0 * {n}) "
           f"AS BIGINT), 0), {n - 1})")
     cy = (f"LEAST(GREATEST(CAST(FLOOR(({lat_col} + 90.0) / 180.0 * {n}) "
           f"AS BIGINT), 0), {n - 1})")
     cells = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
+    for dx in range(-width, width + 1):
+        for dy in range(-width, width + 1):
             x = f"LEAST(GREATEST({cx} + ({dx}), 0), {n - 1})"
             y = f"LEAST(GREATEST({cy} + ({dy}), 0), {n - 1})"
             cells.append(f"(CAST({1 << 58} AS BIGINT) * {res} + {x} * {1 << 29} + {y})")
@@ -215,6 +233,91 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
     for part in resolved_parts[1:]:
         result = result.unionByName(part)
     return result
+
+
+def radius_join(queries: DataFrame, points: DataFrame, radius: float,
+                query_id: str = "query_id", point_id: str = "point_id",
+                res: int | None = None,
+                q_lon: str = "lon", q_lat: str = "lat",
+                p_lon: str = "lon", p_lat: str = "lat",
+                broadcast_points: bool | None = None) -> DataFrame:
+    """Exact within-distance join (J7b): every (query, point) pair
+    with euclidean-in-degrees distance <= ``radius``.
+
+    Unlike kNN, this is one-pass exact with NO escalation loop and NO
+    window: pick the finest resolution whose grid-disk is guaranteed
+    to cover ``radius`` (``width * safe_radius(res) >= radius`` — same
+    coverage argument as ``knn_join``'s resolved certificate, and the
+    same adapt-to-density bbox posture as the reference's
+    lib/geometry.ts:180-190), explode the disk on the query side,
+    equi-join on the points' single cell id, and filter the exact
+    distance. A point occupies exactly one cell and the exploded disk
+    is distinct, so each qualifying pair is produced exactly once — no
+    dedup, no window, and the whole plan is JVM codegen:
+
+      queries -> explode(array_distinct(disk))   [fan-out (2w+1)^2]
+      points  -> cell id
+      equi-join on cell (broadcast if points side is small, shuffle
+      hash otherwise) -> dist <= radius filter
+
+    ``res=None`` derives the finest one-pass-exact resolution (disk
+    width 1, fan-out 9). An explicit FINER ``res`` trades a wider disk
+    (width = ceil(radius / safe_radius(res)), capped at 8) for smaller
+    buckets — useful when the radius is large relative to point
+    density. Output: (query_id, point_id, dist).
+    """
+    if res is None:
+        res = radius_res(radius)
+        width = 1
+    else:
+        if not 0 <= res <= C.MAX_RES:
+            raise ValueError(f"res must be in [0, {C.MAX_RES}]")
+        width = max(1, math.ceil(radius / safe_radius(res))) if res else 1
+    points = points.select(point_id, p_lon, p_lat)
+    if broadcast_points is None:
+        broadcast_points = points.count() <= 1_000_000
+
+    q = queries.select(
+        F.col(query_id),
+        F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat"),
+        F.explode(F.array_distinct(
+            F.expr(neighbor_cells_expr(q_lon, q_lat, res, width))
+        )).alias("cell"),
+    )
+    p = points.select(
+        F.col(point_id),
+        F.col(p_lon).alias("_plon"), F.col(p_lat).alias("_plat"),
+        F.expr(C.cell_sql_expr(p_lon, p_lat, res)).alias("cell"),
+    )
+    right = F.broadcast(p) if broadcast_points else p
+    cand = q.join(right, "cell", "inner")
+    dlon = F.col("_qlon") - F.col("_plon")
+    dlat = F.col("_qlat") - F.col("_plat")
+    # multiplication, not pow(x, 2): bit-identical to the SQL oracle;
+    # predicate on the RAW distance, rounding only in display columns
+    return (cand.select(query_id, point_id,
+                        F.sqrt(dlon * dlon + dlat * dlat).alias("dist"))
+            .filter(F.col("dist") <= F.lit(float(radius))))
+
+
+def radius_join_exact(queries: DataFrame, points: DataFrame,
+                      radius: float,
+                      query_id: str = "query_id",
+                      point_id: str = "point_id",
+                      q_lon: str = "lon", q_lat: str = "lat",
+                      p_lon: str = "lon", p_lat: str = "lat") -> DataFrame:
+    """Brute-force oracle: crossJoin + distance filter. O(|Q| x |P|)
+    — test-scale only."""
+    q = queries.select(F.col(query_id), F.col(q_lon).alias("_qlon"),
+                       F.col(q_lat).alias("_qlat"))
+    p = points.select(F.col(point_id), F.col(p_lon).alias("_plon"),
+                      F.col(p_lat).alias("_plat"))
+    dlon = F.col("_qlon") - F.col("_plon")
+    dlat = F.col("_qlat") - F.col("_plat")
+    return (q.crossJoin(p)
+            .select(query_id, point_id,
+                    F.sqrt(dlon * dlon + dlat * dlat).alias("dist"))
+            .filter(F.col("dist") <= F.lit(float(radius))))
 
 
 def knn_join_exact(queries: DataFrame, points: DataFrame, k: int,

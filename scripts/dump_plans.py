@@ -17,6 +17,8 @@ QUERIES = [
     ("agg_pricing", "hash aggregate with map-side partials"),
     ("pip_rect", "J2 — broadcast cell join + Arrow ray-cast refine"),
     ("knn_geo", "J3 — grid-disk candidates + window top-k"),
+    ("radius_geo", "J7b — one-pass exact within-radius join: disk "
+     "explode + single cell equi-join + distance filter, no window"),
     ("tile_assign", "J4 — JVM tile id + rollup (no Python)"),
     ("tile_pyramid", "J4b — hierarchical rollup: leaf agg + shrinking "
      "per-zoom folds, shared lineage collapses to ReusedExchange"),

@@ -90,6 +90,19 @@ def test_knn_candidates_broadcast(spark, sf_dir):
     assert "HashAggregate" not in plan.split("Window")[-1]
 
 
+def test_radius_join_is_single_equi_join_jvm_only(spark, sf_dir):
+    """J7b is one-pass: a single cell equi-join (broadcast here), the
+    exact distance filter in codegen, no window, no Python node, no
+    cartesian — the plan that survives 100x."""
+    df = E.queries()["radius_geo"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_minhash_band_exchange_is_slim(spark, sf_dir):
     """The exploded band self-join must shuffle only (id, band_idx,
     band_hash) — the 64-long signature array rides an exchange 2 x

@@ -492,6 +492,41 @@ def test_phash_near_dup_on_images(spark):
     assert len(found) < 190
 
 
+def test_phash_cluster_dedup_matches_union_find(spark):
+    """Exactly one survivor — the min id — per connected component,
+    verified against a driver-side union-find over the SAME pair set
+    (candidate gen is lossless, so the pair graph is exact). Includes
+    a chained component (A~B~C without A-C edge) where one-hop
+    dropping would keep 2 survivors."""
+    base = 0x0123456789ABCDEF
+    rows = [("a", base), ("b", base ^ 0b11), ("c", (base ^ 0b11) ^ 0b1100),
+            ("d", base ^ ((1 << 63) - 1 - 0xFF)),  # far from everything
+            ("e", base ^ (0b111 << 40))]           # pairs with a only
+    pdf = pd.DataFrame(rows, columns=["image_id", "phash"])
+    pdf["phash"] = pdf["phash"].astype(np.int64)
+    df = spark.createDataFrame(pdf)
+    pairs = D.phash_near_dup(df, max_hamming=4).collect()
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i for i, _ in rows if find(i) == i}
+    got = {r.image_id
+           for r in D.phash_cluster_dedup(df, max_hamming=4).collect()}
+    assert got == expected
+    # the fixture exercises a real chain: a~b (hamming 2), b~c
+    # (hamming 2), a~c (hamming 4) and a~e — one component {a,b,c,e}
+    assert got == {"a", "d"}
+
+
 def test_cosine_topk_matches_duckdb(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.orderBy("vec_id").limit(3)

@@ -13,7 +13,9 @@ from esri_dump_spark.kernels import cells as C
 from esri_dump_spark.kernels.rings import points_in_polygon, close_ring
 from esri_dump_spark.operators.spatial_join import (
     attach_cell, polygon_cell_index, point_in_polygon_join)
-from esri_dump_spark.operators.knn import knn_join, knn_join_exact
+from esri_dump_spark.operators.knn import (
+    knn_join, knn_join_exact, radius_join, radius_join_exact,
+    radius_res, safe_radius)
 from esri_dump_spark.operators.tiles import (
     assign_tiles, tile_xy, tile_cover, raster_vector_join)
 from esri_dump_spark.operators.skew import (
@@ -275,6 +277,76 @@ def test_knn_density_derived_res(spark):
     g = {(r.query_id, r.rank): r.point_id for r in got.collect()}
     e = {(r.query_id, r.rank): r.point_id for r in exact.collect()}
     assert g == e
+
+
+def _pair_set(df):
+    return {(r.query_id, r.point_id, round(r.dist, 9))
+            for r in df.collect()}
+
+
+def test_radius_join_matches_exact_oracle(spark):
+    """J7b one-pass exact: derived res, every in-radius pair exactly
+    once, distances bit-matching brute force."""
+    pdf = images_pdf(1500, with_geo=True)[["image_id", "lon", "lat"]]
+    pts = spark.createDataFrame(pdf).withColumnRenamed(
+        "image_id", "point_id")
+    q = spark.createDataFrame(
+        pdf.iloc[::25].rename(columns={"image_id": "query_id"}))
+    for radius in (0.7, 3.0, 11.0):
+        got = radius_join(q, pts, radius, broadcast_points=True)
+        exact = radius_join_exact(q, pts, radius)
+        g, e = _pair_set(got), _pair_set(exact)
+        assert g == e, f"radius={radius}"
+        assert len(g) > 0  # non-vacuous fixture
+
+
+def test_radius_join_explicit_fine_res_widens_disk(spark):
+    """An explicitly finer res must widen the disk (width =
+    ceil(radius / safe_radius)) and stay exact."""
+    pdf = images_pdf(1000, with_geo=True)[["image_id", "lon", "lat"]]
+    pts = spark.createDataFrame(pdf).withColumnRenamed(
+        "image_id", "point_id")
+    q = spark.createDataFrame(
+        pdf.iloc[::50].rename(columns={"image_id": "query_id"}))
+    radius = 4.0
+    fine = radius_res(radius) + 2  # safe_radius(fine) < radius -> width 3+
+    assert safe_radius(fine) < radius
+    got = radius_join(q, pts, radius, res=fine, broadcast_points=True)
+    assert _pair_set(got) == _pair_set(radius_join_exact(q, pts, radius))
+
+
+def test_radius_join_no_duplicate_pairs_at_grid_edge(spark):
+    """Points at the clamped grid boundary: each qualifying pair must
+    appear exactly once (disk dedup + single point cell)."""
+    pdf = pd.DataFrame({
+        "query_id": np.arange(6, dtype=np.int64),
+        "lon": [-179.99, -179.5, 179.99, 0.0, 179.2, -180.0],
+        "lat": [-89.99, 89.99, 89.5, 0.0, -89.3, 90.0],
+    })
+    q = spark.createDataFrame(pdf)
+    pts = spark.createDataFrame(pdf.rename(columns={"query_id": "point_id"}))
+    got = radius_join(q, pts, 1.5, broadcast_points=True)
+    rows = [(r.query_id, r.point_id) for r in got.collect()]
+    assert len(rows) == len(set(rows))
+    # each point matches itself at dist 0
+    assert {(i, i) for i in range(6)} <= set(rows)
+    assert _pair_set(got) == _pair_set(radius_join_exact(q, pts, 1.5))
+
+
+def test_radius_join_rejects_bad_inputs(spark):
+    pdf = images_pdf(50, with_geo=True)[["image_id", "lon", "lat"]]
+    pts = spark.createDataFrame(pdf).withColumnRenamed(
+        "image_id", "point_id")
+    q = spark.createDataFrame(
+        pdf.iloc[:5].rename(columns={"image_id": "query_id"}))
+    with pytest.raises(ValueError, match="radius"):
+        radius_join(q, pts, 0.0, broadcast_points=True)
+    with pytest.raises(ValueError, match="width"):
+        # res so fine the disk would need width > 8
+        radius_join(q, pts, 10.0, res=radius_res(10.0) + 5,
+                    broadcast_points=True)
+    with pytest.raises(ValueError, match="res"):
+        radius_join(q, pts, 1.0, res=99, broadcast_points=True)
 
 
 def test_tile_assignment_matches_numpy(spark):
