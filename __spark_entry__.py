@@ -581,6 +581,28 @@ def q_sessionize_window(spark, sf_dir):
                       F.round("sum_value", 4).alias("sum_value_r"))
 
 
+def q_asof_events(spark, sf_dir):
+    """As-of join: each click joined to the latest view at-or-before
+    its timestamp per user (ties on view ts broken by max event_id).
+    Oracled against DuckDB's NATIVE ``ASOF JOIN`` — an independent
+    implementation of the same temporal-join semantics, not a
+    re-derivation of ours."""
+    from esri_dump_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts",
+                     F.col("event_id").alias("view_id"), "value"))
+    out = asof_join(clicks, views, by="user_id",
+                    right_cols=["view_id", "value"], tiebreak="view_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_view_id").alias("view_id"),
+        F.col("asof_value").alias("view_value"),
+        F.col("asof_ts").alias("view_ts"))
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew: explicit two-phase salted aggregation — identical result
     to a plain groupBy, no single reducer owns a hot key."""
@@ -1146,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_diamond": q_pip_diamond,           # G3: 4 pip queries recorded
         "knn_geo_shuffle": q_knn_geo_shuffle,   # J3: AQE plan variant
         "sessionize_window": q_sessionize_window,  # identical output
+        "asof_events": q_asof_events,
         "events_hourly": q_events_hourly,       # = stream_windowed rollup
         "ngram_jaccard": q_ngram_jaccard,       # uncapped verify variant
         "running_total": q_running_total,
@@ -1395,6 +1418,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        # DuckDB's NATIVE ASOF JOIN — an independent temporal-join
+        # implementation; right side pre-deduped per (user, ts) by max
+        # event_id = the engine's tiebreak='view_id' semantics
+        "asof_events": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+            v AS (
+                SELECT user_id, ts, max(event_id) AS view_id,
+                       arg_max(value, event_id) AS view_value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id, v.view_id, v.view_value,
+                   v.ts AS view_ts
+            FROM clicks c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

@@ -80,7 +80,7 @@ def run_headline(spark) -> dict[str, float]:
         "image_decode_stats", "extract_synthetic",
         # added in round 3 (new operators — not in r01/r02 suite totals)
         "tile_pyramid", "poly_intersect_join",
-        "radius_geo", "phash_cluster_dedup",
+        "radius_geo", "phash_cluster_dedup", "asof_events",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -103,6 +103,18 @@ def test_radius_join_is_single_equi_join_jvm_only(spark, sf_dir):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_asof_join_is_one_exchange_jvm_only(spark, sf_dir):
+    """The as-of join is a union + ONE keyed window sort — no range
+    explode, no join node at all, no Python; the single exchange is
+    the same hashpartitioning an equi-join would pay."""
+    df = E.queries()["asof_events"](spark, sf_dir)
+    plan = _physical(df)
+    assert "Window" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_minhash_band_exchange_is_slim(spark, sf_dir):
     """The exploded band self-join must shuffle only (id, band_idx,
     band_hash) — the 64-long signature array rides an exchange 2 x

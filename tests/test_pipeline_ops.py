@@ -727,3 +727,73 @@ def test_decode_stats_and_verify_survive_corrupt_rows(spark):
     v = M.verify_images(df).toPandas()
     assert len(v) == 6
     assert (~v["psnr_ok"]).sum() >= 2  # the two corrupt rows fail
+
+
+def _asof_brute(lrows, rrows, strict=False, tolerance=None):
+    """Python oracle: (user, t, lid) x (user, t2, rid, val)."""
+    out = {}
+    for (u, t, lid) in lrows:
+        best = None
+        for (ru, rt, rid, val) in rrows:
+            if ru != u:
+                continue
+            if (rt > t) if not strict else (rt >= t):
+                continue
+            if tolerance is not None and t - rt > tolerance:
+                continue
+            # latest time wins; among equal times the max rid wins
+            if best is None or (rt, rid) > (best[0], best[1]):
+                best = (rt, rid, val)
+        out[lid] = best
+    return out
+
+
+def test_asof_join_matches_brute_force(spark):
+    from esri_dump_spark.operators.asof import asof_join
+    lrows = [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"),
+             (2, 7, "d"), (2, 100, "e"), (3, 50, "f")]
+    # user 3 has no right rows; user 1 has a tie at t=10 (rids 7, 8)
+    rrows = [(1, 10, 7, 0.7), (1, 10, 8, 0.8), (1, 15, 9, 0.9),
+             (1, 1, 1, 0.1), (2, 7, 2, 0.2), (2, 90, 3, 0.3)]
+    l = spark.createDataFrame(lrows, "user_id int, ts int, lid string")
+    r = spark.createDataFrame(rrows,
+                              "user_id int, ts int, rid int, val double")
+    for strict in (False, True):
+        got = asof_join(l, r, by="user_id", strict=strict,
+                        tiebreak="rid").collect()
+        exp = _asof_brute(lrows, rrows, strict=strict)
+        assert len(got) == len(lrows)
+        for row in got:
+            b = exp[row.lid]
+            if b is None:
+                assert row.asof_rid is None and row.asof_ts is None
+            else:
+                assert (row.asof_ts, row.asof_rid, row.asof_val) == b, \
+                    (strict, row.lid, row.asof_ts, row.asof_rid, b)
+
+
+def test_asof_join_tolerance_voids_stale_matches(spark):
+    from esri_dump_spark.operators.asof import asof_join
+    lrows = [(1, 100, "a"), (1, 12, "b")]
+    rrows = [(1, 10, 1, 0.1)]
+    l = spark.createDataFrame(lrows, "user_id int, ts int, lid string")
+    r = spark.createDataFrame(rrows,
+                              "user_id int, ts int, rid int, val double")
+    got = {row.lid: (row.asof_rid, row.asof_val)
+           for row in asof_join(l, r, by="user_id",
+                                tolerance=5.0).collect()}
+    assert got["a"] == (None, None)   # 90s stale -> voided
+    assert got["b"] == (1, 0.1)       # 2s fresh -> kept
+    exp = _asof_brute(lrows, rrows, tolerance=5.0)
+    assert (exp["a"] is None) and (exp["b"] is not None)
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+    from esri_dump_spark.operators.asof import asof_join
+    l = spark.createDataFrame([(1, 10, 5)],
+                              "user_id int, ts int, asof_val int")
+    r = spark.createDataFrame([(1, 5, 7)],
+                              "user_id int, ts int, val int")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r, by="user_id")
