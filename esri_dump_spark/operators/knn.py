@@ -106,6 +106,17 @@ def _knn_at_res(queries: DataFrame, points: DataFrame, k: int,
     candidates AND k-th distance <= radius) folded into the SAME
     window pass (same partition key -> no extra exchange).
 
+    The resolution-tracked pass (``radius`` given) uses a LEFT join so
+    zero-candidate queries surface as null-point rows instead of
+    vanishing: every query then appears in the output with its
+    certificate, and the escalation probe reads ONLY this pass's
+    checkpoint — no re-scan of the queries side per round (the round-3
+    probe re-evaluated the caller's queries plan, a TakeOrdered over
+    the full table in the flagship query, once per round). Real
+    candidates order before the null rows (nulls-last sort keys), so
+    rank/n_hits/d_k are unchanged; callers drop null-point rows from
+    the certified output.
+
     The grid-disk dedup is ``array_distinct`` on the 9-cell array
     BEFORE the explode (duplicates only arise from edge clamping) —
     JVM-side, replacing the round-2 ``dropDuplicates`` which cost a
@@ -124,7 +135,7 @@ def _knn_at_res(queries: DataFrame, points: DataFrame, k: int,
     )
 
     right = F.broadcast(p) if broadcast_points else p
-    cand = q.join(right, "cell", "inner")
+    cand = q.join(right, "cell", "left" if radius is not None else "inner")
 
     dlon = F.col("_qlon") - F.col("_plon")
     dlat = F.col("_qlat") - F.col("_plat")
@@ -132,13 +143,16 @@ def _knn_at_res(queries: DataFrame, points: DataFrame, k: int,
     dist = F.sqrt(dlon * dlon + dlat * dlat).alias("dist")
     cand = cand.select(query_id, point_id, dist)
 
-    w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(),
-                                             F.col(point_id).asc())
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(point_id).asc_nulls_last())
     wall = Window.partitionBy(query_id)
     out = (cand.withColumn("rank", F.row_number().over(w))
-           .withColumn("n_hits", F.count(F.lit(1)).over(wall))
+           .withColumn("n_hits", F.count(F.col(point_id)).over(wall))
            .filter(F.col("rank") <= k))
     if radius is not None:
+        # max over the rank<=k survivors = d_k; F.max ignores the null
+        # rows, and (false & NULL) = false keeps zero-candidate
+        # queries unresolved
         out = out.withColumn(
             "_resolved",
             (F.col("n_hits") >= k)
@@ -170,11 +184,15 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
     Materialization discipline (round-3): each round's candidate pass
     runs EXACTLY once — ``localCheckpoint`` (eager) truncates lineage
     and stores the flagged top-k; everything downstream (resolved
-    slice, straggler anti-join, emptiness probe, final union) reads
-    the checkpoint blocks instead of re-running the join. Checkpoint
-    storage is released by the context cleaner when the result goes
-    out of scope — no caches pinned for the session lifetime (round-2
-    leaked flagged/remaining caches per round, never unpersisted).
+    slice, straggler probe, final union) reads the checkpoint blocks
+    instead of re-running the join. The LEFT candidate join keeps
+    zero-candidate queries visible, so the per-round escalation probe
+    is a limit-1 scan of the checkpoint alone — the caller's queries
+    plan is never re-evaluated once the round is materialized.
+    Checkpoint storage is released by the context cleaner when the
+    result goes out of scope — no caches pinned for the session
+    lifetime (round-2 leaked flagged/remaining caches per round,
+    never unpersisted).
 
     ``res=None`` derives the starting resolution from the points count.
     ``broadcast_points=None`` auto-detects: one count (metadata-cheap
@@ -217,16 +235,17 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int,
         resolved_parts.append(
             flagged.filter(F.col("_resolved"))
             .select(query_id, point_id, "dist", "rank"))
-        solved_ids = (flagged.filter(F.col("_resolved"))
-                      .select(query_id).distinct())
-        remaining = remaining.join(solved_ids, query_id, "left_anti")
-        # probe emptiness on the LAZY anti-join (limit-1 short-circuit
-        # against the flagged checkpoint) — the common all-resolved
-        # round pays no materialization; only an actual straggler set
-        # is checkpointed for the next round's candidate pass
-        if remaining.isEmpty():
+        # the left candidate join puts EVERY query in flagged (null
+        # point rows for candidate-less cells), so the escalation
+        # probe is a limit-1 scan of this round's checkpoint blocks —
+        # the common all-resolved round touches neither the queries
+        # plan nor the points again
+        unresolved = flagged.filter(~F.col("_resolved"))
+        if unresolved.isEmpty():
             break
-        remaining = remaining.localCheckpoint()
+        remaining = (remaining.join(
+            unresolved.select(query_id).distinct(), query_id,
+            "left_semi")).localCheckpoint()
         r = max(r - res_step, 0)
 
     result = resolved_parts[0]
