@@ -603,6 +603,27 @@ def q_asof_events(spark, sf_dir):
         F.col("asof_ts").alias("view_ts"))
 
 
+def q_interval_attrib(spark, sf_dir):
+    """Interval (event-in-interval) join: every purchase within the
+    2-hour attribution window after a signup by the same user —
+    bucketed equi-join on (user, time-bucket), never a theta join.
+    Oracled against a plain DuckDB inequality join."""
+    from esri_dump_spark.operators.asof import interval_join
+    ev = _t(spark, sf_dir, "events")
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select(F.col("event_id").alias("signup_id"), "user_id",
+                       F.col("ts").alias("w_start"),
+                       (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                       .alias("w_end")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    out = interval_join(purchases, signups, by="user_id", time_col="ts",
+                        start_col="w_start", end_col="w_end",
+                        bucket_seconds=7200.0)
+    return out.select("event_id", "user_id", "signup_id",
+                      F.round("value", 2).alias("value_r"))
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew: explicit two-phase salted aggregation — identical result
     to a plain groupBy, no single reducer owns a hot key."""
@@ -1169,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_geo_shuffle": q_knn_geo_shuffle,   # J3: AQE plan variant
         "sessionize_window": q_sessionize_window,  # identical output
         "asof_events": q_asof_events,
+        "interval_attrib": q_interval_attrib,
         "events_hourly": q_events_hourly,       # = stream_windowed rollup
         "ngram_jaccard": q_ngram_jaccard,       # uncapped verify variant
         "running_total": q_running_total,
@@ -1434,6 +1456,20 @@ def oracle_sql() -> dict[str, str]:
                    v.ts AS view_ts
             FROM clicks c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        # plain inequality join — the semantics the bucketed
+        # equi-join plan must reproduce exactly, boundaries inclusive
+        "interval_attrib": """
+            WITH s AS (
+                SELECT event_id AS signup_id, user_id, ts AS w_start,
+                       ts + INTERVAL 2 HOUR AS w_end
+                FROM events WHERE event_type = 'signup'),
+            p AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, s.signup_id,
+                   round(p.value, 2) AS value_r
+            FROM p JOIN s ON p.user_id = s.user_id
+                         AND p.ts >= s.w_start AND p.ts <= s.w_end""",
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

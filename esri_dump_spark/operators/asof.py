@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
 
 
 def asof_join(left: DataFrame, right: DataFrame,
@@ -120,3 +120,94 @@ def asof_join(left: DataFrame, right: DataFrame,
         )
     return attached.select(*by, *lcols,
                            *[prefix + c for c in carried])
+
+
+def _bucket_sql(col: str, dtype: str, bucket_seconds: float) -> str:
+    """SQL expression mapping a time column to its bucket ordinal.
+
+    Timestamps bucket on integer microseconds (``unix_micros .. div``)
+    — exact, no float rounding; numeric epoch columns use
+    floor-of-division, which is monotone even under double rounding, so
+    ``t >= start`` always implies ``bucket(t) >= bucket(start)``.
+    """
+    if dtype.startswith("timestamp"):
+        us = int(round(bucket_seconds * 1_000_000))
+        if us <= 0:
+            raise ValueError("bucket_seconds too small for microsecond "
+                             "timestamps")
+        if dtype == "timestamp_ntz":
+            # timestampdiff stays in the NTZ domain — no session-tz
+            # cast, so bucketing is exact and tz-independent
+            return (f"timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`) "
+                    f"div {us}")
+        return f"unix_micros(`{col}`) div {us}"
+    return f"cast(floor(`{col}` / {float(bucket_seconds)!r}) as bigint)"
+
+
+def interval_join(events: DataFrame, intervals: DataFrame,
+                  by: str | list[str] | None = None,
+                  time_col: str = "ts",
+                  start_col: str = "start", end_col: str = "end",
+                  bucket_seconds: float = 3600.0,
+                  max_fanout: int = 4096,
+                  broadcast_intervals: bool | None = None) -> DataFrame:
+    """Event-in-interval join: every (event, interval) pair with the
+    same ``by`` key and ``start <= t <= end`` (inclusive both ends).
+
+    The temporal analog of ``radius_join``: never an inequality
+    (theta) join — time is quantized into fixed ``bucket_seconds``
+    buckets, each interval explodes to the bucket range it spans
+    (``sequence`` + ``explode``, pure JVM), each event lands in
+    exactly ONE bucket, and the pair survives an equi-join on
+    (key, bucket) plus the exact boundary filter. One bucket per
+    event means each qualifying pair is produced exactly once — no
+    dedup, no window, and the join is broadcast when the interval
+    side is small, shuffle-hash otherwise. At 100 TB this is the only
+    shape that survives: a raw ``t BETWEEN start AND end`` join is a
+    BroadcastNestedLoop/cartesian.
+
+    Pick ``bucket_seconds`` near the typical interval length: fan-out
+    per interval is ``ceil(span / bucket)`` and is hard-capped at
+    ``max_fanout`` (a ``raise_error`` guard fails fast instead of
+    silently exploding a year-long interval into millions of rows).
+    Degenerate intervals (``end < start``) match nothing and are
+    pruned before the explode.
+
+    Output: every event column, then every interval column not in
+    ``by`` (clashes raise). Oracled against a plain DuckDB inequality
+    join in ``__spark_entry__.oracle_sql()['interval_attrib']``.
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    icols = [c for c in intervals.columns if c not in by]
+    clash = set(icols) & set(events.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns collide with event columns: "
+            f"{sorted(clash)} — rename before the join")
+    for c in (start_col, end_col):
+        if c not in icols:
+            raise ValueError(f"interval side is missing `{c}`")
+
+    edt, idt = dict(events.dtypes), dict(intervals.dtypes)
+    e = events.withColumn(
+        "_b", F.expr(_bucket_sql(time_col, edt[time_col], bucket_seconds)))
+    b0 = F.expr(_bucket_sql(start_col, idt[start_col], bucket_seconds))
+    b1 = F.expr(_bucket_sql(end_col, idt[end_col], bucket_seconds))
+    guarded_b1 = F.when(
+        (b1 - b0) < F.lit(int(max_fanout)), b1,
+    ).otherwise(F.raise_error(F.lit(
+        f"interval_join: an interval spans >= {max_fanout} buckets of "
+        f"{bucket_seconds}s — raise bucket_seconds or max_fanout")))
+    iv = (intervals
+          .filter(F.col(end_col) >= F.col(start_col))
+          .select(*by, *icols,
+                  F.explode(F.sequence(b0, guarded_b1)).alias("_b")))
+
+    if broadcast_intervals is None:
+        broadcast_intervals = intervals.count() <= 1_000_000
+    right = F.broadcast(iv) if broadcast_intervals else iv
+    cand = e.join(right, by + ["_b"], "inner")
+    out = cand.filter((F.col(start_col) <= F.col(time_col))
+                      & (F.col(time_col) <= F.col(end_col)))
+    return out.select(*events.columns, *icols)

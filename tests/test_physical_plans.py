@@ -115,6 +115,19 @@ def test_asof_join_is_one_exchange_jvm_only(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_interval_join_is_bucketed_equi_join_jvm_only(spark, sf_dir):
+    """The event-in-interval join must be a (key, bucket) equi-join —
+    explode+sequence fan-out, broadcast here, exact boundary filter in
+    codegen — never a BroadcastNestedLoop/cartesian theta join, and
+    zero Python nodes."""
+    df = E.queries()["interval_attrib"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_minhash_band_exchange_is_slim(spark, sf_dir):
     """The exploded band self-join must shuffle only (id, band_idx,
     band_hash) — the 64-long signature array rides an exchange 2 x

@@ -797,3 +797,80 @@ def test_asof_join_rejects_column_collision(spark):
                               "user_id int, ts int, val int")
     with pytest.raises(ValueError, match="collide"):
         asof_join(l, r, by="user_id")
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Bucketed event-in-interval join vs the O(n*m) python oracle —
+    boundaries inclusive both ends, intervals spanning multiple
+    buckets, zero-length and inverted intervals, keyless mode."""
+    from esri_dump_spark.operators.asof import interval_join
+    evs = [(1, 0.0, "a"), (1, 99.9, "b"), (1, 100.0, "c"),
+           (1, 250.0, "d"), (2, 50.0, "e"), (3, 10.0, "f"),
+           (1, 777.0, "g")]
+    ivs = [(1, 0.0, 100.0, "w1"),      # spans buckets, both ends hit
+           (1, 100.0, 100.0, "w2"),    # zero-length: matches "c" only
+           (1, 240.0, 260.0, "w3"),
+           (1, 300.0, 200.0, "w_bad"),  # inverted: matches nothing
+           (2, 0.0, 1000.0, "w4"),     # long span, many buckets
+           (4, 0.0, 1000.0, "w5")]     # key with no events
+    e = spark.createDataFrame(evs, "user_id int, ts double, eid string")
+    iv = spark.createDataFrame(
+        ivs, "user_id int, w_start double, w_end double, wid string")
+    expected = {(eid, wid)
+                for (eu, t, eid) in evs
+                for (iu, s, en, wid) in ivs
+                if eu == iu and s <= t <= en}
+    for bucket in (30.0, 100.0, 1000.0):
+        got = interval_join(e, iv, by="user_id", time_col="ts",
+                            start_col="w_start", end_col="w_end",
+                            bucket_seconds=bucket)
+        assert {(r.eid, r.wid) for r in got.collect()} == expected, bucket
+    # keyless: every (event, interval) time containment regardless of key
+    exp_nokey = {(eid, wid)
+                 for (_, t, eid) in evs
+                 for (_, s, en, wid) in ivs if s <= t <= en}
+    got = interval_join(e.drop("user_id"),
+                        iv.withColumnRenamed("user_id", "iv_user"),
+                        by=None, time_col="ts",
+                        start_col="w_start", end_col="w_end",
+                        bucket_seconds=100.0)
+    assert {(r.eid, r.wid) for r in got.collect()} == exp_nokey
+
+
+def test_interval_join_timestamp_buckets_are_exact(spark):
+    """Timestamp columns bucket on integer microseconds; events exactly
+    on a boundary land inclusively at both ends."""
+    from esri_dump_spark.operators.asof import interval_join
+    e = spark.sql("""
+        SELECT * FROM VALUES
+          (1, TIMESTAMP '2024-01-01 00:00:00', 'a'),
+          (1, TIMESTAMP '2024-01-01 02:00:00', 'b'),
+          (1, TIMESTAMP '2024-01-01 02:00:00.000001', 'c')
+        AS t(user_id, ts, eid)""")
+    iv = spark.sql("""
+        SELECT * FROM VALUES
+          (1, TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-01-01 02:00:00', 'w')
+        AS t(user_id, w_start, w_end, wid)""")
+    got = interval_join(e, iv, by="user_id", start_col="w_start",
+                        end_col="w_end", bucket_seconds=3600.0)
+    assert {r.eid for r in got.collect()} == {"a", "b"}
+
+
+def test_interval_join_fanout_guard_and_collision(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from esri_dump_spark.operators.asof import interval_join
+    e = spark.createDataFrame([(1, 5.0, "a")],
+                              "user_id int, ts double, eid string")
+    iv = spark.createDataFrame([(1, 0.0, 1e6, "w")],
+                               "user_id int, w_start double, "
+                               "w_end double, wid string")
+    with pytest.raises(SparkRuntimeException, match="spans"):
+        interval_join(e, iv, by="user_id", start_col="w_start",
+                      end_col="w_end", bucket_seconds=1.0,
+                      max_fanout=100).collect()
+    iv2 = iv.withColumnRenamed("wid", "eid")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(e, iv2, by="user_id", start_col="w_start",
+                      end_col="w_end")
