@@ -624,6 +624,38 @@ def q_interval_attrib(spark, sf_dir):
                       F.round("value", 2).alias("value_r"))
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: pure function of
+    (doc_id, seed) via the md5 low-60-bit derivation, integer
+    thresholds — map-only, zero shuffle before the rollup. The
+    oracle recomputes every assignment from the same literals."""
+    from esri_dump_spark.operators.sample import split_assign
+    docs = _t(spark, sf_dir, "documents")
+    out = split_assign(docs, "doc_id", seed="v1")
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 40 events per event_type, drawn as the smallest
+    (hash, id) pairs — a deterministic without-replacement uniform
+    draw any SQL engine reproduces."""
+    from esri_dump_spark.operators.sample import stratified_sample
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_sample(ev, "event_type", 40, "event_id", seed="s1")
+    return out.select("event_id", "event_type")
+
+
+def q_sample_fraction(spark, sf_dir):
+    """Deterministic 20% Bernoulli sample by id hash — stable across
+    reruns and parallelism, nests across fractions."""
+    from esri_dump_spark.operators.sample import sample_fraction
+    docs = _t(spark, sf_dir, "documents")
+    return sample_fraction(docs, "doc_id", 0.2, seed="s2").select(
+        "doc_id", "lang")
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew: explicit two-phase salted aggregation — identical result
     to a plain groupBy, no single reducer owns a hot key."""
@@ -1191,6 +1223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_window": q_sessionize_window,  # identical output
         "asof_events": q_asof_events,
         "interval_attrib": q_interval_attrib,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "sample_fraction": q_sample_fraction,
         "events_hourly": q_events_hourly,       # = stream_windowed rollup
         "ngram_jaccard": q_ngram_jaccard,       # uncapped verify variant
         "running_total": q_running_total,
@@ -1470,6 +1505,40 @@ def oracle_sql() -> dict[str, str]:
                    round(p.value, 2) AS value_r
             FROM p JOIN s ON p.user_id = s.user_id
                          AND p.ts >= s.w_start AND p.ts <= s.w_end""",
+        # recomputes the md5 low-60-bit split hash and the exact
+        # integer thresholds floor(cum_weight * 2^60) the engine
+        # embeds in its plan (90/5/5, seed 'v1')
+        "split_assign": """
+            WITH h AS (
+                SELECT n_chars,
+                       CAST(CAST(concat('0x', substr(md5(
+                            CAST(doc_id AS VARCHAR) || ':' || 'v1'),
+                            1, 15)) AS UBIGINT) AS BIGINT) AS hv
+                FROM documents)
+            SELECT CASE
+                     WHEN hv < 1037629354146162304 THEN 'train'
+                     WHEN hv < 1095275429376504704 THEN 'val'
+                     ELSE 'test' END AS split,
+                   count(*) AS n, sum(n_chars) AS sum_chars
+            FROM h GROUP BY 1""",
+        "stratified_sample": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST(CAST(concat('0x', substr(md5(
+                                CAST(event_id AS VARCHAR) || ':' || 's1'),
+                                1, 15)) AS UBIGINT) AS BIGINT) ASC,
+                                event_id ASC) AS rn
+                FROM events) t
+            WHERE rn <= 40""",
+        # threshold literal = floor(0.2 * 2^60) as embedded by the plan
+        "sample_fraction": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(CAST(concat('0x', substr(md5(
+                      CAST(doc_id AS VARCHAR) || ':' || 's2'),
+                      1, 15)) AS UBIGINT) AS BIGINT)
+                  < 230584300921369408""",
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

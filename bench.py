@@ -81,7 +81,7 @@ def run_headline(spark) -> dict[str, float]:
         # added in round 3 (new operators — not in r01/r02 suite totals)
         "tile_pyramid", "poly_intersect_join",
         "radius_geo", "phash_cluster_dedup", "asof_events",
-        "interval_attrib",
+        "interval_attrib", "split_assign", "stratified_sample",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

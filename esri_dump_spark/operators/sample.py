@@ -1,0 +1,118 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need splits and samples that are (a) stable
+across reruns and cluster sizes — a resumed 100 TB job must put every
+row in the same split it chose last week — and (b) independently
+recomputable by another engine for audit. Spark's ``randomSplit`` /
+``sample`` are neither: they are partition-dependent and seed-plus-
+plan-dependent. Here every decision is a pure function of
+``(id, seed)`` via the repo's established md5 low-60-bit derivation
+(the same family `operators/dedup.py` oracles in DuckDB), so the
+DuckDB twins in ``__spark_entry__.oracle_sql()`` recompute the exact
+assignment.
+
+Scale posture:
+- ``split_assign`` / ``sample_fraction`` are MAP-ONLY — zero
+  shuffles, zero Python; the hash, thresholds, and CASE all run in
+  whole-stage codegen. At 100 TB they cost one scan.
+- ``stratified_sample`` pays the one keyed exchange its window sort
+  needs (same plan family as per-group top-k W1) — the per-stratum
+  ``n`` keeps output bounded regardless of input size.
+
+Thresholds are INTEGER comparisons against ``floor(cum_weight *
+2^60)`` — no float equality at the boundary, so Spark and any SQL
+twin agree on every row, including adversarial hash values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_u60", "split_assign", "sample_fraction",
+           "stratified_sample"]
+
+_U60 = 1 << 60
+
+
+def hash_u60(col, seed: str = ""):
+    """Uniform 60-bit hash of a column value: low 60 bits of
+    ``md5(value || ':' || seed)`` (first 15 hex chars), as a non-
+    negative bigint. Identical to the SQL derivation
+    ``CAST(concat('0x', substr(md5(v || ':' || seed), 1, 15)) AS
+    UBIGINT)`` so DuckDB twins recompute it bit-for-bit."""
+    c = col if not isinstance(col, str) else F.col(col)
+    keyed = F.concat_ws(":", c.cast("string"), F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+
+
+def _thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    total = float(sum(weights.values()))
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a "
+                         "positive sum")
+    out, cum = [], 0.0
+    for label, w in weights.items():
+        cum += w / total
+        out.append((label, int(cum * _U60)))
+    # guard float creep: the last bucket must cover the full range
+    out[-1] = (out[-1][0], _U60)
+    return out
+
+
+def split_assign(df: DataFrame, id_col: str,
+                 weights: dict[str, float] | None = None,
+                 seed: str = "",
+                 split_col: str = "split") -> DataFrame:
+    """Assign every row a deterministic split label from ``weights``
+    (insertion order defines the threshold order; values are
+    normalized). Default 90/5/5 train/val/test.
+
+    Pure function of ``(id, seed)``: stable under reruns, resumes,
+    repartitioning, and engine choice. Map-only, zero shuffle.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if split_col in df.columns:
+        raise ValueError(f"`{split_col}` already exists — pick "
+                         "another split_col")
+    h = hash_u60(id_col, seed)
+    expr = None
+    for label, thr in _thresholds(weights):
+        cond = h < F.lit(thr)
+        expr = (F.when(cond, F.lit(label)) if expr is None
+                else expr.when(cond, F.lit(label)))
+    return df.withColumn(split_col, expr)
+
+
+def sample_fraction(df: DataFrame, id_col: str, fraction: float,
+                    seed: str = "") -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose hash
+    falls under ``floor(fraction * 2^60)``. The SAME rows survive on
+    every rerun and at every parallelism — unlike ``df.sample`` —
+    and two samples at fractions f1 < f2 nest (f1's rows are a
+    subset of f2's), which makes scaling-law subset chains free.
+    Map-only, zero shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thr = _U60 if fraction == 1.0 else int(fraction * _U60)
+    return df.filter(hash_u60(id_col, seed) < F.lit(thr))
+
+
+def stratified_sample(df: DataFrame, strata_cols: str | list[str],
+                      n_per_stratum: int, id_col: str,
+                      seed: str = "") -> DataFrame:
+    """Exactly ``min(n, stratum_size)`` rows per stratum, chosen as
+    the n smallest ``(hash, id)`` pairs — a deterministic uniform
+    draw without replacement that any SQL engine reproduces with the
+    same ``row_number`` window. One keyed exchange (the window
+    sort); output bounded at n x |strata|."""
+    strata = ([strata_cols] if isinstance(strata_cols, str)
+              else list(strata_cols))
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    w = (Window.partitionBy(*strata)
+         .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc()))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.lit(int(n_per_stratum)))
+            .drop("_rn"))

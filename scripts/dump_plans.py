@@ -24,6 +24,12 @@ QUERIES = [
      "per-zoom folds, shared lineage collapses to ReusedExchange"),
     ("poly_intersect_join", "J6 — executor-built covers, slim (cell, id) "
      "candidate equi-join, per-pair geometry re-attach + even-odd refine"),
+    ("asof_events", "as-of join — union-tag + ONE keyed window sort, "
+     "no join node"),
+    ("interval_attrib", "interval join — bucketed (key, time-bucket) "
+     "equi-join, sequence/explode fan-out, exact boundary filter"),
+    ("split_assign", "deterministic split — map-only, zero exchange "
+     "before the rollup, hash + thresholds in codegen"),
     ("salted_agg", "skew — two-phase salted aggregation"),
     ("extract_synthetic", "EP1 — manifest -> mapInPandas decode -> dedup"),
 ]

@@ -128,6 +128,20 @@ def test_interval_join_is_bucketed_equi_join_jvm_only(spark, sf_dir):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_split_and_sample_are_map_only(spark, sf_dir):
+    """split_assign / sample_fraction must cost one scan at 100 TB:
+    zero exchanges before the terminal op, zero Python nodes — the
+    hash, thresholds, and CASE all inside codegen."""
+    from esri_dump_spark.operators.sample import (sample_fraction,
+                                                  split_assign)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (split_assign(docs, "doc_id", seed="v1"),
+               sample_fraction(docs, "doc_id", 0.2, seed="s2")):
+        plan = _physical(df)
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_minhash_band_exchange_is_slim(spark, sf_dir):
     """The exploded band self-join must shuffle only (id, band_idx,
     band_hash) — the 64-long signature array rides an exchange 2 x

@@ -857,6 +857,75 @@ def test_interval_join_timestamp_buckets_are_exact(spark):
     assert {r.eid for r in got.collect()} == {"a", "b"}
 
 
+def test_split_assign_partitions_and_is_stable(spark):
+    """Every row gets exactly one label; proportions track the
+    weights; the assignment is identical after an arbitrary
+    repartition (pure function of id+seed, not of the plan)."""
+    from esri_dump_spark.operators.sample import split_assign
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", seed="t")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000
+    assert 0.85 < counts["train"] / 5000 < 0.95
+    assert 0.02 < counts["val"] / 5000 < 0.08
+    assert 0.02 < counts["test"] / 5000 < 0.08
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in
+         split_assign(df.repartition(13), "doc_id", seed="t").collect()}
+    assert a == b
+    # a different seed reshuffles assignments
+    c = {(r.doc_id, r.split) for r in
+         split_assign(df, "doc_id", seed="other").collect()}
+    assert a != c
+    import pytest
+    with pytest.raises(ValueError, match="already exists"):
+        split_assign(out, "doc_id")
+    with pytest.raises(ValueError, match="non-negative"):
+        split_assign(df, "doc_id", weights={"a": -1.0, "b": 2.0})
+
+
+def test_sample_fraction_nests_and_scales(spark):
+    """f1 < f2 => sample(f1) is a subset of sample(f2); fraction 1.0
+    keeps everything; 0.0 keeps nothing."""
+    from esri_dump_spark.operators.sample import sample_fraction
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in
+           sample_fraction(df, "doc_id", 0.1, seed="n").collect()}
+    s30 = {r.doc_id for r in
+           sample_fraction(df, "doc_id", 0.3, seed="n").collect()}
+    assert s10 <= s30
+    assert 0.05 < len(s10) / 4000 < 0.15
+    assert 0.25 < len(s30) / 4000 < 0.35
+    assert sample_fraction(df, "doc_id", 1.0).count() == 4000
+    assert sample_fraction(df, "doc_id", 0.0).count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="fraction"):
+        sample_fraction(df, "doc_id", 1.5)
+
+
+def test_stratified_sample_exact_counts(spark):
+    """Exactly min(n, stratum size) rows per stratum, deterministic
+    across reruns."""
+    from esri_dump_spark.operators.sample import stratified_sample
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "event_id int, grp string")
+    out = stratified_sample(df, "grp", 50, "event_id", seed="s")
+    sizes = {r["grp"]: r["n"] for r in
+             out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 50, "small": 50}
+    out2 = stratified_sample(df, "grp", 500, "event_id", seed="s")
+    sizes2 = {r["grp"]: r["n"] for r in
+              out2.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes2 == {"big": 500, "small": 100}  # capped at stratum size
+    a = sorted(r.event_id for r in out.collect())
+    b = sorted(r.event_id for r in
+               stratified_sample(df.repartition(7), "grp", 50,
+                                 "event_id", seed="s").collect())
+    assert a == b
+
+
 def test_interval_join_fanout_guard_and_collision(spark):
     import pytest
     from pyspark.errors import SparkRuntimeException
