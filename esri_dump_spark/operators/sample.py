@@ -42,7 +42,10 @@ def hash_u60(col, seed: str = ""):
     ``CAST(concat('0x', substr(md5(v || ':' || seed), 1, 15)) AS
     UBIGINT)`` so DuckDB twins recompute it bit-for-bit."""
     c = col if not isinstance(col, str) else F.col(col)
-    keyed = F.concat_ws(":", c.cast("string"), F.lit(str(seed)))
+    # concat (not concat_ws): a NULL id must yield a NULL hash like
+    # the SQL twin's `id || ':' || seed` — concat_ws would silently
+    # skip the NULL and hash the bare seed, a cross-engine divergence
+    keyed = F.concat(c.cast("string"), F.lit(":" + str(seed)))
     return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
 
 
@@ -70,6 +73,8 @@ def split_assign(df: DataFrame, id_col: str,
 
     Pure function of ``(id, seed)``: stable under reruns, resumes,
     repartitioning, and engine choice. Map-only, zero shuffle.
+    NULL ids get a NULL label (same as a SQL CASE over a NULL hash);
+    filter them out first if that is not what you want.
     """
     if weights is None:
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -106,7 +111,9 @@ def stratified_sample(df: DataFrame, strata_cols: str | list[str],
     the n smallest ``(hash, id)`` pairs — a deterministic uniform
     draw without replacement that any SQL engine reproduces with the
     same ``row_number`` window. One keyed exchange (the window
-    sort); output bounded at n x |strata|."""
+    sort); output bounded at n x |strata|. ``id_col`` must be
+    non-null: engines disagree on NULL placement in ORDER BY, so a
+    NULL id would make the draw engine-dependent."""
     strata = ([strata_cols] if isinstance(strata_cols, str)
               else list(strata_cols))
     if n_per_stratum <= 0:

@@ -904,6 +904,22 @@ def test_sample_fraction_nests_and_scales(spark):
         sample_fraction(df, "doc_id", 1.5)
 
 
+def test_split_sample_null_ids_match_sql_semantics(spark):
+    """A NULL id must yield a NULL hash (like `id || ':' || seed` in
+    SQL) — NULL split label, excluded from samples — not silently
+    hash as the bare seed."""
+    from esri_dump_spark.operators.sample import (sample_fraction,
+                                                  split_assign)
+    df = spark.createDataFrame([(1,), (None,), (2,)], "doc_id int")
+    sp = {r.doc_id: r.split for r in
+          split_assign(df, "doc_id").collect()}
+    assert sp[None] is None
+    assert sp[1] is not None and sp[2] is not None
+    kept = {r.doc_id for r in
+            sample_fraction(df, "doc_id", 1.0).collect()}
+    assert None not in kept and kept == {1, 2}
+
+
 def test_stratified_sample_exact_counts(spark):
     """Exactly min(n, stratum size) rows per stratum, deterministic
     across reruns."""
