@@ -315,18 +315,23 @@ def component_min_labels(pairs: DataFrame, max_iter: int = 200) -> DataFrame:
                                       F.col("rep").alias("rep_b")),
                         "id_b")
                .groupBy("id_a").agg(F.min("rep_b").alias("nmin")))
+        # carry the did-anything-move flag inside the same
+        # materialization: the convergence probe then reads the
+        # checkpointed rows instead of paying a second join+shuffle
+        # per round
         new = (labels.join(nbr.withColumnRenamed("id_a", "id"),
                            "id", "left")
                .select("id",
                        F.least(F.col("rep"),
                                F.coalesce(F.col("nmin"),
-                                          F.col("rep"))).alias("rep"))
+                                          F.col("rep"))).alias("rep"),
+                       (F.coalesce(F.col("nmin"), F.col("rep"))
+                        < F.col("rep")).alias("_chg"))
                .localCheckpoint())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.rep") != F.col("o.rep")).count())
-        labels = new
-        if changed == 0:
+        changed = new.agg(
+            F.max(F.col("_chg").cast("int"))).first()[0]
+        labels = new.drop("_chg")
+        if not changed:
             return labels
     raise RuntimeError(
         f"component_min_labels did not converge in {max_iter} rounds "
