@@ -656,6 +656,31 @@ def q_sample_fraction(spark, sf_dir):
         "doc_id", "lang")
 
 
+def q_mix_sources(spark, sf_dir):
+    """Pretraining mixture weights: rebalance sources to exact 5:3:1
+    integer proportions (quota w_i * M, M = min(n_i div w_i)), rows
+    drawn by the deterministic (hash, id) order. The oracle derives
+    the identical quotas from the same counts — pure integer math."""
+    from esri_dump_spark.operators.sample import mix_sources
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_sources(docs, "source",
+                      {"src0": 5, "src1": 3, "src2": 1},
+                      "doc_id", seed="mx")
+    return out.select("doc_id", "source")
+
+
+def q_token_budget(spark, sf_dir):
+    """Budgeted corpus subset: per language, greedily keep documents
+    in (hash, id) order while the running char count stays under
+    5000 — the "take ~N tokens" op, reproducible as a SQL running
+    sum."""
+    from esri_dump_spark.operators.sample import take_token_budget
+    docs = _t(spark, sf_dir, "documents")
+    out = take_token_budget(docs, 5000, "n_chars", "doc_id",
+                            seed="tb", by="lang")
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew: explicit two-phase salted aggregation — identical result
     to a plain groupBy, no single reducer owns a hot key."""
@@ -1226,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "sample_fraction": q_sample_fraction,
+        "mix_sources": q_mix_sources,
+        "token_budget": q_token_budget,
         "events_hourly": q_events_hourly,       # = stream_windowed rollup
         "ngram_jaccard": q_ngram_jaccard,       # uncapped verify variant
         "running_total": q_running_total,
@@ -1532,6 +1559,40 @@ def oracle_sql() -> dict[str, str]:
                                 event_id ASC) AS rn
                 FROM events) t
             WHERE rn <= 40""",
+        # integer quotas: rn <= w_i * M with M = min(n_i // w_i) —
+        # no float thresholds anywhere, so the engines cannot diverge
+        "mix_sources": """
+            WITH w(source, wt) AS (
+                VALUES ('src0', 5), ('src1', 3), ('src2', 1)),
+            k AS (
+                SELECT d.doc_id, d.source, w.wt,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY CAST(CAST('0x' || substr(md5(
+                               CAST(d.doc_id AS VARCHAR) || ':' || 'mx'),
+                               1, 15) AS UBIGINT) AS BIGINT) ASC,
+                               d.doc_id ASC) AS rn
+                FROM documents d JOIN w USING (source)),
+            m AS (
+                SELECT min(n // wt) AS mm FROM (
+                    SELECT source, wt, count(*) AS n
+                    FROM k GROUP BY 1, 2) t)
+            SELECT doc_id, source FROM k, m WHERE rn <= wt * mm""",
+        # greedy prefix under a per-group running sum: keep rows that
+        # START under the budget (exceed by at most one row)
+        "token_budget": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(CAST('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || ':' || 'tb'),
+                               1, 15) AS UBIGINT) AS BIGINT) ASC,
+                               doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_chars AS started
+                FROM documents) t
+            WHERE started < 5000""",
         # threshold literal = floor(0.2 * 2^60) as embedded by the plan
         "sample_fraction": """
             SELECT doc_id, lang FROM documents

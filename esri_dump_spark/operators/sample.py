@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_u60", "split_assign", "sample_fraction",
-           "stratified_sample"]
+           "stratified_sample", "mix_sources", "take_token_budget"]
 
 _U60 = 1 << 60
 
@@ -123,3 +123,74 @@ def stratified_sample(df: DataFrame, strata_cols: str | list[str],
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= F.lit(int(n_per_stratum)))
             .drop("_rn"))
+
+
+def mix_sources(df: DataFrame, source_col: str,
+                weights: dict[str, int], id_col: str,
+                seed: str = "") -> DataFrame:
+    """Rebalance a multi-source corpus to EXACT integer proportions:
+    keep ``w_i * M`` rows of source i, where ``M = min_i(n_i div
+    w_i)`` — the largest total for which every source can meet its
+    quota. The pretraining "mixture weights" op (e.g. web:7 books:2
+    code:1) without float thresholds: all arithmetic is integer, so
+    any SQL engine derives the identical quotas from the same
+    counts, and rows are drawn by the deterministic (hash, id) order
+    — rerun-, resume-, and parallelism-stable.
+
+    Sources missing from ``weights`` are dropped. If any weighted
+    source has fewer than ``w_i`` rows, M = 0 and the result is
+    empty — loud, not silently disproportionate.
+
+    Plan: one count aggregate over the weighted rows, a 1-row
+    broadcast of M, and the per-source row_number window (one keyed
+    exchange) — no driver collect.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for k, v in weights.items():
+        if not isinstance(v, int) or v <= 0:
+            raise ValueError(
+                f"weights must be positive integers (got {k}={v!r}) — "
+                "integer quotas are what keep the mix engine-exact")
+    wdf = df.sparkSession.createDataFrame(
+        [(k, v) for k, v in weights.items()],
+        f"{source_col} string, _w long")
+    kept = df.join(F.broadcast(wdf), source_col, "inner")
+    m = (kept.groupBy(source_col, "_w")
+         .agg(F.count(F.lit(1)).alias("_n"))
+         .agg(F.min(F.expr("_n div _w")).alias("_m")))
+    win = (Window.partitionBy(source_col)
+           .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc()))
+    return (kept.withColumn("_rn", F.row_number().over(win))
+            .join(F.broadcast(m))
+            .filter(F.col("_rn") <= F.col("_w") * F.col("_m"))
+            .drop("_rn", "_w", "_m"))
+
+
+def take_token_budget(df: DataFrame, budget: int, size_col: str,
+                      id_col: str, seed: str = "",
+                      by: str | list[str] | None = None) -> DataFrame:
+    """Deterministic budgeted subset: walk rows in (hash, id) order
+    and keep every row that STARTS under ``budget`` cumulative
+    ``size_col`` (so the budget may be exceeded by at most one row's
+    size — the standard greedy-prefix contract, exactly reproducible
+    as a SQL running-sum window). ``by`` scopes the budget per group
+    (e.g. per source); None = one global budget.
+
+    The "take ~N tokens of this corpus" op: stable across reruns and
+    cluster sizes, and nested — a smaller budget's rows are a prefix
+    of a larger budget's. One window sort (single keyed exchange;
+    the global form single-partitions the sort exactly like any
+    SQL total-order running sum — scope with ``by`` at scale).
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    keys = ([] if by is None else
+            ([by] if isinstance(by, str) else list(by)))
+    win = (Window.partitionBy(*keys)
+           .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    started = F.sum(F.col(size_col)).over(win) - F.col(size_col)
+    return (df.withColumn("_before", started)
+            .filter(F.col("_before") < F.lit(int(budget)))
+            .drop("_before"))

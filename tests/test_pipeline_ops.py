@@ -942,6 +942,70 @@ def test_stratified_sample_exact_counts(spark):
     assert a == b
 
 
+def test_mix_sources_exact_proportions(spark):
+    """Quotas are w_i * min(n_i div w_i); unweighted sources drop;
+    a source that can't meet one quota unit empties the mix."""
+    from esri_dump_spark.operators.sample import mix_sources
+    rows = ([(i, "web") for i in range(100)]
+            + [(200 + i, "books") for i in range(30)]
+            + [(400 + i, "code") for i in range(7)]
+            + [(600 + i, "junk") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = mix_sources(df, "source", {"web": 7, "books": 2, "code": 1},
+                      "doc_id", seed="m")
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # M = min(100//7, 30//2, 7//1) = 7 -> 49:14:7
+    assert got == {"web": 49, "books": 14, "code": 7}
+    # deterministic across repartition
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in
+               mix_sources(df.repartition(11), "source",
+                           {"web": 7, "books": 2, "code": 1},
+                           "doc_id", seed="m").collect())
+    assert a == b
+    # a 10-weight source with 7 rows -> M=0 -> empty (loud, not skewed)
+    assert mix_sources(df, "source", {"web": 1, "code": 10},
+                       "doc_id").count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="positive integers"):
+        mix_sources(df, "source", {"web": 0.5}, "doc_id")
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_sources(df, "source", {}, "doc_id")
+
+
+def test_take_token_budget_greedy_prefix(spark):
+    """Every kept row starts under budget; rows nest across budgets;
+    per-group scoping budgets each group independently."""
+    from esri_dump_spark.operators.sample import (hash_u60,
+                                                  take_token_budget)
+    rows = [(i, "g1" if i % 2 else "g2", 10 + (i * 37) % 90)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, sz int")
+    # python oracle: walk in (hash, id) order per group
+    hashes = {r.doc_id: r.h for r in
+              df.select("doc_id", hash_u60("doc_id", "s").alias("h"))
+              .collect()}
+    exp = set()
+    for g in ("g1", "g2"):
+        acc = 0
+        for (i, _, sz) in sorted((r for r in rows if r[1] == g),
+                                 key=lambda r: (hashes[r[0]], r[0])):
+            if acc < 500:
+                exp.add(i)
+            acc += sz
+    got = {r.doc_id for r in
+           take_token_budget(df, 500, "sz", "doc_id", seed="s",
+                             by="grp").collect()}
+    assert got == exp
+    small = {r.doc_id for r in
+             take_token_budget(df, 200, "sz", "doc_id", seed="s",
+                               by="grp").collect()}
+    assert small <= got          # budgets nest
+    glob = take_token_budget(df, 10**9, "sz", "doc_id", seed="s")
+    assert glob.count() == 200   # huge global budget keeps all
+
+
 def test_interval_join_fanout_guard_and_collision(spark):
     import pytest
     from pyspark.errors import SparkRuntimeException
