@@ -553,6 +553,19 @@ def q_ngram_jaccard_capped(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 7 != 0)
+    sharing any distinct word 4-gram with the held-out eval slice
+    (doc_id % 7 == 0). Both sides reduce to 60-bit md5 gram hashes so
+    the join exchanges (id, int64) only; the twin recomputes the
+    identical hash and rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    out = D.decontaminate(train, ev, "doc_id", "text", n=4)
+    return out.select("doc_id", "n_hit_grams")
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Dedup: exact embedding-cosine near-dup pairs (verification-stage
     twin of the LSH candidate generator)."""
@@ -1253,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "mix_sources": q_mix_sources,
         "token_budget": q_token_budget,
+        "decontaminate": q_decontaminate,
         "events_hourly": q_events_hourly,       # = stream_windowed rollup
         "ngram_jaccard": q_ngram_jaccard,       # uncapped verify variant
         "running_total": q_running_total,
@@ -1593,6 +1607,27 @@ def oracle_sql() -> dict[str, str]:
                                 AND CURRENT ROW) - n_chars AS started
                 FROM documents) t
             WHERE started < 5000""",
+        # hash = low 60 bits of md5(gram || ':') — hash_u60 with the
+        # empty seed; n_hit_grams counts DISTINCT shared grams (both
+        # gram tables are per-side distinct before the join)
+        "decontaminate": """
+            WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(w, i, i + 3), ' ')
+                             AS gram
+                  FROM d, UNNEST(generate_series(1, greatest(len(w) - 3,
+                       1))) AS t(i)),
+            h AS (SELECT doc_id,
+                         CAST(CAST(concat('0x', substr(md5(gram || ':'),
+                              1, 15)) AS UBIGINT) AS BIGINT) AS gh
+                  FROM g),
+            eg AS (SELECT DISTINCT gh FROM h WHERE doc_id % 7 = 0),
+            tg AS (SELECT doc_id, gh FROM h WHERE doc_id % 7 <> 0)
+            SELECT doc_id, count(*) AS n_hit_grams
+            FROM tg JOIN eg USING (gh)
+            GROUP BY doc_id
+            HAVING count(*) >= 1""",
         # threshold literal = floor(0.2 * 2^60) as embedded by the plan
         "sample_fraction": """
             SELECT doc_id, lang FROM documents

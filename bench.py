@@ -82,7 +82,7 @@ def run_headline(spark) -> dict[str, float]:
         "tile_pyramid", "poly_intersect_join",
         "radius_geo", "phash_cluster_dedup", "asof_events",
         "interval_attrib", "split_assign", "stratified_sample",
-        "mix_sources", "token_budget",
+        "mix_sources", "token_budget", "decontaminate",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

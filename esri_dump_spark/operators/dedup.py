@@ -33,7 +33,8 @@ __all__ = [
     "minhash_sql_cte",
     "minhash_pairs_oracle_sql", "minhash_permutation_consts",
     "simhash", "simhash_pairs", "simhash_sql_cte",
-    "ngram_jaccard_pairs", "embedding_near_dup", "phash_near_dup",
+    "ngram_jaccard_pairs", "word_grams", "decontaminate",
+    "embedding_near_dup", "phash_near_dup",
     "phash_cluster_dedup", "crossmodal_near_dup",
 ]
 
@@ -790,6 +791,74 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         / (F.col("na") + F.col("nb") - F.col("shared")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def word_grams(df: DataFrame, id_col: str, text_col: str,
+               n: int) -> DataFrame:
+    """Distinct word n-grams per document as ``(id, gram)`` rows —
+    the same derivation ``ngram_jaccard_pairs`` uses inline (lower,
+    single-space split, space-joined windows, per-document
+    ``array_distinct`` BEFORE the explode so dedup is narrow). Pure
+    built-in expressions: JVM-side and SQL-oracle-able. Documents
+    shorter than ``n`` words emit their whole text as one gram
+    (the ``greatest(..., 1)`` floor), matching the SQL twins."""
+    return (df.select(
+        F.col(id_col),
+        F.expr(f"split(lower({text_col}), ' ')").alias("_w")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(size(_w) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(_w, i, {n})))"
+        ))).alias("gram")))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, id_col: str,
+                  text_col: str, n: int = 8, min_hits: int = 1,
+                  mode: str = "report") -> DataFrame:
+    """Benchmark decontamination: find training documents that share
+    at least ``min_hits`` distinct word ``n``-grams with ANY document
+    of an evaluation set — the standard pretraining hygiene pass that
+    keeps eval answers out of the training corpus (reference has no
+    counterpart; this is a training-pipeline extension like the rest
+    of this module).
+
+    ``mode="report"`` returns ``(id_col, n_hit_grams)`` for
+    contaminated training docs (n_hit_grams = distinct shared grams,
+    NOT hit pairs — a gram shared with many eval docs counts once);
+    ``mode="filter"`` returns the training rows with contaminated
+    docs anti-joined out.
+
+    Scale shape: both sides reduce to 60-bit md5 gram hashes
+    (``hash_u60``, the engine-portable derivation), so the only
+    exchange carries ``(id, int64)`` — never text. The eval side
+    collapses to a DISTINCT hash set (benchmark suites are tiny next
+    to a training corpus, so AQE broadcasts it; at worst it is a
+    slim hash-keyed shuffle), the join is a many-to-one inner join
+    against that deduped set, and the per-doc rollup is bounded by
+    hit volume. Long grams (the conventional n of 8-13) have ~1
+    document frequency, so no gram is a hot join key. A 60-bit
+    collision can flag an extra gram at p ~ 2^-60 per gram pair;
+    both engines replicate it identically, so oracles stay exact.
+    """
+    if mode not in ("report", "filter"):
+        raise ValueError(f"mode must be 'report' or 'filter', "
+                         f"got {mode!r}")
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    from .sample import hash_u60
+    tg = word_grams(_spread(train), id_col, text_col, n).select(
+        F.col(id_col), hash_u60(F.col("gram")).alias("_gh"))
+    eg = (word_grams(eval_df, id_col, text_col, n)
+          .select(hash_u60(F.col("gram")).alias("_gh"))
+          .distinct())
+    hits = (tg.join(eg, "_gh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+            .filter(F.col("n_hit_grams") >= F.lit(int(min_hits))))
+    if mode == "report":
+        return hits
+    return train.join(hits.select(id_col), id_col, "left_anti")
 
 
 # ------------------------------------------------- embedding / image dup

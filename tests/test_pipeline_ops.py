@@ -1006,6 +1006,56 @@ def test_take_token_budget_greedy_prefix(spark):
     assert glob.count() == 200   # huge global budget keeps all
 
 
+def test_decontaminate_brute_force(spark):
+    """Report mode matches a per-doc distinct-shared-gram brute force
+    (a gram shared with MANY eval docs counts once); min_hits raises
+    the bar; filter mode anti-joins exactly the flagged ids."""
+    from esri_dump_spark.operators.dedup import decontaminate
+    import pytest
+
+    def grams(text, n=3):
+        w = text.lower().split(" ")
+        k = max(len(w) - n + 1, 1)
+        return {" ".join(w[i:i + n]) for i in range(k)}
+
+    train_rows = [
+        (1, "the cat sat on the mat today"),
+        (2, "a dog ran over the green hill"),          # clean
+        (3, "question one the cat sat on something"),  # 1 shared gram
+        (4, "the cat sat on the mat again and again"), # many shared
+        (5, "totally unrelated text body here"),       # clean
+    ]
+    eval_rows = [
+        (100, "eval doc one the cat sat on the mat"),
+        (101, "eval doc two also has the cat sat phrase"),
+    ]
+    tdf = spark.createDataFrame(train_rows, "doc_id int, text string")
+    edf = spark.createDataFrame(eval_rows, "doc_id int, text string")
+
+    eg = set().union(*(grams(t) for _, t in eval_rows))
+    exp = {i: len(grams(t) & eg) for i, t in train_rows
+           if grams(t) & eg}
+    got = {r.doc_id: r.n_hit_grams for r in
+           decontaminate(tdf, edf, "doc_id", "text", n=3).collect()}
+    assert got == exp
+
+    exp2 = {i: c for i, c in exp.items() if c >= 2}
+    got2 = {r.doc_id: r.n_hit_grams for r in
+            decontaminate(tdf, edf, "doc_id", "text", n=3,
+                          min_hits=2).collect()}
+    assert got2 == exp2
+
+    kept = {r.doc_id for r in
+            decontaminate(tdf, edf, "doc_id", "text", n=3,
+                          mode="filter").collect()}
+    assert kept == {i for i, _ in train_rows} - set(exp)
+
+    with pytest.raises(ValueError, match="report.*filter|mode"):
+        decontaminate(tdf, edf, "doc_id", "text", mode="drop")
+    with pytest.raises(ValueError, match="min_hits"):
+        decontaminate(tdf, edf, "doc_id", "text", min_hits=0)
+
+
 def test_interval_join_fanout_guard_and_collision(spark):
     import pytest
     from pyspark.errors import SparkRuntimeException
