@@ -770,6 +770,19 @@ def q_minhash_cluster_dedup(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split: the split hash keys on the
+    connected near-dup component's representative, so paraphrase
+    clusters never straddle a split boundary. Oracled end-to-end: a
+    recursive-CTE closure derives the same representative and the
+    same integer-threshold CASE assigns the label."""
+    from esri_dump_spark.operators.sample import leakage_safe_split
+    docs = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(docs, "doc_id", "text", seed="ls",
+                             threshold=0.6, band_key="exact")
+    return out.select("doc_id", "split")
+
+
 def q_topfeatures_extract(spark, sf_dir):
     """S5: /queryTopFeatures endpoint semantics — the per-group top-k
     reduction happens SERVER-side during paging (reference swaps only
@@ -1267,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "token_budget": q_token_budget,
         "decontaminate": q_decontaminate,
+        "leakage_safe_split": q_leakage_safe_split,
         "events_hourly": q_events_hourly,       # = stream_windowed rollup
         "ngram_jaccard": q_ngram_jaccard,       # uncapped verify variant
         "running_total": q_running_total,
@@ -1770,6 +1784,8 @@ def oracle_sql() -> dict[str, str]:
         min_quality=0.8, jaccard_threshold=0.6)
     oracles["minhash_cluster_dedup"] = \
         D.minhash_cluster_dedup_oracle_sql(threshold=0.6)
+    oracles["leakage_safe_split"] = \
+        D.leakage_safe_split_oracle_sql(threshold=0.6, seed="ls")
     # both extraction strategies must produce the identical id set:
     # all features minus the decode-filtered attribute-only rows
     # (i % 97 == 5), exactly once

@@ -377,6 +377,57 @@ def minhash_cluster_dedup_oracle_sql(id_col: str = "doc_id",
         ORDER BY {id_col}"""
 
 
+def leakage_safe_split_oracle_sql(id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  table: str = "documents",
+                                  num_hashes: int = 64,
+                                  bands: int = 16,
+                                  shingle_n: int = 5,
+                                  threshold: float = 0.6,
+                                  weights: dict[str, float] | None = None,
+                                  seed: str = "") -> str:
+    """DuckDB twin of ``sample.leakage_safe_split``: the recursive-CTE
+    transitive closure yields each document's component representative
+    (minimum reachable id; singletons coalesce to themselves), then
+    the split CASE compares the md5 low-60-bit hash of the REP against
+    the same integer thresholds ``split_assign`` embeds. The CASE has
+    no ELSE, mirroring Spark's when-chain (a NULL id yields a NULL
+    label in both engines)."""
+    from .sample import _thresholds
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    whens = " ".join(f"WHEN hv < {thr} THEN '{label}'"
+                     for label, thr in _thresholds(weights))
+    band_eq = minhash_band_predicate_sql(num_hashes, bands)
+    matches = minhash_match_count_sql(num_hashes)
+    return f"""
+        WITH RECURSIVE
+        {minhash_sql_cte(id_col, text_col, table, num_hashes,
+                         shingle_n).lstrip()},
+        _pairs AS (
+            SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+            FROM _ms a JOIN _ms b
+              ON a.{id_col} < b.{id_col} AND ({band_eq})
+            WHERE {matches} * 1.0 / {num_hashes} >= {threshold}),
+        _und AS (SELECT id_a, id_b FROM _pairs
+                 UNION ALL
+                 SELECT id_b, id_a FROM _pairs),
+        _reach(src, dst) AS (
+            SELECT id_a, id_a FROM _und GROUP BY id_a
+            UNION
+            SELECT r.src, u.id_b FROM _reach r
+            JOIN _und u ON r.dst = u.id_a),
+        _rep AS (SELECT src AS {id_col}, min(dst) AS rep
+                 FROM _reach GROUP BY src),
+        _h AS (SELECT t.{id_col},
+                      CAST(CAST(concat('0x', substr(md5(
+                           CAST(coalesce(r.rep, t.{id_col}) AS VARCHAR)
+                           || ':' || '{seed}'), 1, 15)) AS UBIGINT)
+                           AS BIGINT) AS hv
+               FROM {table} t LEFT JOIN _rep r USING ({id_col}))
+        SELECT {id_col}, CASE {whens} END AS split FROM _h"""
+
+
 # --------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed 64-bit in every engine

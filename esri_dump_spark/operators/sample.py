@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_u60", "split_assign", "sample_fraction",
-           "stratified_sample", "mix_sources", "take_token_budget"]
+           "stratified_sample", "mix_sources", "take_token_budget",
+           "leakage_safe_split"]
 
 _U60 = 1 << 60
 
@@ -194,3 +195,43 @@ def take_token_budget(df: DataFrame, budget: int, size_col: str,
     return (df.withColumn("_before", started)
             .filter(F.col("_before") < F.lit(int(budget)))
             .drop("_before"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
+                       weights: dict[str, float] | None = None,
+                       seed: str = "", split_col: str = "split",
+                       threshold: float = 0.8,
+                       **lsh_kw) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document of a
+    connected near-duplicate component lands in the SAME split,
+    because the split hash is keyed on the component REPRESENTATIVE
+    (minimum id reachable through the MinHash-LSH pair graph) instead
+    of the document id. A plain per-id split leaks paraphrases of
+    training documents into eval; this closes that hole while staying
+    exactly as deterministic as ``split_assign`` — singletons key on
+    their own id, so a dup-free corpus gets the identical labels.
+
+    Plan shape at scale: LSH candidate generation is a bucketed
+    equi-join (never all-pairs), label propagation runs O(component
+    diameter) rounds over the PAIR GRAPH only (bounded by near-dup
+    volume, not corpus size), and the label table joins back to the
+    corpus as one hash join (AQE broadcasts it while it fits). The
+    split expression itself stays map-only.
+
+    Extra kwargs (``bands``, ``band_key``, ``num_hashes``, ...) pass
+    through to ``minhash_lsh_pairs``.
+    """
+    from .dedup import component_min_labels, minhash_lsh_pairs
+    for c in ("_ls_rep", "_ls_key"):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
+    pairs = minhash_lsh_pairs(df, id_col, text_col,
+                              threshold=threshold, **lsh_kw)
+    labels = component_min_labels(pairs).select(
+        F.col("id").alias(id_col), F.col("rep").alias("_ls_rep"))
+    keyed = (df.join(labels, id_col, "left")
+             .withColumn("_ls_key",
+                         F.coalesce(F.col("_ls_rep"), F.col(id_col)))
+             .drop("_ls_rep"))
+    return (split_assign(keyed, "_ls_key", weights, seed, split_col)
+            .drop("_ls_key"))

@@ -1056,6 +1056,37 @@ def test_decontaminate_brute_force(spark):
         decontaminate(tdf, edf, "doc_id", "text", min_hits=0)
 
 
+def test_leakage_safe_split_components_share_split(spark):
+    """Every member of a near-dup component gets its representative's
+    split label; singletons get exactly split_assign's label; a
+    colliding scratch column raises."""
+    from esri_dump_spark.operators.sample import (hash_u60,
+                                                  leakage_safe_split,
+                                                  split_assign)
+    import pytest
+    dup_a = "the quick brown fox jumps over the lazy dog again " * 4
+    dup_b = "pack my box with five dozen liquor jugs tonight ok " * 4
+    rows = ([(i, dup_a) for i in (3, 7, 11)]        # component rep=3
+            + [(i, dup_b) for i in (20, 21)]        # component rep=20
+            + [(30, "one singleton text body entirely unlike others"),
+               (31, "another unique document with no duplicate at all")])
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = leakage_safe_split(df, "doc_id", "text", seed="s",
+                             threshold=0.6, band_key="exact")
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == len(rows)
+    assert got[3] == got[7] == got[11]
+    assert got[20] == got[21]
+    # members carry the REP's label; singletons their own
+    base = {r.doc_id: r.split for r in
+            split_assign(df, "doc_id", seed="s").collect()}
+    assert got[7] == base[3] and got[21] == base[20]
+    assert got[30] == base[30] and got[31] == base[31]
+    with pytest.raises(ValueError, match="collide"):
+        leakage_safe_split(df.withColumn("_ls_key", F.lit(1)),
+                           "doc_id", "text")
+
+
 def test_interval_join_fanout_guard_and_collision(spark):
     import pytest
     from pyspark.errors import SparkRuntimeException
