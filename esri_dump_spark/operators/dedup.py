@@ -852,8 +852,12 @@ def word_grams(df: DataFrame, id_col: str, text_col: str,
     ``array_distinct`` BEFORE the explode so dedup is narrow). Pure
     built-in expressions: JVM-side and SQL-oracle-able. Documents
     shorter than ``n`` words emit their whole text as one gram
-    (the ``greatest(..., 1)`` floor), matching the SQL twins."""
-    return (df.select(
+    (the ``greatest(..., 1)`` floor), matching the SQL twins. NULL
+    texts emit NO grams: without the filter, Spark's ``concat_ws``
+    over the NULL slice would manufacture an ``''`` gram while the
+    SQL twin's NULL propagates to no row — the size(NULL) family of
+    cross-engine divergence."""
+    return (df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.expr(f"split(lower({text_col}), ' ')").alias("_w")
     ).select(

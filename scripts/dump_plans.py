@@ -30,6 +30,11 @@ QUERIES = [
      "equi-join, sequence/explode fan-out, exact boundary filter"),
     ("split_assign", "deterministic split — map-only, zero exchange "
      "before the rollup, hash + thresholds in codegen"),
+    ("decontaminate", "benchmark decontamination — eval gram set "
+     "collapses to a DISTINCT 60-bit hash table and broadcasts; only "
+     "(id, int64) reaches the join and hit rollup"),
+    ("mix_sources", "corpus mixing — count agg's 1-row M broadcast + "
+     "per-source row_number window, all-integer quotas"),
     ("salted_agg", "skew — two-phase salted aggregation"),
     ("extract_synthetic", "EP1 — manifest -> mapInPandas decode -> dedup"),
 ]

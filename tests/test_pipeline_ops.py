@@ -1055,6 +1055,17 @@ def test_decontaminate_brute_force(spark):
     with pytest.raises(ValueError, match="min_hits"):
         decontaminate(tdf, edf, "doc_id", "text", min_hits=0)
 
+    # NULL texts on BOTH sides must not manufacture a shared '' gram
+    # (the size(NULL)/concat_ws cross-engine divergence family)
+    tnull = tdf.unionByName(spark.createDataFrame(
+        [(9, None)], "doc_id int, text string"))
+    enull = edf.unionByName(spark.createDataFrame(
+        [(199, None)], "doc_id int, text string"))
+    got_n = {r.doc_id: r.n_hit_grams for r in
+             decontaminate(tnull, enull, "doc_id", "text",
+                           n=3).collect()}
+    assert got_n == exp
+
 
 def test_leakage_safe_split_components_share_split(spark):
     """Every member of a near-dup component gets its representative's
