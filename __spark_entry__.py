@@ -441,6 +441,16 @@ def q_quality_score(spark, sf_dir):
         "quality")
 
 
+def q_repetition(spark, sf_dir):
+    """Text: Gopher-style repetition signals (dup line/word fractions,
+    top-word fraction) — boilerplate/looped-generation filter inputs,
+    all in whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.repetition_signals(docs).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_word_frac",
+        "top_word_frac")
+
+
 def q_lang_id(spark, sf_dir):
     """Text: marker-word language ID + per-language counts."""
     docs = _t(spark, sf_dir, "documents")
@@ -1233,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_geo": q_radius_geo,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1305,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     qmeta = X.quality_score_sql("text")
+    rmeta = X.repetition_signals_sql("text")
     rect_rc = raycast_sql(RECT_RING, "lon", "lat")
     diam_rc = raycast_sql(DIAMOND_RING, "lon", "lat")
     pip_src = (f"SELECT c_custkey, {_CLON} AS lon, {_CLAT} AS lat "
@@ -1486,6 +1498,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             SELECT {X.language_id_sql('text')} AS lang_pred, count(*) AS n
             FROM documents GROUP BY 1""",
+        "repetition": f"""
+            SELECT doc_id, {rmeta['n_lines']} AS n_lines,
+                   {rmeta['dup_line_frac']} AS dup_line_frac,
+                   {rmeta['dup_word_frac']} AS dup_word_frac,
+                   {rmeta['top_word_frac']} AS top_word_frac
+            FROM documents""",
         "fingerprint": f"""
             SELECT doc_id, {X.fingerprint_sql('text')} AS fp
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500)""",

@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "quality_score", "language_id", "fingerprint",
+    "repetition_signals",
     "token_count_sql", "quality_score_sql", "language_id_sql",
-    "fingerprint_sql",
+    "fingerprint_sql", "repetition_signals_sql",
 ]
 
 # ---------------------------------------------------------------- tokens
@@ -171,3 +172,75 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 def fingerprint_sql(text_col: str = "text") -> str:
     norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
     return f"substring(sha256({norm}), 1, 16)"
+
+
+# ----------------------------------------------------------- repetition
+
+def repetition_signals(df: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, "Scaling Language Models", table A1 — public heuristics):
+
+      n_lines       — non-empty trimmed lines
+      dup_line_frac — 1 - distinct/total over those lines
+      dup_word_frac — 1 - distinct/total over whitespace words
+      top_word_frac — occurrences of the most frequent word / words
+                      (NULL for word-less docs, like the SQL twin's
+                      list_max over an empty list)
+
+    Boilerplate and looped generations score high; natural prose sits
+    near 0 on the dup fractions. All built-in expressions inside
+    whole-stage codegen — zero Python, zero shuffle. The word and
+    line arrays are hoisted into real columns first: referencing them
+    straight from a higher-order lambda would re-evaluate the split
+    per array element (no common-subexpression elimination across
+    HOF bodies — the ngram_jaccard lesson).
+    """
+    for c in ("_rs_lines", "_rs_words"):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
+    lower = F.lower(F.col(text_col))
+    d = (df.withColumn("_rs_lines", F.filter(
+            F.transform(F.split(lower, "\n"), lambda l: F.trim(l)),
+            lambda l: l != ""))
+         # words split on ANY whitespace run (regex), unlike the
+         # single-space convention elsewhere: a newline must separate
+         # words here, or line boundaries would glue tokens together
+         .withColumn("_rs_words", F.filter(F.split(lower, r"\s+"),
+                                           lambda w: w != "")))
+    lines, words = F.col("_rs_lines"), F.col("_rs_words")
+    nl = F.size(lines)
+    nw = F.size(words)
+    top = F.array_max(F.transform(
+        F.array_distinct(words),
+        lambda w: F.size(F.filter(words, lambda x: x == w))))
+    nn = F.col(text_col).isNotNull()
+    return (d.withColumn("n_lines", F.when(nn, nl).cast("long"))
+            .withColumn("dup_line_frac", F.when(nn, F.round(
+                1 - F.size(F.array_distinct(lines))
+                / F.greatest(nl, F.lit(1)), 6)))
+            .withColumn("dup_word_frac", F.when(nn, F.round(
+                1 - F.size(F.array_distinct(words))
+                / F.greatest(nw, F.lit(1)), 6)))
+            .withColumn("top_word_frac", F.when(nn, F.round(
+                top / F.greatest(nw, F.lit(1)), 6)))
+            .drop("_rs_lines", "_rs_words"))
+
+
+def repetition_signals_sql(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins for each repetition column (chr(10) keeps the
+    newline out of the SQL literal)."""
+    lines = (f"list_filter(list_transform(string_split(lower({text_col}),"
+             f" chr(10)), l -> trim(l)), l -> l != '')")
+    words = (f"list_filter(regexp_split_to_array(lower({text_col}),"
+             f" '\\s+'), w -> w != '')")
+    top = (f"list_max(list_transform(list_distinct({words}),"
+           f" d -> len(list_filter({words}, x -> x = d))))")
+    return {
+        "n_lines": f"CAST(len({lines}) AS BIGINT)",
+        "dup_line_frac": (f"round(1 - len(list_distinct({lines}))"
+                          f" / greatest(len({lines}), 1), 6)"),
+        "dup_word_frac": (f"round(1 - len(list_distinct({words}))"
+                          f" / greatest(len({words}), 1), 6)"),
+        "top_word_frac": f"round({top} / greatest(len({words}), 1), 6)",
+    }

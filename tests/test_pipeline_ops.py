@@ -594,6 +594,55 @@ def test_text_ops_match_duckdb(spark, sf_dir):
         assert g["fp"] == rec[8]
 
 
+def test_repetition_signals_brute_force(spark):
+    """Gopher repetition signals vs hand-computed values, including
+    multi-line boilerplate, NULL text, word-less text, and the DuckDB
+    twin over the same rows."""
+    rows = [
+        (1, "the cat sat on the mat"),           # 'the' twice -> dups
+        (2, "buy now\nbuy now\nbuy now\nend"),   # 3 dup lines
+        (3, "all unique words here"),            # clean
+        (4, None),                               # NULL -> all NULL
+        (5, "   "),                              # word-less
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.asDict() for r in
+           X.repetition_signals(df).collect()}
+    # doc 1: 6 words, 5 distinct ('the' x2); top word 2/6
+    assert got[1]["n_lines"] == 1
+    assert got[1]["dup_word_frac"] == pytest.approx(round(1 - 5 / 6, 6))
+    assert got[1]["top_word_frac"] == pytest.approx(round(2 / 6, 6))
+    # doc 2: 4 lines, 2 distinct; 7 whitespace-split words
+    # ('buy'/'now' x3 each — newlines must separate words)
+    assert got[2]["n_lines"] == 4
+    assert got[2]["dup_line_frac"] == pytest.approx(round(1 - 2 / 4, 6))
+    assert got[2]["dup_word_frac"] == pytest.approx(round(1 - 3 / 7, 6))
+    assert got[2]["top_word_frac"] == pytest.approx(round(3 / 7, 6))
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.0
+    assert all(v is None for k, v in got[4].items()
+               if k not in ("doc_id", "text"))
+    assert got[5]["n_lines"] == 0 and got[5]["top_word_frac"] is None
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    r = X.repetition_signals_sql("text")
+    sql = f"""SELECT doc_id, {r['n_lines']} n_lines,
+              {r['dup_line_frac']} dup_line_frac,
+              {r['dup_word_frac']} dup_word_frac,
+              {r['top_word_frac']} top_word_frac FROM t"""
+    for rec in con.sql(sql).fetchall():
+        g = got[rec[0]]
+        assert g["n_lines"] == rec[1], rec
+        for i, k in enumerate(("dup_line_frac", "dup_word_frac",
+                               "top_word_frac"), start=2):
+            if rec[i] is None:
+                assert g[k] is None, (rec[0], k, g[k])
+            else:
+                assert g[k] == pytest.approx(rec[i]), (rec[0], k)
+
+
 def test_decode_stats_and_verify(spark):
     imgs = spark.createDataFrame(images_pdf(80, with_geo=False))
     stats = M.decode_stats(imgs).collect()
