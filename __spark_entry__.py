@@ -1620,9 +1620,12 @@ def oracle_sql() -> dict[str, str]:
                                d.doc_id ASC) AS rn
                 FROM documents d JOIN w USING (source)),
             m AS (
-                SELECT min(n // wt) AS mm FROM (
-                    SELECT source, wt, count(*) AS n
-                    FROM k GROUP BY 1, 2) t)
+                -- weights LEFT JOIN counts: a weighted source with
+                -- ZERO rows yields n=0 => M=0, same as the engine
+                SELECT min(coalesce(n, 0) // wt) AS mm
+                FROM w LEFT JOIN (
+                    SELECT source, count(*) AS n
+                    FROM k GROUP BY 1) t USING (source))
             SELECT doc_id, source FROM k, m WHERE rn <= wt * mm""",
         # greedy prefix under a per-group running sum: keep rows that
         # START under the budget (exceed by at most one row)

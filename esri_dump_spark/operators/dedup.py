@@ -711,8 +711,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # higher-order-function bodies), turning tokenization O(words^2).
     # Gram dedup is PER DOCUMENT, so array_distinct before the explode
     # does it narrowly — a .distinct() after the explode would pay a
-    # full-corpus exchange for the same result
-    grams = _spread(df).select(
+    # full-corpus exchange for the same result.
+    # NULL texts are dropped like word_grams does: Spark's concat_ws
+    # over the NULL slice would otherwise manufacture an '' gram (and
+    # a Jaccard-1 pair between two NULL docs) while the SQL twin's
+    # NULL propagates to no gram row at all
+    grams = _spread(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         F.expr(f"split(lower({text_col}), ' ')").alias("_w")
     ).select(

@@ -139,8 +139,10 @@ def mix_sources(df: DataFrame, source_col: str,
     — rerun-, resume-, and parallelism-stable.
 
     Sources missing from ``weights`` are dropped. If any weighted
-    source has fewer than ``w_i`` rows, M = 0 and the result is
-    empty — loud, not silently disproportionate.
+    source has fewer than ``w_i`` rows — including ZERO rows — M = 0
+    and the result is empty: M is derived by left-joining the weight
+    table to the counts (absent source ⇒ n = 0), so a weighted
+    source with no data cannot silently vanish from the mixture.
 
     Plan: one count aggregate over the weighted rows, a 1-row
     broadcast of M, and the per-source row_number window (one keyed
@@ -149,17 +151,21 @@ def mix_sources(df: DataFrame, source_col: str,
     if not weights:
         raise ValueError("weights must be non-empty")
     for k, v in weights.items():
-        if not isinstance(v, int) or v <= 0:
+        # bool is an int subclass: {'web': True} must not pass as 1
+        if isinstance(v, bool) or not isinstance(v, int) or v <= 0:
             raise ValueError(
                 f"weights must be positive integers (got {k}={v!r}) — "
                 "integer quotas are what keep the mix engine-exact")
+    for c in ("_w", "_n", "_m", "_rn"):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
     wdf = df.sparkSession.createDataFrame(
         [(k, v) for k, v in weights.items()],
         f"{source_col} string, _w long")
     kept = df.join(F.broadcast(wdf), source_col, "inner")
-    m = (kept.groupBy(source_col, "_w")
-         .agg(F.count(F.lit(1)).alias("_n"))
-         .agg(F.min(F.expr("_n div _w")).alias("_m")))
+    cnt = kept.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    m = (wdf.join(cnt, source_col, "left")
+         .agg(F.min(F.expr("coalesce(_n, 0) div _w")).alias("_m")))
     win = (Window.partitionBy(source_col)
            .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc()))
     return (kept.withColumn("_rn", F.row_number().over(win))
@@ -186,6 +192,8 @@ def take_token_budget(df: DataFrame, budget: int, size_col: str,
     """
     if budget < 0:
         raise ValueError("budget must be non-negative")
+    if "_before" in df.columns:
+        raise ValueError("`_before` column would collide — rename it")
     keys = ([] if by is None else
             ([by] if isinstance(by, str) else list(by)))
     win = (Window.partitionBy(*keys)

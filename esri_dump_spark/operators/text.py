@@ -176,6 +176,12 @@ def fingerprint_sql(text_col: str = "text") -> str:
 
 # ----------------------------------------------------------- repetition
 
+# whitespace class spelled explicitly so Spark (java.util.regex) and
+# DuckDB (RE2) agree: java's \s includes \x0B, RE2's does not — a
+# web-scraped vertical tab would silently split differently per engine
+_WS_CLASS = r"[ \t\n\f\r]+"
+
+
 def repetition_signals(df: DataFrame,
                        text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al.
@@ -185,8 +191,11 @@ def repetition_signals(df: DataFrame,
       dup_line_frac — 1 - distinct/total over those lines
       dup_word_frac — 1 - distinct/total over whitespace words
       top_word_frac — occurrences of the most frequent word / words
-                      (NULL for word-less docs, like the SQL twin's
-                      list_max over an empty list)
+
+    All three fractions are NULL for docs with no lines/words — a
+    word-less doc carries no repetition evidence, and the 1-x/total
+    form would otherwise invert the greatest(total, 1) floor into a
+    bogus 1.0 "maximally repetitive" score.
 
     Boilerplate and looped generations score high; natural prose sits
     near 0 on the dup fractions. All built-in expressions inside
@@ -194,53 +203,76 @@ def repetition_signals(df: DataFrame,
     line arrays are hoisted into real columns first: referencing them
     straight from a higher-order lambda would re-evaluate the split
     per array element (no common-subexpression elimination across
-    HOF bodies — the ngram_jaccard lesson).
+    HOF bodies — the ngram_jaccard lesson). top_word_frac is the max
+    RUN LENGTH of the sorted word array via a single aggregate()
+    fold — O(w log w) — not the count-each-distinct-word transform,
+    which is O(distinct x words) per document and quadratic on
+    repetitive long docs (the very rows this operator exists to
+    catch). The SQL twin keeps the obviously-correct quadratic
+    count form: an oracle needs equivalence, not throughput.
     """
-    for c in ("_rs_lines", "_rs_words"):
+    for c in ("_rs_lines", "_rs_words", "_rs_sorted"):
         if c in df.columns:
             raise ValueError(f"`{c}` column would collide — rename it")
     lower = F.lower(F.col(text_col))
     d = (df.withColumn("_rs_lines", F.filter(
             F.transform(F.split(lower, "\n"), lambda l: F.trim(l)),
             lambda l: l != ""))
-         # words split on ANY whitespace run (regex), unlike the
-         # single-space convention elsewhere: a newline must separate
-         # words here, or line boundaries would glue tokens together
-         .withColumn("_rs_words", F.filter(F.split(lower, r"\s+"),
-                                           lambda w: w != "")))
+         # whitespace-RUN split, unlike the single-space convention
+         # elsewhere: a newline must separate words here, or line
+         # boundaries would glue tokens together
+         .withColumn("_rs_words", F.filter(F.split(lower, _WS_CLASS),
+                                           lambda w: w != ""))
+         .withColumn("_rs_sorted", F.array_sort(F.col("_rs_words"))))
     lines, words = F.col("_rs_lines"), F.col("_rs_words")
     nl = F.size(lines)
     nw = F.size(words)
-    top = F.array_max(F.transform(
-        F.array_distinct(words),
-        lambda w: F.size(F.filter(words, lambda x: x == w))))
+    # max frequency == max run length of the sorted array: one fold,
+    # struct accumulator (previous word, current run, best run)
+    top = F.expr("""
+        aggregate(
+          _rs_sorted,
+          named_struct('prev', CAST(NULL AS STRING),
+                       'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+              'prev', x,
+              'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+                        acc.run + 1L, 1L),
+              'best', GREATEST(acc.best,
+                               IF(acc.prev IS NOT NULL AND x = acc.prev,
+                                  acc.run + 1L, 1L))),
+          acc -> acc.best)""")
     nn = F.col(text_col).isNotNull()
     return (d.withColumn("n_lines", F.when(nn, nl).cast("long"))
-            .withColumn("dup_line_frac", F.when(nn, F.round(
-                1 - F.size(F.array_distinct(lines))
-                / F.greatest(nl, F.lit(1)), 6)))
-            .withColumn("dup_word_frac", F.when(nn, F.round(
-                1 - F.size(F.array_distinct(words))
-                / F.greatest(nw, F.lit(1)), 6)))
-            .withColumn("top_word_frac", F.when(nn, F.round(
-                top / F.greatest(nw, F.lit(1)), 6)))
-            .drop("_rs_lines", "_rs_words"))
+            .withColumn("dup_line_frac", F.when(nn & (nl > 0), F.round(
+                1 - F.size(F.array_distinct(lines)) / nl, 6)))
+            .withColumn("dup_word_frac", F.when(nn & (nw > 0), F.round(
+                1 - F.size(F.array_distinct(words)) / nw, 6)))
+            .withColumn("top_word_frac", F.when(nn & (nw > 0), F.round(
+                top / nw, 6)))
+            .drop("_rs_lines", "_rs_words", "_rs_sorted"))
 
 
 def repetition_signals_sql(text_col: str = "text") -> dict[str, str]:
     """DuckDB twins for each repetition column (chr(10) keeps the
-    newline out of the SQL literal)."""
+    newline out of the SQL literal; the whitespace class matches
+    ``_WS_CLASS`` so both regex dialects split identically). NULL
+    comes out of the CASE guards for line-less / word-less docs,
+    matching the Spark when() wrappers."""
     lines = (f"list_filter(list_transform(string_split(lower({text_col}),"
              f" chr(10)), l -> trim(l)), l -> l != '')")
     words = (f"list_filter(regexp_split_to_array(lower({text_col}),"
-             f" '\\s+'), w -> w != '')")
+             f" '{_WS_CLASS}'), w -> w != '')")
     top = (f"list_max(list_transform(list_distinct({words}),"
            f" d -> len(list_filter({words}, x -> x = d))))")
     return {
         "n_lines": f"CAST(len({lines}) AS BIGINT)",
-        "dup_line_frac": (f"round(1 - len(list_distinct({lines}))"
-                          f" / greatest(len({lines}), 1), 6)"),
-        "dup_word_frac": (f"round(1 - len(list_distinct({words}))"
-                          f" / greatest(len({words}), 1), 6)"),
-        "top_word_frac": f"round({top} / greatest(len({words}), 1), 6)",
+        "dup_line_frac": (f"CASE WHEN len({lines}) > 0 THEN round("
+                          f"1 - len(list_distinct({lines}))"
+                          f" / len({lines}), 6) END"),
+        "dup_word_frac": (f"CASE WHEN len({words}) > 0 THEN round("
+                          f"1 - len(list_distinct({words}))"
+                          f" / len({words}), 6) END"),
+        "top_word_frac": (f"CASE WHEN len({words}) > 0 THEN round("
+                          f"{top} / len({words}), 6) END"),
     }

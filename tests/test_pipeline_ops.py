@@ -125,6 +125,16 @@ def test_ngram_jaccard_matches_brute_force(spark):
     for k in got:
         assert got[k] == pytest.approx(exp[k])
 
+    # two NULL-text docs must NOT pair via a manufactured '' gram
+    # (the SQL twin's NULL text propagates to zero gram rows)
+    withnull = spark.createDataFrame(
+        pd.concat([pdf, pd.DataFrame(
+            {"doc_id": [8, 9], "text": [None, None]})]))
+    got_n = {(r.id_a, r.id_b) for r in
+             D.ngram_jaccard_pairs(withnull, "doc_id", "text", n=2,
+                                   threshold=0.3).collect()}
+    assert got_n == set(exp)
+
 
 def test_embedding_near_dup(spark):
     rng = np.random.default_rng(42)
@@ -604,6 +614,9 @@ def test_repetition_signals_brute_force(spark):
         (3, "all unique words here"),            # clean
         (4, None),                               # NULL -> all NULL
         (5, "   "),                              # word-less
+        (6, "a\x0bb a\x0bb"),                    # vertical tab: NOT a
+                                                 # separator in either
+                                                 # engine's class
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {r.doc_id: r.asDict() for r in
@@ -622,7 +635,16 @@ def test_repetition_signals_brute_force(spark):
     assert got[3]["dup_word_frac"] == 0.0
     assert all(v is None for k, v in got[4].items()
                if k not in ("doc_id", "text"))
-    assert got[5]["n_lines"] == 0 and got[5]["top_word_frac"] is None
+    # word-less doc: NO repetition evidence -> NULL fractions (not a
+    # bogus 1.0 from the 1 - x/greatest(0,1) inversion)
+    assert got[5]["n_lines"] == 0
+    assert got[5]["dup_line_frac"] is None
+    assert got[5]["dup_word_frac"] is None
+    assert got[5]["top_word_frac"] is None
+    # \x0B words: 2 words, 1 distinct -> the duplicate is visible
+    # identically in both engines
+    assert got[6]["dup_word_frac"] == pytest.approx(0.5)
+    assert got[6]["top_word_frac"] == pytest.approx(1.0)
 
     con = duckdb.connect()
     con.sql("CREATE TABLE t (doc_id INT, text VARCHAR)")
@@ -1016,11 +1038,20 @@ def test_mix_sources_exact_proportions(spark):
     # a 10-weight source with 7 rows -> M=0 -> empty (loud, not skewed)
     assert mix_sources(df, "source", {"web": 1, "code": 10},
                        "doc_id").count() == 0
+    # a weighted source with ZERO rows must also force M=0, not
+    # silently drop out of the min()
+    assert mix_sources(df, "source", {"web": 1, "absent": 1},
+                       "doc_id").count() == 0
     import pytest
     with pytest.raises(ValueError, match="positive integers"):
         mix_sources(df, "source", {"web": 0.5}, "doc_id")
+    with pytest.raises(ValueError, match="positive integers"):
+        mix_sources(df, "source", {"web": True}, "doc_id")
     with pytest.raises(ValueError, match="non-empty"):
         mix_sources(df, "source", {}, "doc_id")
+    with pytest.raises(ValueError, match="collide"):
+        mix_sources(df.withColumn("_rn", F.lit(1)), "source",
+                    {"web": 1}, "doc_id")
 
 
 def test_take_token_budget_greedy_prefix(spark):
