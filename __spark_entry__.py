@@ -451,6 +451,27 @@ def q_repetition(spark, sf_dir):
         "top_word_frac")
 
 
+def q_redact_pii(spark, sf_dir):
+    """Text: PII scrub. The fixture corpus has no PII, so the query
+    synthesizes a deterministic email/IP/phone per doc from doc_id —
+    identically in both engines — then redacts; counts prove every
+    planted item was seen exactly once."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("concat(text, ' contact u', doc_id, '@example.com"
+               " from 10.0.', doc_id % 256, '.7 call 555-01',"
+               " doc_id % 10)").alias("text"))
+    return X.redact_pii(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "redacted")
+
+
+def q_chunk_text(spark, sf_dir):
+    """Text: fixed-width chunk explode (120 chars) — training-prep
+    example splitting, map-side only."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.chunk_text(docs, "doc_id", "text", chunk_chars=120)
+
+
 def q_lang_id(spark, sf_dir):
     """Text: marker-word language ID + per-language counts."""
     docs = _t(spark, sf_dir, "documents")
@@ -1244,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
+        "chunk_text": q_chunk_text,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1317,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     qmeta = X.quality_score_sql("text")
     rmeta = X.repetition_signals_sql("text")
+    pmeta = X.redact_pii_sql("text")
     rect_rc = raycast_sql(RECT_RING, "lon", "lat")
     diam_rc = raycast_sql(DIAMOND_RING, "lon", "lat")
     pip_src = (f"SELECT c_custkey, {_CLON} AS lon, {_CLAT} AS lat "
@@ -1504,6 +1528,19 @@ def oracle_sql() -> dict[str, str]:
                    {rmeta['dup_word_frac']} AS dup_word_frac,
                    {rmeta['top_word_frac']} AS top_word_frac
             FROM documents""",
+        "redact_pii": f"""
+            SELECT doc_id, {pmeta['n_email']} AS n_email,
+                   {pmeta['n_ip']} AS n_ip,
+                   {pmeta['n_phone']} AS n_phone,
+                   {pmeta['redacted']} AS redacted
+            FROM (SELECT doc_id,
+                         concat(text, ' contact u', doc_id,
+                                '@example.com from 10.0.',
+                                doc_id % 256, '.7 call 555-01',
+                                doc_id % 10) AS text
+                  FROM documents) t""",
+        "chunk_text": X.chunk_text_sql("doc_id", "text", 120,
+                                       "documents"),
         "fingerprint": f"""
             SELECT doc_id, {X.fingerprint_sql('text')} AS fp
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500)""",

@@ -83,7 +83,7 @@ def run_headline(spark) -> dict[str, float]:
         "radius_geo", "phash_cluster_dedup", "asof_events",
         "interval_attrib", "split_assign", "stratified_sample",
         "mix_sources", "token_budget", "decontaminate",
-        "leakage_safe_split", "repetition",
+        "leakage_safe_split", "repetition", "redact_pii", "chunk_text",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

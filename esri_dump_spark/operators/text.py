@@ -15,9 +15,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "quality_score", "language_id", "fingerprint",
-    "repetition_signals",
+    "repetition_signals", "redact_pii", "chunk_text",
     "token_count_sql", "quality_score_sql", "language_id_sql",
-    "fingerprint_sql", "repetition_signals_sql",
+    "fingerprint_sql", "repetition_signals_sql", "redact_pii_sql",
+    "chunk_text_sql",
 ]
 
 # ---------------------------------------------------------------- tokens
@@ -276,3 +277,89 @@ def repetition_signals_sql(text_col: str = "text") -> dict[str, str]:
         "top_word_frac": (f"CASE WHEN len({words}) > 0 THEN round("
                           f"{top} / len({words}), 6) END"),
     }
+
+
+# ------------------------------------------------------------------ PII
+
+# shared Java-regex / RE2 syntax only (no lookaround, ASCII \b, explicit
+# classes) so Spark and DuckDB match byte-for-byte
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+_PII_PHONE = r"\b[0-9]{3}[- ][0-9]{3,4}\b"
+_PII_ORDER = [("email", _PII_EMAIL, "<EMAIL>"),
+              ("ip", _PII_IP, "<IP>"),
+              ("phone", _PII_PHONE, "<PHONE>")]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out: str = "redacted") -> DataFrame:
+    """Scrub emails, IPv4 addresses, and simple phone numbers from a
+    text column, adding ``out`` (the redacted text) plus per-type
+    match counts ``n_email`` / ``n_ip`` / ``n_phone``. Redaction is
+    SEQUENTIAL (email, then ip, then phone) and each count is taken
+    on the text as it stood when that pattern ran — an email's digit
+    tail can never double-count as a phone number. Conservative
+    patterns by design (this is corpus hygiene, not a validator);
+    NULL text stays NULL everywhere. Pure regexp expressions in
+    whole-stage codegen; the SQL twin nests the identical
+    replacements, so both engines redact byte-for-byte."""
+    cur = F.col(text_col)
+    d = df
+    for name, pat, token in _PII_ORDER:
+        d = d.withColumn(f"n_{name}",
+                         F.regexp_count(cur, F.lit(pat)).cast("long"))
+        cur = F.regexp_replace(cur, pat, token)
+    return d.withColumn(out, cur)
+
+
+def redact_pii_sql(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins: counts over the progressively-redacted text and
+    the final redacted expression, nested exactly like the engine."""
+    cur = text_col
+    cols: dict[str, str] = {}
+    for name, pat, token in _PII_ORDER:
+        cols[f"n_{name}"] = (f"CAST(len(regexp_extract_all({cur},"
+                             f" '{pat}')) AS BIGINT)")
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    cols["redacted"] = cur
+    return cols
+
+
+# ------------------------------------------------------------- chunking
+
+def chunk_text(df: DataFrame, id_col: str, text_col: str = "text",
+               chunk_chars: int = 512) -> DataFrame:
+    """Explode each document into fixed-width character windows —
+    the training-prep "split long docs into examples" op. Emits
+    ``(id_col, chunk_idx, chunk_text)`` with 1-based ``chunk_idx``;
+    the last chunk is short, empty/NULL texts emit NO rows (the
+    CASE guard keeps Spark's descending ``sequence(1, 0)`` surprise
+    out of the plan). Map-side explode, zero shuffle, deterministic
+    — chunk boundaries are a pure function of the text, so reruns
+    and engines agree. The SQL twin is generate_series + substr."""
+    if chunk_chars <= 0:
+        raise ValueError("chunk_chars must be positive")
+    n_chunks = F.expr(
+        f"CASE WHEN length({text_col}) > 0 THEN "
+        f"sequence(1, CAST(ceil(length({text_col}) / {chunk_chars}.0)"
+        f" AS INT)) ELSE array() END")
+    return (df.select(F.col(id_col), F.col(text_col),
+                      F.explode(n_chunks).alias("chunk_idx"))
+            .select(F.col(id_col), F.col("chunk_idx").cast("long"),
+                    F.expr(f"substring({text_col},"
+                           f" (chunk_idx - 1) * {chunk_chars} + 1,"
+                           f" {chunk_chars})").alias("chunk_text")))
+
+
+def chunk_text_sql(id_col: str, text_col: str = "text",
+                   chunk_chars: int = 512,
+                   table: str = "documents") -> str:
+    """DuckDB twin of ``chunk_text`` (same 1-based substr windows)."""
+    return f"""
+        SELECT {id_col}, CAST(i AS BIGINT) AS chunk_idx,
+               substr({text_col}, (i - 1) * {chunk_chars} + 1,
+                      {chunk_chars}) AS chunk_text
+        FROM {table}, UNNEST(generate_series(1,
+             CAST(ceil(length({text_col}) / {chunk_chars}.0) AS INT)))
+             AS _ci(i)
+        WHERE length({text_col}) > 0"""

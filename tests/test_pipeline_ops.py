@@ -665,6 +665,72 @@ def test_repetition_signals_brute_force(spark):
                 assert g[k] == pytest.approx(rec[i]), (rec[0], k)
 
 
+def test_redact_pii_sequential_and_twin(spark):
+    """Planted PII is scrubbed with exact counts; an email's digits
+    never double-count as a phone; NULL stays NULL; the DuckDB twin
+    redacts byte-for-byte."""
+    rows = [
+        (1, "mail me at bob.smith+x@mail.example.org today"),
+        (2, "server 192.168.1.100 then call 555-0142 or 555-014"),
+        (3, "clean text with digits 123456789 but no pii"),
+        (4, None),
+        (5, "a1@b.co and 10.0.0.1 and 555-9999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.asDict() for r in X.redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["redacted"]
+    assert "bob" not in got[1]["redacted"]
+    assert got[2]["n_ip"] == 1 and got[2]["n_phone"] == 2
+    assert got[2]["redacted"].count("<PHONE>") == 2
+    assert got[3]["redacted"] == rows[2][1]  # untouched
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) \
+        == (0, 0, 0)
+    assert all(got[4][k] is None
+               for k in ("n_email", "n_ip", "n_phone", "redacted"))
+    assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_phone"]) \
+        == (1, 1, 1)
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    p = X.redact_pii_sql("text")
+    sql = (f"SELECT doc_id, {p['n_email']} n_email, {p['n_ip']} n_ip,"
+           f" {p['n_phone']} n_phone, {p['redacted']} redacted FROM t")
+    for rec in con.sql(sql).fetchall():
+        g = got[rec[0]]
+        assert (g["n_email"], g["n_ip"], g["n_phone"], g["redacted"]) \
+            == (rec[1], rec[2], rec[3], rec[4]), rec
+
+
+def test_chunk_text_windows(spark):
+    """Chunks tile the text exactly; last chunk short; empty and NULL
+    texts emit no rows; DuckDB twin produces identical rows."""
+    import pytest as _pytest
+    rows = [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, None),
+            (5, "x" * 9)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = X.chunk_text(df, "doc_id", "text", chunk_chars=4)
+    got = sorted((r.doc_id, r.chunk_idx, r.chunk_text)
+                 for r in out.collect())
+    assert got == [(1, 1, "abcd"), (1, 2, "efgh"), (1, 3, "ij"),
+                   (2, 1, "abc"),
+                   (5, 1, "xxxx"), (5, 2, "xxxx"), (5, 3, "x")]
+    # reassembly invariant
+    joined = {}
+    for d, i, c in got:
+        joined[d] = joined.get(d, "") + c
+    assert joined == {1: "abcdefghij", 2: "abc", 5: "x" * 9}
+    with _pytest.raises(ValueError, match="positive"):
+        X.chunk_text(df, "doc_id", "text", chunk_chars=0)
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = sorted(tuple(r) for r in con.sql(
+        X.chunk_text_sql("doc_id", "text", 4, "t")).fetchall())
+    assert oracle == got
+
+
 def test_decode_stats_and_verify(spark):
     imgs = spark.createDataFrame(images_pdf(80, with_geo=False))
     stats = M.decode_stats(imgs).collect()
