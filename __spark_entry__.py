@@ -924,6 +924,28 @@ def q_image_decode_stats(spark, sf_dir):
         F.sum(F.pmod("phash_decoded", F.lit(97))).alias("sum_phash_mod"))
 
 
+def q_image_quality(spark, sf_dir):
+    """Multimodal: per-image quality signals (luma mean/std, histogram
+    entropy, gradient sharpness) for corpus filtering, rolled up into
+    floor-quantized integer invariants frozen as a GOLDEN-LITERAL
+    oracle (same posture as image_decode_stats: deterministic fixture
+    + deterministic codec + integer sums = partition-order
+    independent)."""
+    from esri_dump_spark.sources.fixtures import ensure_images_parquet
+    from esri_dump_spark.operators.multimodal import image_quality_stats
+    imgs = spark.read.parquet(ensure_images_parquet(2000))
+    st = image_quality_stats(imgs)
+    return st.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.floor("mean_luma")).alias("sum_floor_luma"),
+        F.sum(F.floor("std_luma")).alias("sum_floor_std"),
+        F.sum(F.floor(F.col("entropy_bits") * 100)).alias(
+            "sum_floor_entropy_c"),
+        F.sum(F.floor(F.col("sharpness") * 10)).alias(
+            "sum_floor_sharp_d"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash banded-LSH near-dup pairs on documents. Oracled: the
     signature family is md5-gram + linear-congruential permutations
@@ -1293,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery": q_discovery,
         "lineage_metrics": q_lineage_metrics,
         "image_decode_stats": q_image_decode_stats,
+        "image_quality": q_image_quality,
         "verify_images": q_verify_images,
         "resize_images": q_resize_images,
         # ---- oracled twins of recorded queries (same operator rows:
@@ -1895,6 +1918,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(254186 AS BIGINT) AS sum_floor_mean_g,
                CAST(253946 AS BIGINT) AS sum_floor_mean_b,
                CAST(96652 AS BIGINT) AS sum_phash_mod"""
+    # same freeze protocol: measured twice (input layout vs
+    # repartition(13)) and identical before pinning
+    oracles["image_quality"] = """
+        SELECT CAST(2000 AS BIGINT) AS n_images,
+               CAST(2000 AS BIGINT) AS n_ok,
+               CAST(254098 AS BIGINT) AS sum_floor_luma,
+               CAST(94444 AS BIGINT) AS sum_floor_std,
+               CAST(1245998 AS BIGINT) AS sum_floor_entropy_c,
+               CAST(1725604 AS BIGINT) AS sum_floor_sharp_d"""
     # golden-literal LSH rollup on the fixed sf0.001 embeddings (see
     # q_emb_near_dup_lsh_golden for the determinism argument)
     oracles["emb_near_dup_lsh_golden"] = """

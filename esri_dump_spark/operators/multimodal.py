@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from ..kernels.image import decode_image, encode_image, psnr, average_phash
 
 __all__ = ["decode_stats", "verify_images", "resize_images",
-           "frame_sample_stub"]
+           "image_quality_stats", "frame_sample_stub"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -193,6 +193,72 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return (images.select("image_id", "bytes", "fmt")
             .mapInPandas(run, schema=schema))
+
+
+_IQ_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("mean_luma", T.DoubleType()),
+    T.StructField("std_luma", T.DoubleType()),
+    T.StructField("entropy_bits", T.DoubleType()),
+    T.StructField("sharpness", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def image_quality_stats(images: DataFrame) -> DataFrame:
+    """Per-image quality signals for corpus filtering — the image
+    analog of the text quality/repetition family:
+
+      mean_luma    — BT.601 luma mean (dark/blown-out detector)
+      std_luma     — luma standard deviation (flat/synthetic detector)
+      entropy_bits — Shannon entropy of the 256-bin luma histogram
+                     (near-0 = solid color / banding; ~8 = noise)
+      sharpness    — mean |first difference| of luma over both axes
+                     (blur detector; 0 for 1x1 images)
+
+    Same resilience contract as ``decode_stats``: a corrupt row lands
+    as ok=false + error, never a task death. All pixel math is
+    vectorized NumPy inside one ``mapInPandas`` pass; bytes never
+    shuffle. Deterministic (luma quantized to uint8 before the
+    histogram), so aggregate rollups freeze as golden literals."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rec in b.itertuples(index=False):
+                try:
+                    px = decode_image(rec.bytes, rec.fmt)
+                    f = px.astype(np.float64)
+                    luma = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+                            + 0.114 * f[:, :, 2])
+                    q = np.clip(luma, 0, 255).astype(np.uint8)
+                    hist = np.bincount(q.ravel(), minlength=256)
+                    p = hist[hist > 0] / q.size
+                    sharp = 0.0
+                    if luma.shape[0] > 1:
+                        sharp += float(np.abs(np.diff(luma, axis=0)).mean())
+                    if luma.shape[1] > 1:
+                        sharp += float(np.abs(np.diff(luma, axis=1)).mean())
+                    rows.append({
+                        "image_id": rec.image_id, "ok": True,
+                        "mean_luma": float(luma.mean()),
+                        "std_luma": float(luma.std()),
+                        "entropy_bits": float(-(p * np.log2(p)).sum()),
+                        "sharpness": sharp,
+                        "error": None,
+                    })
+                except (NotImplementedError, ValueError, TypeError) as e:
+                    rows.append({
+                        "image_id": rec.image_id, "ok": False,
+                        "mean_luma": None, "std_luma": None,
+                        "entropy_bits": None, "sharpness": None,
+                        "error": str(e),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in _IQ_SCHEMA])
+
+    return (images.select("image_id", "bytes", "fmt")
+            .mapInPandas(run, schema=_IQ_SCHEMA))
 
 
 def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:

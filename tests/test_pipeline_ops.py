@@ -742,6 +742,33 @@ def test_decode_stats_and_verify(spark):
     assert all(r.psnr_ok for r in v)
 
 
+def test_image_quality_stats_analytic(spark):
+    """Solid color -> zero entropy/std/sharpness; a 2-value
+    checkerboard -> entropy exactly 1 bit and known sharpness;
+    corrupt bytes land as ok=false rows."""
+    from esri_dump_spark.kernels.image import encode_image
+    solid = np.full((8, 8, 3), 77, dtype=np.uint8)
+    checker = np.zeros((8, 8, 3), dtype=np.uint8)
+    checker[(np.indices((8, 8)).sum(axis=0) % 2) == 1] = 255
+    rows = [("solid", encode_image(solid, "png"), "png"),
+            ("checker", encode_image(checker, "png"), "png"),
+            ("broken", b"not-an-image", "png")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary,"
+                               " fmt string")
+    got = {r.image_id: r for r in
+           M.image_quality_stats(df).collect()}
+    s = got["solid"]
+    assert s.ok and s.std_luma == 0.0 and s.entropy_bits == 0.0 \
+        and s.sharpness == 0.0 and s.mean_luma == pytest.approx(77.0)
+    c = got["checker"]
+    # two equally-likely luma values -> exactly 1 bit; every adjacent
+    # pair differs by 255 -> sharpness = 255 per axis, 510 total
+    assert c.ok and c.entropy_bits == pytest.approx(1.0)
+    assert c.mean_luma == pytest.approx(127.5)
+    assert c.sharpness == pytest.approx(510.0)
+    assert not got["broken"].ok and got["broken"].error
+
+
 def test_resize_images(spark):
     imgs = spark.createDataFrame(images_pdf(12, with_geo=False))
     out = M.resize_images(imgs, 8, 8).collect()
