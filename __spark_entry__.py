@@ -1557,10 +1557,14 @@ def oracle_sql() -> dict[str, str]:
                    {pmeta['n_phone']} AS n_phone,
                    {pmeta['redacted']} AS redacted
             FROM (SELECT doc_id,
-                         concat(text, ' contact u', doc_id,
-                                '@example.com from 10.0.',
-                                doc_id % 256, '.7 call 555-01',
-                                doc_id % 10) AS text
+                         -- || not concat(): DuckDB's concat SKIPS
+                         -- NULLs while Spark's propagates them; ||
+                         -- propagates in both, so a future NULL text
+                         -- degrades identically on both sides
+                         text || ' contact u' || doc_id ||
+                         '@example.com from 10.0.' ||
+                         (doc_id % 256) || '.7 call 555-01' ||
+                         (doc_id % 10) AS text
                   FROM documents) t""",
         "chunk_text": X.chunk_text_sql("doc_id", "text", 120,
                                        "documents"),

@@ -281,11 +281,16 @@ def repetition_signals_sql(text_col: str = "text") -> dict[str, str]:
 
 # ------------------------------------------------------------------ PII
 
-# shared Java-regex / RE2 syntax only (no lookaround, ASCII \b, explicit
-# classes) so Spark and DuckDB match byte-for-byte
+# shared Java-regex / RE2 syntax only: no lookaround, explicit classes,
+# and NO \b — the two dialects disagree on word boundaries next to
+# non-ASCII letters (Java's boundary is Unicode-aware, RE2's is ASCII),
+# so 'ü555-1234' would redact in one engine and not the other.
+# Boundary-free patterns over-match digit blobs instead of
+# under-matching PII — the safe direction for scrubbing, and
+# engine-identical on every input by construction
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
-_PII_PHONE = r"\b[0-9]{3}[- ][0-9]{3,4}\b"
+_PII_IP = r"[0-9]{1,3}(\.[0-9]{1,3}){3}"
+_PII_PHONE = r"[0-9]{3}[- ][0-9]{3,4}"
 _PII_ORDER = [("email", _PII_EMAIL, "<EMAIL>"),
               ("ip", _PII_IP, "<IP>"),
               ("phone", _PII_PHONE, "<PHONE>")]

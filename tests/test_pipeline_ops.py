@@ -675,6 +675,7 @@ def test_redact_pii_sequential_and_twin(spark):
         (3, "clean text with digits 123456789 but no pii"),
         (4, None),
         (5, "a1@b.co and 10.0.0.1 and 555-9999"),
+        (6, "résumé ü555-1234 café 1.2.3.4"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {r.doc_id: r.asDict() for r in X.redact_pii(df).collect()}
@@ -689,6 +690,10 @@ def test_redact_pii_sequential_and_twin(spark):
                for k in ("n_email", "n_ip", "n_phone", "redacted"))
     assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_phone"]) \
         == (1, 1, 1)
+    # non-ASCII neighbors: boundary-free patterns mean BOTH engines
+    # redact here (\b would split them — java Unicode vs RE2 ASCII)
+    assert got[6]["n_phone"] == 1 and got[6]["n_ip"] == 1
+    assert "<PHONE>" in got[6]["redacted"]
 
     con = duckdb.connect()
     con.sql("CREATE TABLE t (doc_id INT, text VARCHAR)")
@@ -705,7 +710,6 @@ def test_redact_pii_sequential_and_twin(spark):
 def test_chunk_text_windows(spark):
     """Chunks tile the text exactly; last chunk short; empty and NULL
     texts emit no rows; DuckDB twin produces identical rows."""
-    import pytest as _pytest
     rows = [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, None),
             (5, "x" * 9)]
     df = spark.createDataFrame(rows, "doc_id int, text string")
@@ -720,7 +724,7 @@ def test_chunk_text_windows(spark):
     for d, i, c in got:
         joined[d] = joined.get(d, "") + c
     assert joined == {1: "abcdefghij", 2: "abc", 5: "x" * 9}
-    with _pytest.raises(ValueError, match="positive"):
+    with pytest.raises(ValueError, match="positive"):
         X.chunk_text(df, "doc_id", "text", chunk_chars=0)
 
     con = duckdb.connect()
