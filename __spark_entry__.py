@@ -472,6 +472,25 @@ def q_chunk_text(spark, sf_dir):
     return X.chunk_text(docs, "doc_id", "text", chunk_chars=120)
 
 
+def q_top_quality(spark, sf_dir):
+    """Selection: keep the top 20% of documents per language by the
+    composite quality score (stop_ratio as high-resolution
+    tie-breaker, then doc_id). The cut is all-integer (rank * 100 <=
+    20 * group_count), so the twin reproduces the exact row set."""
+    from esri_dump_spark.operators.sample import top_percent
+    docs = X.quality_score(_t(spark, sf_dir, "documents"))
+    # composite quality has only 4 distinct values — rank on (quality,
+    # stop_ratio) packed into one struct-free expression by scaling:
+    # both are round(.,6) doubles, so a lexicographic ORDER BY pair is
+    # what the twin uses; top_percent takes one score column, so rank
+    # on quality and break ties by stop_ratio via the id ordering is
+    # NOT enough — combine them into a single deterministic score
+    scored = docs.withColumn(
+        "_score", F.col("quality") * 10 + F.col("stop_ratio"))
+    out = top_percent(scored, "_score", 20, "doc_id", by="lang")
+    return out.select("doc_id", "lang", "quality")
+
+
 def q_lang_id(spark, sf_dir):
     """Text: marker-word language ID + per-language counts."""
     docs = _t(spark, sf_dir, "documents")
@@ -1289,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
         "chunk_text": q_chunk_text,
+        "top_quality": q_top_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1545,6 +1565,22 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             SELECT {X.language_id_sql('text')} AS lang_pred, count(*) AS n
             FROM documents GROUP BY 1""",
+        # all-integer cut rank*100 <= 20*n; score = quality*10 +
+        # stop_ratio is plain IEEE double math, identical per engine
+        "top_quality": f"""
+            SELECT doc_id, lang, quality FROM (
+                SELECT doc_id, lang, quality,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY score DESC NULLS LAST,
+                                    doc_id ASC) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM (SELECT doc_id, lang,
+                             {qmeta['quality']} AS quality,
+                             {qmeta['quality']} * 10
+                                 + {qmeta['stop_ratio']} AS score
+                      FROM documents) q) t
+            WHERE rk * 100 <= 20 * n""",
         "repetition": f"""
             SELECT doc_id, {rmeta['n_lines']} AS n_lines,
                    {rmeta['dup_line_frac']} AS dup_line_frac,

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_u60", "split_assign", "sample_fraction",
            "stratified_sample", "mix_sources", "take_token_budget",
-           "leakage_safe_split"]
+           "leakage_safe_split", "top_percent"]
 
 _U60 = 1 << 60
 
@@ -243,3 +243,42 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
              .drop("_ls_rep"))
     return (split_assign(keyed, "_ls_key", weights, seed, split_col)
             .drop("_ls_key"))
+
+
+def top_percent(df: DataFrame, score_col: str, percent: int,
+                id_col: str, by: str | list[str] | None = None,
+                ascending: bool = False) -> DataFrame:
+    """Keep the top ``percent``% of rows by ``score_col`` (ties broken
+    by ``id_col`` ascending), globally or per ``by`` group — the
+    percentile form of a quality filter ("keep the best 20% per
+    language"). The cut is ALL-INTEGER: a row survives iff
+    ``rank * 100 <= percent * group_count``, so any SQL engine
+    reproduces the exact row set — no float percentile thresholds.
+    ``ascending=True`` keeps the smallest scores instead ("drop the
+    20% most repetitive" composes as keep bottom 80%).
+
+    One window over the (optional) group key: rank and count ride the
+    same keyed exchange; the global form single-partitions the sort
+    like any total-order SQL window — scope with ``by`` at scale.
+    NULL scores sort last in BOTH directions (never admitted unless
+    the cut reaches them), mirrored by the twin's NULLS LAST.
+    """
+    if not isinstance(percent, int) or isinstance(percent, bool) \
+            or not 0 <= percent <= 100:
+        raise ValueError("percent must be an integer in [0, 100]")
+    for c in ("_tp_rank", "_tp_n"):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
+    keys = ([] if by is None else
+            ([by] if isinstance(by, str) else list(by)))
+    order = (F.col(score_col).asc_nulls_last() if ascending
+             else F.col(score_col).desc_nulls_last())
+    w = Window.partitionBy(*keys).orderBy(order, F.col(id_col).asc())
+    wn = (Window.partitionBy(*keys)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    return (df.withColumn("_tp_rank", F.row_number().over(w))
+            .withColumn("_tp_n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("_tp_rank") * 100
+                    <= F.lit(int(percent)) * F.col("_tp_n"))
+            .drop("_tp_rank", "_tp_n"))

@@ -56,7 +56,8 @@ def test_jvm_only_operators_have_no_python_node(spark, sf_dir):
                  "sessionize_window", "ngram_jaccard", "emb_near_dup",
                  "embedding_norms", "salted_agg", "salted_join",
                  "mix_sources", "token_budget", "decontaminate",
-                 "repetition", "redact_pii", "chunk_text"):
+                 "repetition", "redact_pii", "chunk_text",
+                 "top_quality"):
         plan = _physical(E.queries()[name](spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "MapInPandas" not in plan, f"{name} has a Python stage"

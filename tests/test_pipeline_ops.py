@@ -1244,6 +1244,49 @@ def test_decontaminate_brute_force(spark):
     assert got_n == exp
 
 
+def test_top_percent_integer_cut(spark):
+    """The survivor set is exactly {rank*100 <= p*n} per group, with
+    desc/asc modes, NULL scores never admitted early, and percent
+    edges 0/100."""
+    from esri_dump_spark.operators.sample import top_percent
+    import pytest
+    rows = [(i, "g1" if i < 10 else "g2",
+             None if i % 7 == 3 else float((i * 13) % 20))
+            for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, sc double")
+
+    def brute(p, asc):
+        keep = set()
+        for g in ("g1", "g2"):
+            grp = [r for r in rows if r[1] == g]
+            key = (lambda r: ((r[2] is None), r[2] if not asc else r[2],
+                              r[0]))
+            # sort: non-null first by score (desc or asc), ties id asc,
+            # nulls last
+            grp.sort(key=lambda r: ((r[2] is None),
+                                    (r[2] if asc else -r[2])
+                                    if r[2] is not None else 0.0,
+                                    r[0]))
+            n = len(grp)
+            keep |= {r[0] for rk, r in enumerate(grp, 1)
+                     if rk * 100 <= p * n}
+        return keep
+
+    for p, asc in ((20, False), (40, True), (0, False), (100, False)):
+        got = {r.doc_id for r in
+               top_percent(df, "sc", p, "doc_id", by="grp",
+                           ascending=asc).collect()}
+        assert got == brute(p, asc), (p, asc)
+    # global (no by): single ordered cut
+    got = {r.doc_id for r in
+           top_percent(df, "sc", 100, "doc_id").collect()}
+    assert got == {r[0] for r in rows}
+    with pytest.raises(ValueError, match="percent"):
+        top_percent(df, "sc", 20.5, "doc_id")
+    with pytest.raises(ValueError, match="percent"):
+        top_percent(df, "sc", 101, "doc_id")
+
+
 def test_leakage_safe_split_components_share_split(spark):
     """Every member of a near-dup component gets its representative's
     split label; singletons get exactly split_assign's label; a
