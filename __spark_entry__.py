@@ -833,6 +833,20 @@ def q_leakage_safe_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def q_govern_corpus(spark, sf_dir):
+    """The 4-stage governance pipeline (quality gate -> repetition
+    gate -> decontamination vs the doc_id%7 eval slice -> split
+    labels) as ONE lazy plan, hash-checked against a single DuckDB
+    CTE — the governance counterpart of corpus_clean's joint
+    correctness statement."""
+    from esri_dump_spark.operators.pipeline import govern_corpus
+    docs = _t(spark, sf_dir, "documents")
+    out = govern_corpus(docs.filter(F.col("doc_id") % 7 != 0),
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        split_seed="gv")
+    return out.select("doc_id", "split")
+
+
 def q_topfeatures_extract(spark, sf_dir):
     """S5: /queryTopFeatures endpoint semantics — the per-group top-k
     reduction happens SERVER-side during paging (reference swaps only
@@ -1309,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "chunk_text": q_chunk_text,
         "top_quality": q_top_quality,
+        "govern_corpus": q_govern_corpus,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1900,9 +1915,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'other' END AS style_class, count(*) AS n
             FROM part GROUP BY 1""",
     }
-    from esri_dump_spark.operators.pipeline import clean_corpus_oracle_sql
+    from esri_dump_spark.operators.pipeline import (
+        clean_corpus_oracle_sql, govern_corpus_oracle_sql)
     oracles["corpus_clean"] = clean_corpus_oracle_sql(
         min_quality=0.8, jaccard_threshold=0.6)
+    oracles["govern_corpus"] = govern_corpus_oracle_sql(
+        train_pred="doc_id % 7 <> 0", eval_pred="doc_id % 7 = 0",
+        split_seed="gv")
     oracles["minhash_cluster_dedup"] = \
         D.minhash_cluster_dedup_oracle_sql(threshold=0.6)
     oracles["leakage_safe_split"] = \

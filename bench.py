@@ -84,7 +84,7 @@ def run_headline(spark) -> dict[str, float]:
         "interval_attrib", "split_assign", "stratified_sample",
         "mix_sources", "token_budget", "decontaminate",
         "leakage_safe_split", "repetition", "redact_pii", "chunk_text",
-        "image_quality", "top_quality",
+        "image_quality", "top_quality", "govern_corpus",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from . import dedup as D
 from . import text as X
 
-__all__ = ["clean_corpus", "clean_corpus_oracle_sql", "clean_images"]
+__all__ = ["clean_corpus", "clean_corpus_oracle_sql", "clean_images",
+           "govern_corpus", "govern_corpus_oracle_sql"]
 
 
 def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
@@ -110,3 +111,108 @@ def clean_corpus_oracle_sql(id_col: str = "doc_id",
         SELECT {id_col} FROM _exd
         WHERE {id_col} NOT IN (SELECT {id_col} FROM _losers)
         ORDER BY {id_col}"""
+
+
+def govern_corpus(docs: DataFrame, eval_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_quality: float = 0.8,
+                  max_dup_word_frac: float = 0.6,
+                  decontam_n: int = 4,
+                  split_seed: str = "",
+                  split_col: str = "split") -> DataFrame:
+    """The governance counterpart of ``clean_corpus`` — the four
+    stages a corpus passes AFTER cleaning, again as ONE lazy plan:
+
+    1. quality gate      — composite heuristic >= min_quality;
+    2. repetition gate   — dup_word_frac <= max (word-less docs have
+                           a NULL fraction and drop, in both engines,
+                           via three-valued <=);
+    3. decontamination   — any shared word n-gram with ``eval_df``
+                           anti-joins the doc out (60-bit gram
+                           hashes; eval side broadcasts);
+    4. deterministic split — md5-u60 threshold labels on the id.
+
+    Every stage is expression-twinned, so the full chain is oracled
+    by one DuckDB CTE (``govern_corpus_oracle_sql``): a single hash
+    over (id, split) validates all four semantics jointly. Returns
+    the surviving rows with their original columns plus
+    ``split_col``.
+    """
+    from .sample import split_assign
+    cols = docs.columns
+    clash = ({"quality", "n_chars_t", "n_words", "punct_ratio",
+              "stop_ratio", "n_lines", "dup_line_frac",
+              "dup_word_frac", "top_word_frac", split_col}
+             & set(cols))
+    if clash:
+        raise ValueError(
+            f"govern_corpus: input columns {sorted(clash)} collide "
+            "with stage outputs; rename them first")
+    q = X.quality_score(docs).filter(
+        F.col("quality") >= min_quality).select(*cols)
+    r = X.repetition_signals(q).filter(
+        F.col("dup_word_frac") <= max_dup_word_frac).select(*cols)
+    clean = D.decontaminate(r, eval_df, id_col, text_col,
+                            n=decontam_n, mode="filter")
+    return split_assign(clean, id_col, seed=split_seed,
+                        split_col=split_col)
+
+
+def govern_corpus_oracle_sql(id_col: str = "doc_id",
+                             text_col: str = "text",
+                             table: str = "documents",
+                             train_pred: str = "TRUE",
+                             eval_pred: str = "FALSE",
+                             min_quality: float = 0.8,
+                             max_dup_word_frac: float = 0.6,
+                             decontam_n: int = 4,
+                             split_seed: str = "",
+                             weights: dict[str, float] | None = None
+                             ) -> str:
+    """DuckDB twin of ``govern_corpus`` where train/eval are the rows
+    of ``table`` satisfying ``train_pred`` / ``eval_pred``. Returns
+    (id, split) for the surviving rows."""
+    from .sample import _thresholds
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    whens = " ".join(f"WHEN hv < {thr} THEN '{label}'"
+                     for label, thr in _thresholds(weights))
+    quality = X.quality_score_sql(text_col)["quality"]
+    dupw = X.repetition_signals_sql(text_col)["dup_word_frac"]
+    n = decontam_n
+    gram = (f"array_to_string(list_slice(w, i, i + {n - 1}), ' ')")
+    hash60 = ("CAST(CAST(concat('0x', substr(md5(gram || ':'), 1, 15))"
+              " AS UBIGINT) AS BIGINT)")
+    return f"""
+        WITH _qual AS (
+            SELECT {id_col}, {text_col} FROM {table}
+            WHERE ({train_pred}) AND {quality} >= {min_quality}),
+        _rep AS (
+            SELECT {id_col}, {text_col} FROM _qual
+            WHERE {dupw} <= {max_dup_word_frac}),
+        _tw AS (SELECT {id_col},
+                       string_split(lower({text_col}), ' ') AS w
+                FROM _rep),
+        _tg AS (SELECT DISTINCT {id_col}, {gram} AS gram
+                FROM _tw, UNNEST(generate_series(1,
+                     greatest(len(w) - {n - 1}, 1))) AS _gi(i)),
+        _ew AS (SELECT string_split(lower({text_col}), ' ') AS w
+                FROM {table} WHERE ({eval_pred})
+                  AND {text_col} IS NOT NULL),
+        _eg AS (SELECT DISTINCT {gram} AS gram
+                FROM _ew, UNNEST(generate_series(1,
+                     greatest(len(w) - {n - 1}, 1))) AS _gi(i)),
+        _eh AS (SELECT DISTINCT {hash60} AS gh FROM _eg),
+        _th AS (SELECT {id_col}, {hash60} AS gh FROM _tg),
+        _dirty AS (SELECT DISTINCT {id_col}
+                   FROM _th JOIN _eh USING (gh)),
+        _clean AS (SELECT {id_col} FROM _rep
+                   WHERE {id_col} NOT IN
+                         (SELECT {id_col} FROM _dirty)),
+        _h AS (SELECT {id_col},
+                      CAST(CAST(concat('0x', substr(md5(
+                           CAST({id_col} AS VARCHAR) || ':' ||
+                           '{split_seed}'), 1, 15)) AS UBIGINT)
+                           AS BIGINT) AS hv
+               FROM _clean)
+        SELECT {id_col}, CASE {whens} END AS split FROM _h"""

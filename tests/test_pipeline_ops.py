@@ -735,6 +735,34 @@ def test_chunk_text_windows(spark):
     assert oracle == got
 
 
+def test_govern_corpus_stage_semantics(spark, sf_dir):
+    """Every survivor individually passes each gate (quality,
+    repetition, decontamination) and carries a valid split label;
+    stage-output column collisions refuse loudly."""
+    from esri_dump_spark.operators.pipeline import govern_corpus
+    from esri_dump_spark.operators.dedup import decontaminate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter("doc_id % 7 != 0")
+    ev = docs.filter("doc_id % 7 = 0")
+    out = govern_corpus(train, ev, split_seed="t")
+    rows = out.collect()
+    assert rows and all(r.split in ("train", "val", "test")
+                        for r in rows)
+    ids = {r.doc_id for r in rows}
+    # survivors pass the standalone gates
+    q = {r.doc_id for r in
+         X.quality_score(train).filter("quality >= 0.8").collect()}
+    rep = {r.doc_id for r in
+           X.repetition_signals(train)
+           .filter("dup_word_frac <= 0.6").collect()}
+    dirty = {r.doc_id for r in
+             decontaminate(train, ev, "doc_id", "text", n=4).collect()}
+    assert ids == (q & rep) - dirty
+    import pytest
+    with pytest.raises(ValueError, match="collide"):
+        govern_corpus(train.withColumn("quality", F.lit(1.0)), ev)
+
+
 def test_decode_stats_and_verify(spark):
     imgs = spark.createDataFrame(images_pdf(80, with_geo=False))
     stats = M.decode_stats(imgs).collect()
