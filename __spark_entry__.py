@@ -473,18 +473,15 @@ def q_chunk_text(spark, sf_dir):
 
 
 def q_top_quality(spark, sf_dir):
-    """Selection: keep the top 20% of documents per language by the
-    composite quality score (stop_ratio as high-resolution
-    tie-breaker, then doc_id). The cut is all-integer (rank * 100 <=
-    20 * group_count), so the twin reproduces the exact row set."""
+    """Selection: keep the top 20% of documents per language by a
+    weighted COMPOSITE score, 10*quality + stop_ratio (quality alone
+    has only 4 distinct values, so stop_ratio spreads the ties; it is
+    a weighted blend, NOT a strict lexicographic order — a stop_ratio
+    above the 10/3 quality step can outrank, which is fine: both
+    engines compute the identical IEEE double). The cut is
+    all-integer (rank * 100 <= 20 * group_count), ties by doc_id."""
     from esri_dump_spark.operators.sample import top_percent
     docs = X.quality_score(_t(spark, sf_dir, "documents"))
-    # composite quality has only 4 distinct values — rank on (quality,
-    # stop_ratio) packed into one struct-free expression by scaling:
-    # both are round(.,6) doubles, so a lexicographic ORDER BY pair is
-    # what the twin uses; top_percent takes one score column, so rank
-    # on quality and break ties by stop_ratio via the id ordering is
-    # NOT enough — combine them into a single deterministic score
     scored = docs.withColumn(
         "_score", F.col("quality") * 10 + F.col("stop_ratio"))
     out = top_percent(scored, "_score", 20, "doc_id", by="lang")

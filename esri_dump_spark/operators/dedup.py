@@ -390,14 +390,12 @@ def leakage_safe_split_oracle_sql(id_col: str = "doc_id",
     transitive closure yields each document's component representative
     (minimum reachable id; singletons coalesce to themselves), then
     the split CASE compares the md5 low-60-bit hash of the REP against
-    the same integer thresholds ``split_assign`` embeds. The CASE has
-    no ELSE, mirroring Spark's when-chain (a NULL id yields a NULL
-    label in both engines)."""
-    from .sample import _thresholds
-    if weights is None:
-        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
-    whens = " ".join(f"WHEN hv < {thr} THEN '{label}'"
-                     for label, thr in _thresholds(weights))
+    the same integer thresholds ``split_assign`` embeds (via the
+    shared ``hash_u60_sql`` / ``split_case_sql`` helpers — one SQL
+    spelling of each derivation). The CASE has no ELSE, mirroring
+    Spark's when-chain (a NULL id yields a NULL label in both
+    engines)."""
+    from .sample import hash_u60_sql, split_case_sql
     band_eq = minhash_band_predicate_sql(num_hashes, bands)
     matches = minhash_match_count_sql(num_hashes)
     return f"""
@@ -420,12 +418,12 @@ def leakage_safe_split_oracle_sql(id_col: str = "doc_id",
         _rep AS (SELECT src AS {id_col}, min(dst) AS rep
                  FROM _reach GROUP BY src),
         _h AS (SELECT t.{id_col},
-                      CAST(CAST(concat('0x', substr(md5(
-                           CAST(coalesce(r.rep, t.{id_col}) AS VARCHAR)
-                           || ':' || '{seed}'), 1, 15)) AS UBIGINT)
-                           AS BIGINT) AS hv
+                      {hash_u60_sql(
+                          f'CAST(coalesce(r.rep, t.{id_col})'
+                          f' AS VARCHAR)', seed)} AS hv
                FROM {table} t LEFT JOIN _rep r USING ({id_col}))
-        SELECT {id_col}, CASE {whens} END AS split FROM _h"""
+        SELECT {id_col}, {split_case_sql('hv', weights)} AS split
+        FROM _h"""
 
 
 # --------------------------------------------------------------- simhash

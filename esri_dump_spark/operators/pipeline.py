@@ -119,7 +119,9 @@ def govern_corpus(docs: DataFrame, eval_df: DataFrame,
                   max_dup_word_frac: float = 0.6,
                   decontam_n: int = 4,
                   split_seed: str = "",
-                  split_col: str = "split") -> DataFrame:
+                  split_col: str = "split",
+                  weights: dict[str, float] | None = None
+                  ) -> DataFrame:
     """The governance counterpart of ``clean_corpus`` — the four
     stages a corpus passes AFTER cleaning, again as ONE lazy plan:
 
@@ -154,8 +156,8 @@ def govern_corpus(docs: DataFrame, eval_df: DataFrame,
         F.col("dup_word_frac") <= max_dup_word_frac).select(*cols)
     clean = D.decontaminate(r, eval_df, id_col, text_col,
                             n=decontam_n, mode="filter")
-    return split_assign(clean, id_col, seed=split_seed,
-                        split_col=split_col)
+    return split_assign(clean, id_col, weights=weights,
+                        seed=split_seed, split_col=split_col)
 
 
 def govern_corpus_oracle_sql(id_col: str = "doc_id",
@@ -171,18 +173,19 @@ def govern_corpus_oracle_sql(id_col: str = "doc_id",
                              ) -> str:
     """DuckDB twin of ``govern_corpus`` where train/eval are the rows
     of ``table`` satisfying ``train_pred`` / ``eval_pred``. Returns
-    (id, split) for the surviving rows."""
-    from .sample import _thresholds
-    if weights is None:
-        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
-    whens = " ".join(f"WHEN hv < {thr} THEN '{label}'"
-                     for label, thr in _thresholds(weights))
+    (id, split) for the surviving rows. The gram hash and split CASE
+    come from the shared ``hash_u60_sql`` / ``split_case_sql``
+    helpers (one SQL spelling of each oracle-critical derivation);
+    the anti-join is ``NOT EXISTS`` — NOT ``NOT IN``, whose
+    three-valued logic would drop survivors (or empty the whole
+    output) whenever a NULL id reaches either side, diverging from
+    Spark's left_anti."""
+    from .sample import hash_u60_sql, split_case_sql
     quality = X.quality_score_sql(text_col)["quality"]
     dupw = X.repetition_signals_sql(text_col)["dup_word_frac"]
     n = decontam_n
     gram = (f"array_to_string(list_slice(w, i, i + {n - 1}), ' ')")
-    hash60 = ("CAST(CAST(concat('0x', substr(md5(gram || ':'), 1, 15))"
-              " AS UBIGINT) AS BIGINT)")
+    hash60 = hash_u60_sql("gram")
     return f"""
         WITH _qual AS (
             SELECT {id_col}, {text_col} FROM {table}
@@ -206,13 +209,12 @@ def govern_corpus_oracle_sql(id_col: str = "doc_id",
         _th AS (SELECT {id_col}, {hash60} AS gh FROM _tg),
         _dirty AS (SELECT DISTINCT {id_col}
                    FROM _th JOIN _eh USING (gh)),
-        _clean AS (SELECT {id_col} FROM _rep
-                   WHERE {id_col} NOT IN
-                         (SELECT {id_col} FROM _dirty)),
+        _clean AS (SELECT r.{id_col} FROM _rep r
+                   WHERE NOT EXISTS (SELECT 1 FROM _dirty d
+                                     WHERE d.{id_col} = r.{id_col})),
         _h AS (SELECT {id_col},
-                      CAST(CAST(concat('0x', substr(md5(
-                           CAST({id_col} AS VARCHAR) || ':' ||
-                           '{split_seed}'), 1, 15)) AS UBIGINT)
-                           AS BIGINT) AS hv
+                      {hash_u60_sql(f'CAST({id_col} AS VARCHAR)',
+                                    split_seed)} AS hv
                FROM _clean)
-        SELECT {id_col}, CASE {whens} END AS split FROM _h"""
+        SELECT {id_col}, {split_case_sql('hv', weights)} AS split
+        FROM _h"""

@@ -261,7 +261,8 @@ def top_percent(df: DataFrame, score_col: str, percent: int,
     same keyed exchange; the global form single-partitions the sort
     like any total-order SQL window — scope with ``by`` at scale.
     NULL scores sort last in BOTH directions (never admitted unless
-    the cut reaches them), mirrored by the twin's NULLS LAST.
+    the cut reaches them), and NULL ids sort last within score ties —
+    both mirroring DuckDB's ASC/DESC NULLS LAST defaults.
     """
     if not isinstance(percent, int) or isinstance(percent, bool) \
             or not 0 <= percent <= 100:
@@ -273,7 +274,11 @@ def top_percent(df: DataFrame, score_col: str, percent: int,
             ([by] if isinstance(by, str) else list(by)))
     order = (F.col(score_col).asc_nulls_last() if ascending
              else F.col(score_col).desc_nulls_last())
-    w = Window.partitionBy(*keys).orderBy(order, F.col(id_col).asc())
+    # asc_nulls_last, not asc(): Spark's ASC is NULLS FIRST while
+    # DuckDB's is NULLS LAST — a NULL id among tied scores would
+    # otherwise pick different survivors per engine
+    w = Window.partitionBy(*keys).orderBy(order,
+                                          F.col(id_col).asc_nulls_last())
     wn = (Window.partitionBy(*keys)
           .rowsBetween(Window.unboundedPreceding,
                        Window.unboundedFollowing))
@@ -282,3 +287,32 @@ def top_percent(df: DataFrame, score_col: str, percent: int,
             .filter(F.col("_tp_rank") * 100
                     <= F.lit(int(percent)) * F.col("_tp_n"))
             .drop("_tp_rank", "_tp_n"))
+
+
+def _sql_quote(s: str) -> str:
+    """Escape a python string for embedding in a single-quoted SQL
+    literal (doubling quotes — valid in DuckDB and ANSI SQL)."""
+    return str(s).replace("'", "''")
+
+
+def hash_u60_sql(value_expr: str, seed: str = "") -> str:
+    """The DuckDB twin of ``hash_u60`` over an arbitrary SQL
+    expression — THE one place the low-60-bit md5 derivation is
+    spelled in SQL, so oracles cannot drift from each other."""
+    return (f"CAST(CAST(concat('0x', substr(md5({value_expr}"
+            f" || ':' || '{_sql_quote(seed)}'), 1, 15)) AS UBIGINT)"
+            f" AS BIGINT)")
+
+
+def split_case_sql(hv_expr: str,
+                   weights: dict[str, float] | None = None) -> str:
+    """The DuckDB twin of ``split_assign``'s label CASE over a hash
+    expression: the same integer thresholds, no ELSE (a NULL hash
+    yields a NULL label in both engines). Generated from
+    ``_thresholds`` so the two implementations share the literals."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    whens = " ".join(
+        f"WHEN {hv_expr} < {thr} THEN '{_sql_quote(label)}'"
+        for label, thr in _thresholds(weights))
+    return f"CASE {whens} END"

@@ -1283,12 +1283,10 @@ def test_top_percent_integer_cut(spark):
             for i in range(25)]
     df = spark.createDataFrame(rows, "doc_id int, grp string, sc double")
 
-    def brute(p, asc):
+    def brute(p, asc, groups=("g1", "g2")):
         keep = set()
-        for g in ("g1", "g2"):
-            grp = [r for r in rows if r[1] == g]
-            key = (lambda r: ((r[2] is None), r[2] if not asc else r[2],
-                              r[0]))
+        for g in groups:
+            grp = [r for r in rows if g is None or r[1] == g]
             # sort: non-null first by score (desc or asc), ties id asc,
             # nulls last
             grp.sort(key=lambda r: ((r[2] is None),
@@ -1305,7 +1303,11 @@ def test_top_percent_integer_cut(spark):
                top_percent(df, "sc", p, "doc_id", by="grp",
                            ascending=asc).collect()}
         assert got == brute(p, asc), (p, asc)
-    # global (no by): single ordered cut
+    # global (no by): a REAL cut over the single total order — p=100
+    # alone would pass trivially and never exercise the global window
+    got = {r.doc_id for r in
+           top_percent(df, "sc", 20, "doc_id").collect()}
+    assert got == brute(20, False, groups=(None,))
     got = {r.doc_id for r in
            top_percent(df, "sc", 100, "doc_id").collect()}
     assert got == {r[0] for r in rows}
@@ -1313,6 +1315,12 @@ def test_top_percent_integer_cut(spark):
         top_percent(df, "sc", 20.5, "doc_id")
     with pytest.raises(ValueError, match="percent"):
         top_percent(df, "sc", 101, "doc_id")
+    # NULL id among tied scores loses the tie (NULLS LAST, matching
+    # DuckDB's ASC default — Spark's bare .asc() is NULLS FIRST)
+    tie = spark.createDataFrame([(None, "g", 5.0), (1, "g", 5.0)],
+                                "doc_id int, grp string, sc double")
+    kept = top_percent(tie, "sc", 50, "doc_id", by="grp").collect()
+    assert [r.doc_id for r in kept] == [1]
 
 
 def test_leakage_safe_split_components_share_split(spark):
