@@ -844,6 +844,17 @@ def q_govern_corpus(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def q_dedup_report(spark, sf_dir):
+    """Dedup observability: near-dup cluster-size histogram including
+    singleton (untouched) docs — the look-before-you-dedup report.
+    Oracled: recursive-CTE component sizes + total-minus-labeled
+    singleton arithmetic."""
+    out = D.cluster_size_histogram(_t(spark, sf_dir, "documents"),
+                                   "doc_id", "text", threshold=0.6,
+                                   band_key="exact")
+    return out.select("cluster_size", "n_clusters")
+
+
 def q_topfeatures_extract(spark, sf_dir):
     """S5: /queryTopFeatures endpoint semantics — the per-group top-k
     reduction happens SERVER-side during paging (reference swaps only
@@ -1321,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "top_quality": q_top_quality,
         "govern_corpus": q_govern_corpus,
+        "dedup_report": q_dedup_report,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1923,6 +1935,8 @@ def oracle_sql() -> dict[str, str]:
         D.minhash_cluster_dedup_oracle_sql(threshold=0.6)
     oracles["leakage_safe_split"] = \
         D.leakage_safe_split_oracle_sql(threshold=0.6, seed="ls")
+    oracles["dedup_report"] = \
+        D.cluster_size_histogram_oracle_sql(threshold=0.6)
     # both extraction strategies must produce the identical id set:
     # all features minus the decode-filtered attribute-only rows
     # (i % 97 == 5), exactly once

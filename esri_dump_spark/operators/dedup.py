@@ -36,6 +36,7 @@ __all__ = [
     "ngram_jaccard_pairs", "word_grams", "decontaminate",
     "embedding_near_dup", "phash_near_dup",
     "phash_cluster_dedup", "crossmodal_near_dup",
+    "cluster_size_histogram", "cluster_size_histogram_oracle_sql",
 ]
 
 
@@ -1083,3 +1084,80 @@ def phash_cluster_dedup(images: DataFrame, id_col: str = "image_id",
     losers = (labels.filter(F.col("rep") != F.col("id"))
               .select(F.col("id").alias(id_col)))
     return images.join(losers, id_col, "left_anti")
+
+
+def cluster_size_histogram(df: DataFrame, id_col: str, text_col: str,
+                           threshold: float = 0.8,
+                           **lsh_kw) -> DataFrame:
+    """Dedup observability: the distribution of near-duplicate
+    cluster sizes — ``(cluster_size, n_clusters)`` rows, where
+    size-1 clusters are the documents untouched by any LSH pair.
+    The first thing to look at before committing to a dedup pass:
+    a heavy tail here means a boilerplate template is eating the
+    corpus; all-singletons means the threshold is too tight.
+
+    Plan: the LSH pair graph and label propagation run over near-dup
+    volume only; the histogram is two tiny aggregations of the label
+    table, and the singleton count is corpus_total - labeled_total
+    (two 1-row aggregates joined) — no full-corpus shuffle beyond
+    the signature pass. Extra kwargs pass to ``minhash_lsh_pairs``.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col,
+                              threshold=threshold, **lsh_kw)
+    labels = component_min_labels(pairs)
+    hist = (labels.groupBy("rep")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+    singles = (df.agg(F.count(F.lit(1)).alias("_tot"))
+               .join(labels.agg(F.count(F.lit(1)).alias("_lab")))
+               .select((F.lit(1)).cast("long").alias("cluster_size"),
+                       (F.col("_tot") - F.col("_lab")).alias(
+                           "n_clusters"))
+               .filter(F.col("n_clusters") > 0))
+    return hist.unionByName(singles)
+
+
+def cluster_size_histogram_oracle_sql(id_col: str = "doc_id",
+                                      text_col: str = "text",
+                                      table: str = "documents",
+                                      num_hashes: int = 64,
+                                      bands: int = 16,
+                                      shingle_n: int = 5,
+                                      threshold: float = 0.6) -> str:
+    """DuckDB twin of ``cluster_size_histogram``: component sizes via
+    the recursive-CTE closure, singletons via the total-minus-labeled
+    difference."""
+    band_eq = minhash_band_predicate_sql(num_hashes, bands)
+    matches = minhash_match_count_sql(num_hashes)
+    return f"""
+        WITH RECURSIVE
+        {minhash_sql_cte(id_col, text_col, table, num_hashes,
+                         shingle_n).lstrip()},
+        _pairs AS (
+            SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+            FROM _ms a JOIN _ms b
+              ON a.{id_col} < b.{id_col} AND ({band_eq})
+            WHERE {matches} * 1.0 / {num_hashes} >= {threshold}),
+        _und AS (SELECT id_a, id_b FROM _pairs
+                 UNION ALL
+                 SELECT id_b, id_a FROM _pairs),
+        _reach(src, dst) AS (
+            SELECT id_a, id_a FROM _und GROUP BY id_a
+            UNION
+            SELECT r.src, u.id_b FROM _reach r
+            JOIN _und u ON r.dst = u.id_a),
+        _rep AS (SELECT src AS {id_col}, min(dst) AS rep
+                 FROM _reach GROUP BY src),
+        _sizes AS (SELECT rep, count(*) AS cluster_size
+                   FROM _rep GROUP BY rep),
+        _hist AS (SELECT cluster_size, count(*) AS n_clusters
+                  FROM _sizes GROUP BY cluster_size),
+        _single AS (
+            SELECT CAST(1 AS BIGINT) AS cluster_size,
+                   (SELECT count(*) FROM {table})
+                 - (SELECT count(*) FROM _rep) AS n_clusters)
+        SELECT cluster_size, n_clusters FROM _hist
+        UNION ALL
+        SELECT cluster_size, n_clusters FROM _single
+        WHERE n_clusters > 0"""

@@ -1323,6 +1323,31 @@ def test_top_percent_integer_cut(spark):
     assert [r.doc_id for r in kept] == [1]
 
 
+def test_cluster_size_histogram_counts(spark):
+    """Known component structure -> exact histogram rows; singleton
+    bucket = corpus minus labeled docs; no size-1 row when every doc
+    is clustered."""
+    from esri_dump_spark.operators.dedup import cluster_size_histogram
+    t3 = "the quick brown fox jumps over the lazy dog again " * 4
+    t2 = "pack my box with five dozen liquor jugs tonight ok " * 4
+    rows = ([(i, t3) for i in (1, 2, 3)] + [(i, t2) for i in (10, 11)]
+            + [(20, "a singleton document unlike all of the others"),
+               (21, "another lonely text with no duplicate partner")])
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.cluster_size: r.n_clusters for r in
+           cluster_size_histogram(df, "doc_id", "text", threshold=0.6,
+                                  band_key="exact").collect()}
+    assert got == {3: 1, 2: 1, 1: 2}
+    # fully-clustered corpus: the singleton row is suppressed
+    full = spark.createDataFrame([(i, t3) for i in (1, 2)],
+                                 "doc_id int, text string")
+    got2 = {r.cluster_size: r.n_clusters for r in
+            cluster_size_histogram(full, "doc_id", "text",
+                                   threshold=0.6,
+                                   band_key="exact").collect()}
+    assert got2 == {2: 1}
+
+
 def test_leakage_safe_split_components_share_split(spark):
     """Every member of a near-dup component gets its representative's
     split label; singletons get exactly split_assign's label; a
