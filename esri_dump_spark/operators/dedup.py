@@ -340,23 +340,18 @@ def component_min_labels(pairs: DataFrame, max_iter: int = 200) -> DataFrame:
         "(pathological chain — raise max_iter)")
 
 
-def minhash_cluster_dedup_oracle_sql(id_col: str = "doc_id",
-                                     text_col: str = "text",
-                                     table: str = "documents",
-                                     num_hashes: int = 64,
-                                     bands: int = 16,
-                                     shingle_n: int = 5,
-                                     threshold: float = 0.6) -> str:
-    """DuckDB twin of ``minhash_dedup(connected=True)``: surviving ids
-    after removing every non-minimum member of each connected
-    component, computed via a recursive-CTE transitive closure over
-    the LSH pair graph."""
+def components_sql_cte(id_col: str = "doc_id",
+                       num_hashes: int = 64, bands: int = 16,
+                       threshold: float = 0.6) -> str:
+    """THE one SQL spelling of the LSH-pair connected-components
+    closure (same discipline as ``hash_u60_sql``/``split_case_sql``):
+    CTE fragments ``_pairs``/``_und``/``_reach``/``_rep`` over an
+    in-scope ``_ms`` signature relation, yielding ``_rep(id, rep)``
+    with rep = the minimum reachable id. Callers must open WITH
+    RECURSIVE and include ``minhash_sql_cte`` first."""
     band_eq = minhash_band_predicate_sql(num_hashes, bands)
     matches = minhash_match_count_sql(num_hashes)
     return f"""
-        WITH RECURSIVE
-        {minhash_sql_cte(id_col, text_col, table, num_hashes,
-                         shingle_n).lstrip()},
         _pairs AS (
             SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
             FROM _ms a JOIN _ms b
@@ -371,7 +366,25 @@ def minhash_cluster_dedup_oracle_sql(id_col: str = "doc_id",
             SELECT r.src, u.id_b FROM _reach r
             JOIN _und u ON r.dst = u.id_a),
         _rep AS (SELECT src AS {id_col}, min(dst) AS rep
-                 FROM _reach GROUP BY src),
+                 FROM _reach GROUP BY src)"""
+
+
+def minhash_cluster_dedup_oracle_sql(id_col: str = "doc_id",
+                                     text_col: str = "text",
+                                     table: str = "documents",
+                                     num_hashes: int = 64,
+                                     bands: int = 16,
+                                     shingle_n: int = 5,
+                                     threshold: float = 0.6) -> str:
+    """DuckDB twin of ``minhash_dedup(connected=True)``: surviving ids
+    after removing every non-minimum member of each connected
+    component, computed via the shared recursive-CTE closure."""
+    return f"""
+        WITH RECURSIVE
+        {minhash_sql_cte(id_col, text_col, table, num_hashes,
+                         shingle_n).lstrip()},
+        {components_sql_cte(id_col, num_hashes, bands,
+                            threshold).lstrip()},
         _losers AS (SELECT {id_col} FROM _rep WHERE rep <> {id_col})
         SELECT {id_col} FROM {table}
         WHERE {id_col} NOT IN (SELECT {id_col} FROM _losers)
@@ -397,27 +410,12 @@ def leakage_safe_split_oracle_sql(id_col: str = "doc_id",
     Spark's when-chain (a NULL id yields a NULL label in both
     engines)."""
     from .sample import hash_u60_sql, split_case_sql
-    band_eq = minhash_band_predicate_sql(num_hashes, bands)
-    matches = minhash_match_count_sql(num_hashes)
     return f"""
         WITH RECURSIVE
         {minhash_sql_cte(id_col, text_col, table, num_hashes,
                          shingle_n).lstrip()},
-        _pairs AS (
-            SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
-            FROM _ms a JOIN _ms b
-              ON a.{id_col} < b.{id_col} AND ({band_eq})
-            WHERE {matches} * 1.0 / {num_hashes} >= {threshold}),
-        _und AS (SELECT id_a, id_b FROM _pairs
-                 UNION ALL
-                 SELECT id_b, id_a FROM _pairs),
-        _reach(src, dst) AS (
-            SELECT id_a, id_a FROM _und GROUP BY id_a
-            UNION
-            SELECT r.src, u.id_b FROM _reach r
-            JOIN _und u ON r.dst = u.id_a),
-        _rep AS (SELECT src AS {id_col}, min(dst) AS rep
-                 FROM _reach GROUP BY src),
+        {components_sql_cte(id_col, num_hashes, bands,
+                            threshold).lstrip()},
         _h AS (SELECT t.{id_col},
                       {hash_u60_sql(
                           f'CAST(coalesce(r.rep, t.{id_col})'
@@ -1126,29 +1124,14 @@ def cluster_size_histogram_oracle_sql(id_col: str = "doc_id",
                                       shingle_n: int = 5,
                                       threshold: float = 0.6) -> str:
     """DuckDB twin of ``cluster_size_histogram``: component sizes via
-    the recursive-CTE closure, singletons via the total-minus-labeled
-    difference."""
-    band_eq = minhash_band_predicate_sql(num_hashes, bands)
-    matches = minhash_match_count_sql(num_hashes)
+    the shared recursive-CTE closure, singletons via the
+    total-minus-labeled difference."""
     return f"""
         WITH RECURSIVE
         {minhash_sql_cte(id_col, text_col, table, num_hashes,
                          shingle_n).lstrip()},
-        _pairs AS (
-            SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
-            FROM _ms a JOIN _ms b
-              ON a.{id_col} < b.{id_col} AND ({band_eq})
-            WHERE {matches} * 1.0 / {num_hashes} >= {threshold}),
-        _und AS (SELECT id_a, id_b FROM _pairs
-                 UNION ALL
-                 SELECT id_b, id_a FROM _pairs),
-        _reach(src, dst) AS (
-            SELECT id_a, id_a FROM _und GROUP BY id_a
-            UNION
-            SELECT r.src, u.id_b FROM _reach r
-            JOIN _und u ON r.dst = u.id_a),
-        _rep AS (SELECT src AS {id_col}, min(dst) AS rep
-                 FROM _reach GROUP BY src),
+        {components_sql_cte(id_col, num_hashes, bands,
+                            threshold).lstrip()},
         _sizes AS (SELECT rep, count(*) AS cluster_size
                    FROM _rep GROUP BY rep),
         _hist AS (SELECT cluster_size, count(*) AS n_clusters
