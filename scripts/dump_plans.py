@@ -35,6 +35,11 @@ QUERIES = [
      "(id, int64) reaches the join and hit rollup"),
     ("mix_sources", "corpus mixing — count agg's 1-row M broadcast + "
      "per-source row_number window, all-integer quotas"),
+    ("govern_corpus", "governance pipeline — quality + repetition "
+     "gates collapse into ONE scan-level filter BEFORE the gram "
+     "explode (Catalyst prunes ahead of all hash work); "
+     "decontamination anti-join on broadcast eval hashes; split CASE "
+     "map-only"),
     ("salted_agg", "skew — two-phase salted aggregation"),
     ("extract_synthetic", "EP1 — manifest -> mapInPandas decode -> dedup"),
 ]
