@@ -44,7 +44,11 @@ def with_polygon_stats(df: DataFrame, rings_col: str = "rings_json",
     """Append (n_rings, n_vertices, area_r) computed from the JSON
     rings column — JVM-only expressions, no Python anywhere.
     ``area_r`` is the signed ring-area sum rounded to ``round_digits``
-    (rounding pins the cross-engine float fold order)."""
+    (rounding pins the cross-engine float fold order). The trailing
+    ``+ 0.0`` normalizes signed zero: Spark's round() routes through
+    Java BigDecimal (no -0.0) while DuckDB's IEEE round() can emit
+    -0.0 on degenerate slivers; IEEE ``-0.0 + 0.0 = 0.0`` pins both
+    engines to the same bit pattern (twin carries the same term)."""
     rings = F.from_json(F.col(rings_col), _RINGS_TYPE)
     return (df.withColumn("_rings", rings)
             .withColumn("n_rings", F.size("_rings"))
@@ -52,7 +56,7 @@ def with_polygon_stats(df: DataFrame, rings_col: str = "rings_json",
                 "aggregate(_rings, 0, (a, r) -> a + size(r))"))
             .withColumn("area_r", F.round(F.expr(
                 "aggregate(transform(_rings, r -> " + _RING_AREA + "), "
-                "CAST(0 AS DOUBLE), (a, v) -> a + v)"), round_digits))
+                "CAST(0 AS DOUBLE), (a, v) -> a + v)"), round_digits) + F.lit(0.0))
             .drop("_rings"))
 
 
@@ -74,5 +78,5 @@ def polygon_stats_sql_duck(values_rows: str, round_digits: int = 6) -> str:
                    list_sum(list_transform(range(1, len(r) + 1), i ->
                        r[i][1] * r[(i % len(r)) + 1][2]
                        - r[(i % len(r)) + 1][1] * r[i][2])) / 2.0)),
-                     {round_digits}) AS area_r
+                     {round_digits}) + 0.0 AS area_r
         FROM parsed"""

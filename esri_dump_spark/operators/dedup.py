@@ -386,9 +386,10 @@ def minhash_cluster_dedup_oracle_sql(id_col: str = "doc_id",
         {components_sql_cte(id_col, num_hashes, bands,
                             threshold).lstrip()},
         _losers AS (SELECT {id_col} FROM _rep WHERE rep <> {id_col})
-        SELECT {id_col} FROM {table}
-        WHERE {id_col} NOT IN (SELECT {id_col} FROM _losers)
-        ORDER BY {id_col}"""
+        SELECT t.{id_col} FROM {table} t
+        WHERE NOT EXISTS (SELECT 1 FROM _losers l
+                          WHERE l.{id_col} = t.{id_col})
+        ORDER BY t.{id_col}"""
 
 
 def leakage_safe_split_oracle_sql(id_col: str = "doc_id",

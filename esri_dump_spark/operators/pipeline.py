@@ -108,9 +108,10 @@ def clean_corpus_oracle_sql(id_col: str = "doc_id",
             FROM _ms a JOIN _ms b
               ON a.{id_col} < b.{id_col} AND ({band_eq})
             WHERE {matches} * 1.0 / {num_hashes} >= {jaccard_threshold})
-        SELECT {id_col} FROM _exd
-        WHERE {id_col} NOT IN (SELECT {id_col} FROM _losers)
-        ORDER BY {id_col}"""
+        SELECT t.{id_col} FROM _exd t
+        WHERE NOT EXISTS (SELECT 1 FROM _losers l
+                          WHERE l.{id_col} = t.{id_col})
+        ORDER BY t.{id_col}"""
 
 
 def govern_corpus(docs: DataFrame, eval_df: DataFrame,

@@ -383,25 +383,32 @@ def test_tile_cover_and_raster_vector_join(spark):
 def test_polygon_stats_pure_sql(spark):
     """Known geometry: 3x2 CW shell with a 1x0.5 CCW hole -> signed
     area -(6 - 0.5); closure invariance (open ring == closed ring);
-    degenerate 2-point ring contributes zero area. Plan must contain
-    no Python nodes."""
+    degenerate 2-point ring contributes zero area; a CW sliver whose
+    tiny negative area rounds to zero must land as +0.0, never -0.0
+    (the BigDecimal-vs-IEEE signed-zero twin invariant). Plan must
+    contain no Python nodes."""
     import json as _json
+    import math
     from esri_dump_spark.functions.geometry import with_polygon_stats
     shell = [[0, 0], [0, 2], [3, 2], [3, 0], [0, 0]]          # CW, closed
     shell_open = [[0, 0], [0, 2], [3, 2], [3, 0]]             # unclosed
     hole = [[1, 1], [2, 1], [2, 1.5], [1, 1.5], [1, 1]]       # CCW
     degen = [[5, 5], [6, 6]]
+    sliver = [[0, 0], [0, 1e-4], [1e-4, 0], [0, 0]]           # CW, -5e-9
     pdf = pd.DataFrame({
-        "poly_id": [0, 1, 2],
+        "poly_id": [0, 1, 2, 3],
         "rings_json": [_json.dumps([shell, hole]),
                        _json.dumps([shell_open, hole]),
-                       _json.dumps([degen])]})
+                       _json.dumps([degen]),
+                       _json.dumps([sliver])]})
     out = with_polygon_stats(spark.createDataFrame(pdf))
     rows = {r.poly_id: r for r in out.collect()}
     assert rows[0].n_rings == 2 and rows[0].n_vertices == 10
     assert rows[0].area_r == -5.5
     assert rows[1].area_r == -5.5          # closure-invariant
     assert rows[2].area_r == 0.0           # degenerate
+    assert rows[3].area_r == 0.0           # sliver rounds to zero...
+    assert math.copysign(1.0, rows[3].area_r) == 1.0   # ...as +0.0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not any(k in plan for k in ("ArrowEvalPython", "BatchEvalPython",
                                        "MapInPandas")), plan[:2000]
