@@ -987,6 +987,31 @@ def q_image_quality(spark, sf_dir):
             "sum_floor_sharp_d"))
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal video: MJPEG-in-AVI containers (kernels/avi.py)
+    exploded to sampled frame rows (every_n=2) with per-frame decode
+    stats, rolled up into integer invariants frozen as a GOLDEN-
+    LITERAL oracle (deterministic fixture + deterministic RIFF/JPEG
+    codecs; verified stable input-layout vs repartition(13) before
+    freezing — same protocol as image_decode_stats). The stride,
+    dims, frame counts, per-frame phashes and floor-quantized luma
+    all pin the container walk AND the frame decode."""
+    from esri_dump_spark.sources.fixtures import ensure_videos_parquet
+    from esri_dump_spark.operators.multimodal import frame_sample
+    vids = spark.read.parquet(ensure_videos_parquet(400))
+    st = frame_sample(vids, every_n=2, with_bytes=False)
+    return st.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.countDistinct("video_id").alias("n_videos"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum("n_frames").alias("sum_n_frames"),
+        F.sum("w").alias("sum_w"),
+        F.sum("h").alias("sum_h"),
+        F.sum(F.pmod("phash_frame", F.lit(97))).alias("sum_phash_mod"),
+        F.sum(F.floor("mean_luma")).alias("sum_floor_luma"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash banded-LSH near-dup pairs on documents. Oracled: the
     signature family is md5-gram + linear-congruential permutations
@@ -1331,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,          # signed-zero fix
         "minhash_cluster_dedup": q_minhash_cluster_dedup,  # twin rewrite
         "corpus_clean": q_corpus_clean,            # twin rewrite
+        "frame_sample": q_frame_sample,            # new: video frames
         # ---- (3) one canary per §2 family (r01-r03 proven) ----
         "count_probe": q_count_probe,
         "extract_ids": q_extract_ids,
@@ -1346,7 +1372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
         "cell_assign": q_cell_assign,
-        "agg_pricing": q_agg_pricing,
         "topk_window": q_topk_window,
         "renderer_compile": q_renderer_compile,
         "exact_dedup": q_exact_dedup,
@@ -1361,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- slot 50 boundary ----------------
         # ---- r01-r03 proven, local parity gate only ----
         "dedup_first_event": q_dedup_first_event,
+        "agg_pricing": q_agg_pricing,
         "join_broadcast": q_join_broadcast,
         "class_breaks": q_class_breaks,
         "extent_minmax": q_extent_minmax,
@@ -1989,6 +2015,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(254186 AS BIGINT) AS sum_floor_mean_g,
                CAST(253946 AS BIGINT) AS sum_floor_mean_b,
                CAST(96652 AS BIGINT) AS sum_phash_mod"""
+    # video frame sampling golden (same freeze protocol: input layout
+    # vs repartition(13) identical before pinning; 400 videos, 6..10
+    # frames each, every_n=2 -> 1680 sampled frames)
+    oracles["frame_sample"] = """
+        SELECT CAST(1680 AS BIGINT) AS n_sampled,
+               CAST(1680 AS BIGINT) AS n_ok,
+               CAST(400 AS BIGINT) AS n_videos,
+               CAST(5600 AS BIGINT) AS sum_frame_idx,
+               CAST(13840 AS BIGINT) AS sum_n_frames,
+               CAST(50400 AS BIGINT) AS sum_w,
+               CAST(50400 AS BIGINT) AS sum_h,
+               CAST(79376 AS BIGINT) AS sum_phash_mod,
+               CAST(213398 AS BIGINT) AS sum_floor_luma"""
     # same freeze protocol: measured twice (input layout vs
     # repartition(13)) and identical before pinning
     oracles["image_quality"] = """

@@ -6,11 +6,13 @@ never exploded to pixel rows. All pixel work happens inside
 ``mapInPandas`` so a whole Arrow batch of images is decoded per task
 with zero per-row Python dispatch overhead at the plan level.
 
-Codecs are self-made (the container has no Pillow/libjpeg): a stdlib
-PNG reader/writer and a pure-NumPy baseline JFIF JPEG codec
-(kernels/jpeg.py — real DCT/quantization/Huffman). Formats beyond
-those (webp, video) raise ``NotImplementedError``; the Spark-side
-plumbing — schemas, batch shapes, UDF signatures,
+Codecs are self-made (the container has no Pillow/libjpeg/ffmpeg): a
+stdlib PNG reader/writer, a pure-NumPy baseline JFIF JPEG codec
+(kernels/jpeg.py — real DCT/quantization/Huffman), and an MJPEG-in-AVI
+RIFF container codec (kernels/avi.py) whose frames are plain JPEGs —
+so ``frame_sample`` decodes real video containers. Formats beyond
+those (webp, inter-frame codecs) raise ``NotImplementedError``; the
+Spark-side plumbing — schemas, batch shapes, UDF signatures,
 bytes-stay-out-of-shuffles — is format-agnostic, so adding a codec is
 a one-function change.
 
@@ -34,7 +36,7 @@ from pyspark.sql import types as T
 from ..kernels.image import decode_image, encode_image, psnr, average_phash
 
 __all__ = ["decode_stats", "verify_images", "resize_images",
-           "image_quality_stats", "frame_sample_stub"]
+           "image_quality_stats", "frame_sample"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -261,11 +263,83 @@ def image_quality_stats(images: DataFrame) -> DataFrame:
             .mapInPandas(run, schema=_IQ_SCHEMA))
 
 
-def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB. No video codec exists in this
-    container; the operator documents the contract (binary column in,
-    exploded frame rows out) and raises on use."""
-    raise NotImplementedError(
-        "video decode requires a codec unavailable in this environment; "
-        "the production implementation maps each video row to "
-        "ceil(n_frames/every_n) frame rows inside mapInPandas")
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("phash_frame", T.LongType()),
+    T.StructField("mean_luma", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def frame_sample(videos: DataFrame, every_n: int = 2,
+                 with_bytes: bool = True,
+                 with_stats: bool = True) -> DataFrame:
+    """Explode MJPEG-AVI video rows into sampled frame rows: one
+    output row per frame index 0, every_n, 2*every_n, … — the video
+    analog of ``decode_stats``'s binary-in, typed-rows-out contract.
+
+    Frames are real containers, not a stub: ``kernels/avi.py`` walks
+    the RIFF movi list and hands each ``00dc`` payload (a plain
+    baseline JPEG) to ``kernels/jpeg.py``. The emitted ``bytes`` are
+    the verbatim per-frame JPEG (no transcode), so the output IS an
+    image table — downstream image operators (decode_stats, phash
+    dedup, resize) consume it unchanged.
+
+    ``with_stats=False`` skips the pixel decode (container walk only —
+    ~free) for pipelines that only need the frame bytes;
+    ``with_bytes=False`` drops the payload for metadata-only rollups.
+    Corrupt containers land as ONE ok=false row (P3 invalid-row
+    contract), a corrupt individual frame as an ok=false row at its
+    frame index; either way the task survives. Map-only: no shuffle,
+    bytes never cross an exchange.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    from ..kernels.avi import parse_avi
+    cols = [f.name for f in _FRAME_SCHEMA]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rec in b.itertuples(index=False):
+                base = {"video_id": rec.video_id, "ok": False,
+                        "frame_idx": None, "n_frames": None,
+                        "w": None, "h": None, "fmt": None, "bytes": None,
+                        "phash_frame": None, "mean_luma": None,
+                        "error": None}
+                try:
+                    info = parse_avi(rec.bytes)
+                except (ValueError, TypeError) as e:
+                    rows.append({**base, "error": str(e)})
+                    continue
+                for f in range(0, info.n_frames, every_n):
+                    row = {**base, "frame_idx": f,
+                           "n_frames": info.n_frames,
+                           "w": info.width, "h": info.height,
+                           "fmt": "jpeg",
+                           "bytes": info.frames[f] if with_bytes else None}
+                    if with_stats:
+                        try:
+                            px = decode_image(info.frames[f], "jpeg")
+                            luma = (0.299 * px[:, :, 0].astype(np.float64)
+                                    + 0.587 * px[:, :, 1]
+                                    + 0.114 * px[:, :, 2])
+                            row.update(ok=True,
+                                       phash_frame=average_phash(px),
+                                       mean_luma=float(luma.mean()))
+                        except (ValueError, TypeError) as e:
+                            row.update(error=str(e))
+                    else:
+                        row.update(ok=True)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (videos.select("video_id", "bytes")
+            .mapInPandas(run, schema=_FRAME_SCHEMA))

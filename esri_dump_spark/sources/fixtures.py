@@ -28,7 +28,8 @@ from ..sources.feature_server import DEFAULT_EXTENT
 
 __all__ = ["images_pdf", "polygons_records", "polygons_pdf",
            "ensure_images_parquet", "ensure_points_parquet",
-           "bench_polygons_pdf", "FIXTURE_CACHE"]
+           "videos_pdf", "ensure_videos_parquet", "video_frame_pixels",
+           "video_n_frames", "bench_polygons_pdf", "FIXTURE_CACHE"]
 
 FIXTURE_CACHE = os.environ.get(
     "SPARK_GRAFT_FIXTURE_CACHE", "/root/repo/.fixtures_cache")
@@ -184,6 +185,78 @@ def ensure_points_parquet(spark, n: int, seed: int = 42,
         f" else {ymin} + {ymax - ymin} * v end as lat",
     )
     df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def video_frame_pixels(video_idx: int, frame_idx: int,
+                       seed: int = 42) -> np.ndarray:
+    """Reference frame regeneration: pure function of (video, frame) —
+    the video analog of ``reference_pixels``. The moving solid
+    quadrant (keyed by frame index) makes every frame's phash distinct
+    so frame-sampling errors (off-by-one, wrong stride) change the
+    golden rollups."""
+    w = _SIZES[video_idx % 4]
+    h = _SIZES[(video_idx * 3 + 2) % 4]
+    rng = np.random.default_rng(seed * 2_000_003 + video_idx)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    k = video_idx * 37 + frame_idx * 53
+    px[: h // 2, : w // 2] = [k % 256, (k * 101) % 256, (k * 197) % 256]
+    # static per-video noise + per-frame quadrant: inter-frame redundancy
+    # (what real video has) without needing inter-frame coding
+    return px
+
+
+def video_n_frames(video_idx: int) -> int:
+    return 6 + (video_idx % 5)          # 6..10 frames
+
+
+def videos_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic MJPEG-AVI video+caption table, shaped like the
+    image table (opaque binary column + typed metadata):
+      (video_id string, bytes binary, w int32, h int32, fmt string,
+       n_frames int32, fps int32)
+    Frames are real baseline JPEGs (kernels/jpeg.py) muxed by
+    kernels/avi.py — parse + decode round-trips bit-exactly to
+    ``video_frame_pixels`` through the lossy codec's PSNR gate."""
+    from ..kernels.avi import encode_avi_mjpeg
+    rows = []
+    for i in range(n):
+        w = _SIZES[i % 4]
+        h = _SIZES[(i * 3 + 2) % 4]
+        nf = video_n_frames(i)
+        frames = [encode_image(video_frame_pixels(i, f, seed), "jpeg")
+                  for f in range(nf)]
+        rows.append({
+            "video_id": f"vid{i:012d}",
+            "bytes": encode_avi_mjpeg(frames, w, h, fps=10),
+            "w": w, "h": h, "fmt": "avi",
+            "n_frames": nf, "fps": 10,
+        })
+    pdf = pd.DataFrame(rows)
+    for c in ("w", "h", "n_frames", "fps"):
+        pdf[c] = pdf[c].astype("int32")
+    return pdf
+
+
+def ensure_videos_parquet(n: int, seed: int = 42,
+                          n_files: int = 16) -> str:
+    """Generate-once parquet cache for the video table — same
+    multi-file layout and atomic-rename commit as
+    ``ensure_images_parquet``."""
+    os.makedirs(FIXTURE_CACHE, exist_ok=True)
+    path = os.path.join(FIXTURE_CACHE, f"videos_v1_n{n}_s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        pdf = videos_pdf(n, seed)
+        parts = max(1, min(n_files, len(pdf)))
+        step = (len(pdf) + parts - 1) // parts
+        for i in range(parts):
+            pdf.iloc[i * step:(i + 1) * step].to_parquet(
+                os.path.join(tmp, f"part-{i:04d}.parquet"), index=False)
+        os.replace(tmp, path)
     return path
 
 

@@ -1,0 +1,173 @@
+"""MJPEG-in-AVI container kernel + frame_sample operator.
+
+Covers: RIFF round-trip (frames bit-identical), decoded-frame PSNR vs
+the reference regeneration (the BASELINE.json per-row invariant
+extended to video), sampling stride semantics, the corrupt-row
+contract (ValueError-only escapes, ok=false rows, task survives), a
+hypothesis fuzz over mutated containers, and the plan invariant
+(map-only — no exchange, one MapInPandas)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, strategies as st
+
+from esri_dump_spark.kernels.avi import encode_avi_mjpeg, parse_avi
+from esri_dump_spark.kernels.image import (decode_image, encode_image,
+                                           psnr, average_phash)
+from esri_dump_spark.sources.fixtures import (videos_pdf,
+                                              video_frame_pixels,
+                                              video_n_frames)
+
+
+def _mk_frames(n=4, w=32, h=24, seed=7):
+    rng = np.random.default_rng(seed)
+    px = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+          for _ in range(n)]
+    return px, [encode_image(p, "jpeg") for p in px]
+
+
+def test_avi_roundtrip_bit_identical():
+    px, frames = _mk_frames(5)
+    avi = encode_avi_mjpeg(frames, 32, 24, fps=10)
+    info = parse_avi(avi)
+    assert info.width == 32 and info.height == 24
+    assert abs(info.fps - 10.0) < 1e-9
+    assert info.n_frames == 5
+    assert all(a == b for a, b in zip(info.frames, frames))
+    # frames decode through the JPEG codec above the lossy PSNR gate
+    for p, f in zip(px, info.frames):
+        assert psnr(p, decode_image(f, "jpeg")) >= 40.0
+
+
+def test_avi_writer_validates_inputs():
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([b"x"], 8, 8, fps=0)
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda a: b"",                                     # empty
+    lambda a: a[:11],                                  # short header
+    lambda a: b"RIFF" + a[4:8] + b"WAVE" + a[12:],     # wrong form type
+    lambda a: a[:-3],                                  # truncated payload
+    lambda a: a[:20],                                  # truncated chunk
+    lambda a: None,                                    # NULL cell
+    lambda a: a[:16] + b"\xff\xff\xff\xff" + a[20:],   # chunk overrun
+])
+def test_avi_corrupt_raises_valueerror_only(mutate):
+    _, frames = _mk_frames(2)
+    avi = encode_avi_mjpeg(frames, 32, 24)
+    with pytest.raises((ValueError, TypeError)):
+        parse_avi(mutate(avi))
+
+
+@given(st.data())
+def test_avi_fuzz_mutations_never_escape(data):
+    """Random byte flips / truncations / splices either parse to some
+    AviInfo or raise ValueError — nothing else (struct.error,
+    IndexError, ... would kill a Spark task)."""
+    _, frames = _mk_frames(2, w=16, h=16)
+    avi = bytearray(encode_avi_mjpeg(frames, 16, 16))
+    n_mut = data.draw(st.integers(1, 8))
+    for _ in range(n_mut):
+        pos = data.draw(st.integers(0, len(avi) - 1))
+        avi[pos] = data.draw(st.integers(0, 255))
+    if data.draw(st.booleans()):
+        avi = avi[:data.draw(st.integers(0, len(avi)))]
+    try:
+        info = parse_avi(bytes(avi))
+        assert info.n_frames >= 1
+    except ValueError:
+        pass
+
+
+def test_fixture_videos_deterministic_and_decodable():
+    pdf = videos_pdf(6)
+    assert list(pdf.columns) == ["video_id", "bytes", "w", "h", "fmt",
+                                 "n_frames", "fps"]
+    pdf2 = videos_pdf(6)
+    assert all(a == b for a, b in zip(pdf["bytes"], pdf2["bytes"]))
+    for i, rec in enumerate(pdf.itertuples(index=False)):
+        info = parse_avi(rec.bytes)
+        assert info.n_frames == rec.n_frames == video_n_frames(i)
+        assert (info.width, info.height) == (rec.w, rec.h)
+        # per-frame invariant: decoded pixels vs reference regeneration
+        for f in (0, info.n_frames - 1):
+            ref = video_frame_pixels(i, f)
+            assert psnr(ref, decode_image(info.frames[f], "jpeg")) >= 40.0
+
+
+def test_frame_sample_stride_and_stats(spark):
+    from esri_dump_spark.operators.multimodal import frame_sample
+    pdf = videos_pdf(8)
+    out = frame_sample(spark.createDataFrame(pdf), every_n=3).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.video_id, []).append(r)
+    assert len(by_vid) == 8
+    for i, rec in enumerate(pdf.itertuples(index=False)):
+        rows = sorted(by_vid[rec.video_id], key=lambda r: r.frame_idx)
+        expect_idx = list(range(0, rec.n_frames, 3))
+        assert [r.frame_idx for r in rows] == expect_idx
+        for r in rows:
+            assert r.ok and r.fmt == "jpeg"
+            assert (r.w, r.h) == (rec.w, rec.h)
+            assert r.n_frames == rec.n_frames
+            # emitted bytes are the verbatim frame JPEG: decoding them
+            # reproduces the reference frame through the PSNR gate and
+            # the recomputed phash matches the operator's column
+            px = decode_image(bytes(r.bytes), "jpeg")
+            assert psnr(video_frame_pixels(i, r.frame_idx), px) >= 40.0
+            assert average_phash(px) == r.phash_frame
+            assert r.mean_luma is not None
+
+
+def test_frame_sample_corrupt_rows_survive(spark):
+    from esri_dump_spark.operators.multimodal import frame_sample
+    pdf = videos_pdf(2)
+    bad = pd.DataFrame({
+        "video_id": ["bad0", "bad1"],
+        "bytes": [b"not an avi", None],
+        "w": np.int32(0), "h": np.int32(0), "fmt": "avi",
+        "n_frames": np.int32(0), "fps": np.int32(0)})
+    rows = frame_sample(
+        spark.createDataFrame(pd.concat([pdf, bad], ignore_index=True)),
+        every_n=2).collect()
+    ok = [r for r in rows if r.ok]
+    nok = [r for r in rows if not r.ok]
+    assert {r.video_id for r in nok} == {"bad0", "bad1"}
+    assert all(r.error for r in nok)
+    assert len(ok) == sum(len(range(0, video_n_frames(i), 2))
+                          for i in range(2))
+
+
+def test_frame_sample_plan_is_map_only(spark):
+    """No exchange anywhere — bytes must never shuffle; exactly one
+    Python node (the mapInPandas decode)."""
+    from esri_dump_spark.operators.multimodal import frame_sample
+    from esri_dump_spark.sources.fixtures import ensure_videos_parquet
+    df = frame_sample(spark.read.parquet(ensure_videos_parquet(24)),
+                      every_n=2, with_bytes=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+
+
+def test_frame_sample_without_stats_skips_decode(spark):
+    from esri_dump_spark.operators.multimodal import frame_sample
+    pdf = videos_pdf(3)
+    rows = frame_sample(spark.createDataFrame(pdf), every_n=1,
+                        with_stats=False).collect()
+    assert len(rows) == sum(video_n_frames(i) for i in range(3))
+    assert all(r.ok and r.phash_frame is None for r in rows)
+    # bytes still verbatim
+    i0 = parse_avi(bytes(pdf["bytes"][0]))
+    got0 = sorted((r for r in rows if r.video_id == pdf["video_id"][0]),
+                  key=lambda r: r.frame_idx)
+    assert [bytes(r.bytes) for r in got0] == i0.frames
