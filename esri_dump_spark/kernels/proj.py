@@ -3,15 +3,17 @@ projections (forward and inverse), replacing the reference's
 proj4js dependency (/root/reference/lib/tilejson.ts:2,119-128) for
 extent reprojection to EPSG:4326.
 
-Scope: 44 projection families with forward AND inverse — the full
+Scope: 45 projection families with forward AND inverse — the full
 cylindrical/conic/azimuthal canon plus Krovak (``_Krovak``), Hotine
 oblique Mercator, Gauss-Schreiber Double Stereographic (``_Sterea``,
 EPSG 9809, validated against the published RD New worked example),
-and the pseudocylindricals (Eckert I-VI, Winkel,
-Robinson, ...), covering 98.8% of the 4582-wkid parameter table
-(``data/wkid_params.json``). The residual fraction of exotic wkids
-raises ``UnsupportedProjectionError``; proj4js throws on a superset
-of those same WKTs inside the reference, so an error there IS parity.
+Colombia Urban / IGAC Plano Cartesiano (``_ColombiaUrban``, EPSG
+method 1052), and the pseudocylindricals (Eckert I-VI, Winkel, ...),
+covering 99.5% of the 4582-wkid parameter table
+(``data/wkid_params.json``). The residual 22 wkids (13 exotic
+families, pinned exactly in tests/test_proj.py) raise
+``UnsupportedProjectionError``; proj4js throws on a superset of those
+same WKTs inside the reference, so an error there IS parity.
 
 All formulas are the public standards from Snyder, "Map Projections —
 A Working Manual" (USGS PP 1395): series/iteration forms for the
@@ -1388,6 +1390,54 @@ class _Gnomonic(_Proj):
         return lon, lat
 
 
+class _ColombiaUrban(_Proj):
+    """Colombia Urban / ESRI IGAC_Plano_Cartesiano (EPSG method 1052,
+    IOGP Guidance Note 7-2): projection onto a horizontal plane at
+    height h0 above the ellipsoid at the origin — the local Cartesian
+    grids of Colombian cities. Closed forms both ways:
+
+      nu0 = a / sqrt(1 - e^2 sin^2 phi0); rho0 = a(1-e^2)/w0^3
+      A = 1 + h0/nu0;  B = tan(phi0)/(2 rho0 nu0);  G = 1 + h0/rho0
+      E  = FE + A nu (lam-lam0) cos(phi)
+      N  = FN + G rho0 [(phi-phi0) + B ((lam-lam0) nu cos(phi))^2]
+
+    and the reverse is exact because (E-FE)/A = (lam-lam0) nu cos(phi)
+    lets the quadratic term cancel:
+      phi = phi0 + (N-FN)/(G rho0) - B ((E-FE)/A)^2
+      lam = lam0 + (E-FE)/(A nu(phi) cos(phi))
+
+    proj4js has no such method (it throws inside the reference), so
+    this family is added capability beyond parity, like the
+    pseudocylindricals."""
+
+    def __init__(self, crs: dict):
+        super().__init__(crs)
+        h0 = self.p.get("height", 0.0)
+        s0 = math.sin(self.lat0)
+        w2 = 1.0 - self.e2 * s0 * s0
+        self.rho0 = self.a * (1.0 - self.e2) / w2 ** 1.5
+        nu0 = self.a / math.sqrt(w2)
+        self.A = 1.0 + h0 / nu0
+        self.B = math.tan(self.lat0) / (2.0 * self.rho0 * nu0)
+        self.G = 1.0 + h0 / self.rho0
+
+    def fwd(self, lon, lat):
+        s, c = math.sin(lat), math.cos(lat)
+        nu = self.a / math.sqrt(1.0 - self.e2 * s * s)
+        t = (lon - self.lon0) * nu * c
+        return (self.x0 + self.A * t,
+                self.y0 + self.G * self.rho0
+                * ((lat - self.lat0) + self.B * t * t))
+
+    def inv(self, x, y):
+        u = (x - self.x0) / self.A
+        lat = (self.lat0 + (y - self.y0) / (self.G * self.rho0)
+               - self.B * u * u)
+        s, c = math.sin(lat), math.cos(lat)
+        nu = self.a / math.sqrt(1.0 - self.e2 * s * s)
+        return self.lon0 + u / (nu * c), lat
+
+
 SUPPORTED_PROJECTIONS = {
     "transverse_mercator": _TMerc,
     "gauss_kruger": _TMerc,
@@ -1424,6 +1474,7 @@ SUPPORTED_PROJECTIONS = {
         lambda crs: _Omerc(crs, centered=True),
     "krovak": _Krovak,
     "gnomonic": _Gnomonic,
+    "igac_plano_cartesiano": _ColombiaUrban,
     # world pseudocylindrical/lenticular families (sphere, numeric
     # Newton inverse) — beyond proj4js's set, i.e. added capability
     "eckert_i": _EckertI,

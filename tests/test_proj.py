@@ -105,17 +105,96 @@ def test_supported_family_share_of_table():
     sup = sum(1 for e in tab["entries"].values()
               if not names[e[0]]
               or names[e[0]].lower() in P.SUPPORTED_PROJECTIONS)
-    assert sup / total >= 0.97, f"{sup}/{total}"
+    assert sup / total >= 0.995, f"{sup}/{total}"
+
+
+# the certified CRS tail: families with table entries but no transform
+# (proj4js throws on every one of these inside the reference, so an
+# error IS parity). Pinned EXACTLY so a parser or table regression
+# that silently drops support for an implemented family fails here.
+_EXPECTED_UNSUPPORTED = {
+    "New_Zealand_Map_Grid": 1,
+    "Laborde_Oblique_Mercator": 2,
+    "Winkel_II": 2,
+    "Loximuthal": 2,
+    "Hotine_Oblique_Mercator_Two_Point_Natural_Origin": 2,
+    "Van_der_Grinten_I": 2,
+    "Robinson": 2,
+    "Two_Point_Equidistant": 2,
+    "Times": 2,
+    "Fuller": 1,
+    "Cube": 1,
+    "Goode_Homolosine": 2,
+    "Berghaus_Star": 1,
+}
+
+
+def test_unsupported_residual_set_is_exactly_pinned():
+    """Enumerate the residual: exactly these 22 wkids across 13 exotic
+    families, nothing more (a new unsupported family = table update to
+    review) and nothing fewer (an implemented family regressing out of
+    SUPPORTED_PROJECTIONS must fail loudly, not shrink coverage
+    silently)."""
+    tab = _wkid_table()
+    names = tab["projections"]
+    got: dict[str, int] = {}
+    for e in tab["entries"].values():
+        nm = names[e[0]]
+        if nm and nm.lower() not in P.SUPPORTED_PROJECTIONS:
+            got[nm] = got.get(nm, 0) + 1
+    assert got == _EXPECTED_UNSUPPORTED
+    assert sum(got.values()) == 22
+
+
+def test_colombia_urban_igac_plano_cartesiano():
+    """EPSG method 1052 (IOGP GN 7-2) over all 32 IGAC table entries:
+    the origin maps exactly to (FE, FN); fwd∘inv is identity; and the
+    height-dependent plane scales are pinned from first principles —
+    an eastward step divided by the ellipsoidal parallel arc must be
+    A = 1 + h0/nu0, a northward step over the meridian arc must be
+    G = 1 + h0/rho0 (catches shared scale errors that a round-trip
+    alone cannot, per the fwd/inv-blind-spot rule)."""
+    import math
+    tab = _wkid_table()
+    names = tab["projections"]
+    tested = 0
+    for w, e in tab["entries"].items():
+        if names[e[0]] != "IGAC_Plano_Cartesiano":
+            continue
+        crs = _crs_for_wkid(int(w))
+        pr = P.projection_for(crs)
+        p = e[5]
+        lam0 = math.radians(p["longitude_of_center"])
+        phi0 = math.radians(p["latitude_of_center"])
+        x, y = pr.fwd(lam0, phi0)
+        assert abs(x - p["false_easting"]) < 1e-6
+        assert abs(y - p["false_northing"]) < 1e-6
+        lon, lat = lam0 + math.radians(0.05), phi0 - math.radians(0.04)
+        x, y = pr.fwd(lon, lat)
+        lon2, lat2 = pr.inv(x, y)
+        assert abs(lon2 - lon) < 1e-12 and abs(lat2 - lat) < 1e-12
+        dl = 1e-6
+        nu0 = pr.a / math.sqrt(1 - pr.e2 * math.sin(phi0) ** 2)
+        e_step = pr.fwd(lam0 + dl, phi0)[0] - p["false_easting"]
+        assert abs(e_step / (nu0 * math.cos(phi0) * dl) - pr.A) < 1e-9
+        n_step = pr.fwd(lam0, phi0 + dl)[1] - p["false_northing"]
+        assert abs(n_step / (pr.rho0 * dl) - pr.G) < 1e-9
+        if p.get("height", 0.0) > 0.0:     # 102772 is at sea level
+            assert pr.A > 1.0 and pr.G > 1.0
+        else:
+            assert pr.A == 1.0 and pr.G == 1.0
+        tested += 1
+    assert tested == 32
 
 
 def test_unsupported_family_raises_like_proj4js():
-    """IGAC_Plano_Cartesiano has a table entry but no transform here or
+    """New_Zealand_Map_Grid has a table entry but no transform here or
     in proj4js — the engine raises the dedicated error instead of
     silently passing through."""
     tab = _wkid_table()
     names = tab["projections"]
     wkid = next(w for w, e in tab["entries"].items()
-                if names[e[0]] == "IGAC_Plano_Cartesiano")
+                if names[e[0]] == "New_Zealand_Map_Grid")
     ext = {"xmin": 0.0, "ymin": 0.0, "xmax": 1000.0, "ymax": 1000.0,
            "spatialReference": {"wkid": int(wkid)}}
     with pytest.raises(P.UnsupportedProjectionError):

@@ -250,6 +250,68 @@ def test_sessionize_stream_stateful(spark, sf_dir, tmp_path):
     assert got == exp
 
 
+def test_streaming_state_stays_bounded(spark, sf_dir, tmp_path):
+    """Output parity is not enough for a 100 TB stream — the state
+    store must be horizon-bounded, not stream-length-bounded. Replay
+    30 days of events as 6 time-sliced micro-batches and assert from
+    recentProgress.stateOperators that (a) the sessionizer's state
+    never exceeds one open session per user, flat across batches, and
+    (b) the watermark dedup's state is evicted down to the trailing
+    horizon instead of accumulating every key ever seen."""
+    import json
+    import pyspark.sql.functions as F
+    from esri_dump_spark.streaming.events import (dedup_events,
+                                                  sessionize_stream)
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("user_id") < 50)
+          .select("user_id", "event_id", "ts", "value"))
+    rows = ev.orderBy("ts").collect()
+    n_users = len({r.user_id for r in rows})
+    n_slices = 6
+    inp = str(tmp_path / "state_stream_in")
+    step = (len(rows) + n_slices - 1) // n_slices
+    for i in range(n_slices):
+        spark.createDataFrame(rows[i * step:(i + 1) * step], ev.schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    def state_per_batch(make_query):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(inp))
+        q = make_query(stream)
+        q.awaitTermination(180)
+        per_batch = []
+        for p in q.recentProgress:
+            if isinstance(p, str):
+                p = json.loads(p)
+            ops = p.get("stateOperators") or []
+            if ops:
+                per_batch.append(int(ops[0]["numRowsTotal"]))
+        return per_batch
+
+    sess_state = state_per_batch(lambda s: (
+        sessionize_stream(s, gap_minutes=30)
+        .writeStream.format("memory").queryName("sess_state_probe")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .outputMode("append").trigger(availableNow=True).start()))
+    assert len(sess_state) >= n_slices
+    # one open session per user, every batch — flat, never ~stream size
+    assert max(sess_state) <= n_users, sess_state
+    assert sess_state[-1] <= n_users
+
+    dedup_state = state_per_batch(lambda s: (
+        dedup_events(s, keys=["event_id"], watermark="24 hours")
+        .writeStream.format("memory").queryName("dedup_state_probe")
+        .option("checkpointLocation", str(tmp_path / "dckpt2"))
+        .outputMode("append").trigger(availableNow=True).start()))
+    assert len(dedup_state) >= n_slices
+    # ~41 of the 1000 rows fall in any trailing 24h window; a slice is
+    # ~5 days, so post-eviction state is at most one slice + horizon —
+    # far below the full stream, which is what unbounded state would hold
+    assert dedup_state[-1] <= len(rows) // 2, dedup_state
+    assert max(dedup_state) < len(rows), dedup_state
+
+
 def test_streaming_pip_counts_match_batch(spark, sf_dir, tmp_path):
     """The PIP join is stateless, so streaming it micro-batch by
     micro-batch plus a windowed rollup must equal the batch twin."""
