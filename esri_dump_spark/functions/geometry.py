@@ -30,12 +30,16 @@ __all__ = ["with_polygon_stats", "polygon_stats_sql_duck"]
 _RINGS_TYPE = "array<array<array<double>>>"
 
 # signed shoelace of one ring `r` (array of [x, y]), Spark SQL HOFs;
-# element_at is 1-based, transform's index 0-based
+# element_at is 1-based, transform's index 0-based. The successor
+# point is bound ONCE per vertex (zip_with against the rotated ring)
+# instead of re-evaluating element_at twice in the cross term; the
+# per-vertex terms and the fold order are unchanged, so the result is
+# bit-identical to the pre-hoist form (and to the DuckDB twin).
 _RING_AREA = (
-    "aggregate(transform(r, (p, i) -> "
-    "element_at(p, 1) * element_at(element_at(r, ((i + 1) % size(r)) + 1), 2)"
-    " - element_at(element_at(r, ((i + 1) % size(r)) + 1), 1)"
-    " * element_at(p, 2)), "
+    "aggregate(zip_with(r, "
+    "transform(r, (p, i) -> element_at(r, ((i + 1) % size(r)) + 1)), "
+    "(p, q) -> element_at(p, 1) * element_at(q, 2)"
+    " - element_at(q, 1) * element_at(p, 2)), "
     "CAST(0 AS DOUBLE), (a, v) -> a + v) / 2.0")
 
 
