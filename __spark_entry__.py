@@ -1012,6 +1012,28 @@ def q_frame_sample(spark, sf_dir):
         F.sum(F.floor("mean_luma")).alias("sum_floor_luma"))
 
 
+def q_video_near_dup(spark, sf_dir):
+    """Video near-duplicate pairs by shared frame phash over the
+    planted-duplicate fixture (pair k of 100 shares exactly 2 + (k%3)
+    byte-identical frames; tails are pure noise so nothing else
+    collides). GOLDEN-LITERAL oracle; the literals equal the
+    analytically derived ground truth (100 pairs, sum 299) and were
+    re-verified layout-stable (input vs repartition(13)) before
+    freezing. Only (video_id, phash_frame) ever shuffles — plan
+    asserted in tests/test_video.py."""
+    from esri_dump_spark.sources.fixtures import (
+        ensure_near_dup_videos_parquet)
+    from esri_dump_spark.operators.multimodal import video_near_dup
+    vids = spark.read.parquet(ensure_near_dup_videos_parquet(200))
+    p = video_near_dup(vids, every_n=1, min_shared=2)
+    return p.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_shared_frames").alias("sum_shared"),
+        F.countDistinct("video_a").alias("n_a"),
+        F.min("n_shared_frames").alias("min_shared_f"),
+        F.max("n_shared_frames").alias("max_shared_f"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash banded-LSH near-dup pairs on documents. Oracled: the
     signature family is md5-gram + linear-congruential permutations
@@ -1357,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cluster_dedup": q_minhash_cluster_dedup,  # twin rewrite
         "corpus_clean": q_corpus_clean,            # twin rewrite
         "frame_sample": q_frame_sample,            # new: video frames
+        "video_near_dup": q_video_near_dup,        # new: video dedup
         # ---- (3) one canary per §2 family (r01-r03 proven) ----
         "count_probe": q_count_probe,
         "extract_ids": q_extract_ids,
@@ -1366,7 +1389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_iso": q_date_iso,
         "where_pushdown": q_where_pushdown,
         "pip_rect": q_pip_rect,
-        "pip_anti": q_pip_anti,
         "poly_intersect_join": q_poly_intersect_join,
         "knn_geo": q_knn_geo,
         "tile_assign": q_tile_assign,
@@ -1392,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extent_minmax": q_extent_minmax,
         "pip_hole": q_pip_hole,
         "pip_multi": q_pip_multi,
+        "pip_anti": q_pip_anti,
         "poly_intersect_anti": q_poly_intersect_anti,
         "knn_geo_sparse": q_knn_geo_sparse,
         "radius_geo": q_radius_geo,
@@ -2028,6 +2051,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(50400 AS BIGINT) AS sum_h,
                CAST(79376 AS BIGINT) AS sum_phash_mod,
                CAST(213398 AS BIGINT) AS sum_floor_luma"""
+    # video near-dup golden: literals EQUAL the analytic ground truth
+    # of the planted-duplicate fixture (pair k shares 2+(k%3) frames:
+    # 100 pairs, sum = 200 + 33*1 + 33*2 = 299) and were re-measured
+    # layout-stable before freezing
+    oracles["video_near_dup"] = """
+        SELECT CAST(100 AS BIGINT) AS n_pairs,
+               CAST(299 AS BIGINT) AS sum_shared,
+               CAST(100 AS BIGINT) AS n_a,
+               CAST(2 AS INT) AS min_shared_f,
+               CAST(4 AS INT) AS max_shared_f"""
     # same freeze protocol: measured twice (input layout vs
     # repartition(13)) and identical before pinning
     oracles["image_quality"] = """

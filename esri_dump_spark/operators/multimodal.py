@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 from ..kernels.image import decode_image, encode_image, psnr, average_phash
 
 __all__ = ["decode_stats", "verify_images", "resize_images",
-           "image_quality_stats", "frame_sample"]
+           "image_quality_stats", "frame_sample", "video_near_dup"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -261,6 +261,43 @@ def image_quality_stats(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "fmt")
             .mapInPandas(run, schema=_IQ_SCHEMA))
+
+
+def video_near_dup(videos: DataFrame, every_n: int = 1,
+                   min_shared: int = 2,
+                   max_df: int | None = 1000) -> DataFrame:
+    """Video near-duplicate pairs by shared frame content: two videos
+    match when >= ``min_shared`` of their sampled frames have the SAME
+    perceptual hash — catching re-uploads, clipped copies and
+    re-containered duplicates whose frame pixels survive the codec.
+
+    Plan shape (the 100 TB posture): ``frame_sample`` is map-only and
+    projects bytes away immediately, so the only thing that ever
+    shuffles is (video_id, phash_frame) — an ids-only bucketed
+    self-equi-join on the 64-bit hash, the same shape as the image
+    ``phash_near_dup`` family. ``max_df`` drops degenerate frame
+    hashes appearing in more than that many videos (black frames,
+    test cards) before the join — the n-gram max_df candidate cap
+    applied to frames; None disables."""
+    frames = (frame_sample(videos, every_n=every_n, with_bytes=False)
+              .filter(F.col("ok"))
+              .select("video_id", "phash_frame")
+              .distinct())
+    if max_df is not None:
+        df_ok = (frames.groupBy("phash_frame")
+                 .agg(F.count(F.lit(1)).alias("_df"))
+                 .filter(F.col("_df") <= max_df)
+                 .select("phash_frame"))
+        frames = frames.join(df_ok, "phash_frame")
+    a = frames.select(F.col("video_id").alias("video_a"),
+                      "phash_frame")
+    b = frames.select(F.col("video_id").alias("video_b"),
+                      "phash_frame")
+    return (a.join(b, "phash_frame")
+            .filter(F.col("video_a") < F.col("video_b"))
+            .groupBy("video_a", "video_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+            .filter(F.col("n_shared_frames") >= min_shared))
 
 
 _FRAME_SCHEMA = T.StructType([

@@ -29,7 +29,9 @@ from ..sources.feature_server import DEFAULT_EXTENT
 __all__ = ["images_pdf", "polygons_records", "polygons_pdf",
            "ensure_images_parquet", "ensure_points_parquet",
            "videos_pdf", "ensure_videos_parquet", "video_frame_pixels",
-           "video_n_frames", "bench_polygons_pdf", "FIXTURE_CACHE"]
+           "video_n_frames", "near_dup_videos_pdf",
+           "ensure_near_dup_videos_parquet",
+           "bench_polygons_pdf", "FIXTURE_CACHE"]
 
 FIXTURE_CACHE = os.environ.get(
     "SPARK_GRAFT_FIXTURE_CACHE", "/root/repo/.fixtures_cache")
@@ -236,6 +238,72 @@ def videos_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     for c in ("w", "h", "n_frames", "fps"):
         pdf[c] = pdf[c].astype("int32")
     return pdf
+
+
+def near_dup_videos_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Video table with PLANTED near-duplicates: videos (2k, 2k+1)
+    share their first ``2 + (k % 3)`` frames byte-identically (a
+    re-upload / clip-of relationship), each keeps its own tail. Dims
+    are shared per pair (a copied frame must match the container
+    header). Frames are PURE noise — no solid quadrant: the 8x8
+    average-phash of a half-solid image is dominated by the quadrant
+    and collides structurally across unrelated videos, while pure
+    noise collides at ~2^-64. Ground truth is therefore exact: pair k
+    shares 2..4 frame phashes and no cross-pair frame ever collides
+    (content keyed by (video, frame) with tails offset by +100)."""
+    from ..kernels.avi import encode_avi_mjpeg
+
+    def noise(key: int, w: int, h: int) -> np.ndarray:
+        rng = np.random.default_rng(seed * 3_000_017 + key)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    rows = []
+    for i in range(n):
+        k = i // 2
+        w = _SIZES[k % 4]
+        h = _SIZES[(k * 3 + 2) % 4]
+        nf = video_n_frames(i)
+        shared = 2 + (k % 3)
+        frames = []
+        for f in range(nf):
+            # content keys never collide: shared keys end in 0..4,
+            # tail keys in 100+f (>= 105 apart within each block)
+            if f < shared:
+                px = noise(2 * k * 1000 + f, w, h)      # pair-shared
+            else:
+                px = noise(i * 1000 + 100 + f, w, h)    # own tail
+            frames.append(encode_image(px, "jpeg"))
+        rows.append({
+            "video_id": f"vid{i:012d}",
+            "bytes": encode_avi_mjpeg(frames, w, h, fps=10),
+            "w": w, "h": h, "fmt": "avi",
+            "n_frames": nf, "fps": 10,
+        })
+    pdf = pd.DataFrame(rows)
+    for c in ("w", "h", "n_frames", "fps"):
+        pdf[c] = pdf[c].astype("int32")
+    return pdf
+
+
+def ensure_near_dup_videos_parquet(n: int, seed: int = 42,
+                                   n_files: int = 16) -> str:
+    """Generate-once cache for the planted-duplicate video table."""
+    os.makedirs(FIXTURE_CACHE, exist_ok=True)
+    path = os.path.join(FIXTURE_CACHE,
+                        f"videos_nd_v1_n{n}_s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        pdf = near_dup_videos_pdf(n, seed)
+        parts = max(1, min(n_files, len(pdf)))
+        step = (len(pdf) + parts - 1) // parts
+        for i in range(parts):
+            pdf.iloc[i * step:(i + 1) * step].to_parquet(
+                os.path.join(tmp, f"part-{i:04d}.parquet"), index=False)
+        os.replace(tmp, path)
+    return path
 
 
 def ensure_videos_parquet(n: int, seed: int = 42,

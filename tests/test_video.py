@@ -159,6 +159,60 @@ def test_frame_sample_plan_is_map_only(spark):
     assert plan.count("MapInPandas") == 1, plan[:2000]
 
 
+def test_video_near_dup_exact_ground_truth(spark):
+    """Planted duplicates: pair k of near_dup_videos_pdf shares
+    exactly 2 + (k % 3) byte-identical frames. The operator must
+    recover exactly those pairs with exactly those counts — no
+    cross-pair false positives (tail content never collides)."""
+    from esri_dump_spark.operators.multimodal import video_near_dup
+    from esri_dump_spark.sources.fixtures import near_dup_videos_pdf
+    vids = spark.createDataFrame(near_dup_videos_pdf(20))   # 10 pairs
+    got = {(r.video_a, r.video_b): r.n_shared_frames
+           for r in video_near_dup(vids, every_n=1, min_shared=3,
+                                   max_df=None).collect()}
+    exp = {(f"vid{2 * k:012d}", f"vid{2 * k + 1:012d}"): 2 + (k % 3)
+           for k in range(10) if 2 + (k % 3) >= 3}
+    assert got == exp
+    # threshold 2 catches every planted pair, and nothing else
+    all_pairs = video_near_dup(vids, every_n=1, min_shared=2,
+                               max_df=None)
+    assert all_pairs.count() == 10
+    # max_df=1 drops every shared hash (each appears in 2 videos)
+    assert video_near_dup(vids, every_n=1, min_shared=1,
+                          max_df=1).count() == 0
+    # stride sampling: every_n=2 sees frames 0,2,4..., so pair k keeps
+    # ceil(shared/2) shared SAMPLED frames
+    strided = {(r.video_a, r.video_b): r.n_shared_frames
+               for r in video_near_dup(vids, every_n=2, min_shared=1,
+                                       max_df=None).collect()}
+    exp2 = {(f"vid{2 * k:012d}", f"vid{2 * k + 1:012d}"):
+            (2 + (k % 3) + 1) // 2 for k in range(10)}
+    assert strided == exp2
+
+
+def test_video_near_dup_bytes_never_shuffle(spark):
+    """Every Exchange in the plan must carry only (video_id,
+    phash_frame)-derived columns — the video payload is projected away
+    inside the map stage, never shuffled."""
+    from esri_dump_spark.operators.multimodal import video_near_dup
+    from esri_dump_spark.sources.fixtures import (
+        ensure_near_dup_videos_parquet)
+    df = video_near_dup(spark.read.parquet(
+        ensure_near_dup_videos_parquet(40)), every_n=1, min_shared=2)
+    assert df.count() == 20
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    # formatted explain: one "(n) NodeName" section per operator with
+    # Input/Output/Arguments column lists
+    import re
+    sections = re.split(r"\n\(\d+\) ", "\n" + formatted)
+    exchanges = [s for s in sections if s.startswith("Exchange")]
+    assert exchanges, formatted[:2000]
+    for s in exchanges:
+        assert "bytes" not in s, s
+
+
 def test_frame_sample_without_stats_skips_decode(spark):
     from esri_dump_spark.operators.multimodal import frame_sample
     pdf = videos_pdf(3)
