@@ -515,8 +515,11 @@ def q_ann_cosine(spark, sf_dir):
     queries = (emb.orderBy("vec_id").limit(3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = A.cosine_topk(queries, emb, k=5)
+    # + 0.0: cosine is the one rounded twin column whose domain spans
+    # zero — a near-orthogonal neighbor rounding to -0.0 would split
+    # the engines (BigDecimal vs IEEE; CLAUDE.md signed-zero invariant)
     return out.select("query_id", "vec_id", "rank",
-                      F.round("cosine", 4).alias("cosine_r"))
+                      (F.round("cosine", 4) + F.lit(0.0)).alias("cosine_r"))
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -1696,7 +1699,7 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id ASC) AS rank
               FROM q CROSS JOIN embeddings e)
             SELECT query_id, vec_id, rank,
-                   CAST(round(cosine, 4) AS DOUBLE) AS cosine_r
+                   CAST(round(cosine, 4) AS DOUBLE) + 0.0 AS cosine_r
             FROM scored WHERE rank <= 5""",
         "ivf_ann": """
             WITH q AS (SELECT vec_id AS query_id,
@@ -2059,8 +2062,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(100 AS BIGINT) AS n_pairs,
                CAST(299 AS BIGINT) AS sum_shared,
                CAST(100 AS BIGINT) AS n_a,
-               CAST(2 AS INT) AS min_shared_f,
-               CAST(4 AS INT) AS max_shared_f"""
+               CAST(2 AS BIGINT) AS min_shared_f,
+               CAST(4 AS BIGINT) AS max_shared_f"""
     # same freeze protocol: measured twice (input layout vs
     # repartition(13)) and identical before pinning
     oracles["image_quality"] = """

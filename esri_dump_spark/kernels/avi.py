@@ -68,8 +68,14 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
         raise ValueError("MJPEG AVI needs at least one frame")
     if fps <= 0:
         raise ValueError("fps must be positive")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("AVI dims must fit the 16-bit rcFrame fields")
     usec_per_frame = round(1_000_000 / fps)
     max_size = max(len(f) for f in frames)
+    if max_size * fps > 0xFFFFFFFF or len(frames) > 0xFFFFFFFF:
+        # all RIFF sizes are uint32 — fail with the documented error
+        # type instead of struct.error deep in a pack call
+        raise ValueError("AVI fields exceed 32-bit RIFF limits")
 
     avih = struct.pack(
         "<14I",
@@ -164,12 +170,17 @@ def parse_avi(data: bytes) -> AviInfo:
     usec = 0
     frames: list[bytes] = []
 
-    def drain_movi(pos: int, stop: int) -> None:
+    def drain_movi(pos: int, stop: int, depth: int = 0) -> None:
+        # real muxers nest 'rec ' LISTs at most one level; a crafted
+        # stream of nested 12-byte LIST headers must hit ValueError,
+        # not RecursionError (which would escape the ok=false contract)
+        if depth > 8:
+            raise ValueError("movi 'rec ' lists nested too deeply")
         for cc, body, size in _walk(data, pos, stop):
             if cc[2:4] in (b"dc", b"db"):
                 frames.append(data[body:body + size])
             elif cc == b"LIST" and data[body:body + 4] == b"rec ":
-                drain_movi(body + 4, body + size)
+                drain_movi(body + 4, body + size, depth + 1)
 
     for cc, body, size in _walk(data, 12, end):
         if cc != b"LIST":

@@ -1397,14 +1397,19 @@ class _ColombiaUrban(_Proj):
     grids of Colombian cities. Closed forms both ways:
 
       nu0 = a / sqrt(1 - e^2 sin^2 phi0); rho0 = a(1-e^2)/w0^3
-      A = 1 + h0/nu0;  B = tan(phi0)/(2 rho0 nu0);  G = 1 + h0/rho0
+      A = 1 + h0/nu0;  B = tan(phi0)/(2 rho0 nu0)
+      G(phi) = 1 + h0/rho_m, rho_m at the MEAN latitude (phi+phi0)/2
       E  = FE + A nu (lam-lam0) cos(phi)
-      N  = FN + G rho0 [(phi-phi0) + B ((lam-lam0) nu cos(phi))^2]
+      N  = FN + G(phi) rho0 [(phi-phi0) + B ((lam-lam0) nu cos(phi))^2]
 
-    and the reverse is exact because (E-FE)/A = (lam-lam0) nu cos(phi)
-    lets the quadratic term cancel:
-      phi = phi0 + (N-FN)/(G rho0) - B ((E-FE)/A)^2
-      lam = lam0 + (E-FE)/(A nu(phi) cos(phi))
+    G is per-point (the guidance's rho_m term; PROJ's col_urban does
+    the same) — at city extents it differs from the origin value only
+    in the 8th digit, but the formula is matched exactly. The reverse
+    iterates that exact relation: (E-FE)/A = (lam-lam0) nu cos(phi)
+    cancels the quadratic term, leaving a fixed point in phi alone
+      phi <- phi0 + (N-FN)/(G(phi) rho0) - B ((E-FE)/A)^2
+    which converges to machine precision in 2-3 rounds (G varies by
+    ~1e-8 per degree), then lam = lam0 + (E-FE)/(A nu(phi) cos(phi)).
 
     proj4js has no such method (it throws inside the reference), so
     this family is added capability beyond parity, like the
@@ -1412,27 +1417,36 @@ class _ColombiaUrban(_Proj):
 
     def __init__(self, crs: dict):
         super().__init__(crs)
-        h0 = self.p.get("height", 0.0)
+        self.h0 = self.p.get("height", 0.0)
         s0 = math.sin(self.lat0)
         w2 = 1.0 - self.e2 * s0 * s0
         self.rho0 = self.a * (1.0 - self.e2) / w2 ** 1.5
         nu0 = self.a / math.sqrt(w2)
-        self.A = 1.0 + h0 / nu0
+        self.A = 1.0 + self.h0 / nu0
         self.B = math.tan(self.lat0) / (2.0 * self.rho0 * nu0)
-        self.G = 1.0 + h0 / self.rho0
+        self.G = 1.0 + self.h0 / self.rho0   # G at the origin
+
+    def _g(self, lat):
+        sm = math.sin(0.5 * (lat + self.lat0))
+        rho_m = (self.a * (1.0 - self.e2)
+                 / (1.0 - self.e2 * sm * sm) ** 1.5)
+        return 1.0 + self.h0 / rho_m
 
     def fwd(self, lon, lat):
         s, c = math.sin(lat), math.cos(lat)
         nu = self.a / math.sqrt(1.0 - self.e2 * s * s)
         t = (lon - self.lon0) * nu * c
         return (self.x0 + self.A * t,
-                self.y0 + self.G * self.rho0
+                self.y0 + self._g(lat) * self.rho0
                 * ((lat - self.lat0) + self.B * t * t))
 
     def inv(self, x, y):
         u = (x - self.x0) / self.A
-        lat = (self.lat0 + (y - self.y0) / (self.G * self.rho0)
-               - self.B * u * u)
+        dy = y - self.y0
+        lat = self.lat0 + dy / (self.G * self.rho0) - self.B * u * u
+        for _ in range(3):
+            lat = (self.lat0 + dy / (self._g(lat) * self.rho0)
+                   - self.B * u * u)
         s, c = math.sin(lat), math.cos(lat)
         nu = self.a / math.sqrt(1.0 - self.e2 * s * s)
         return self.lon0 + u / (nu * c), lat

@@ -353,7 +353,7 @@ def frame_sample(videos: DataFrame, every_n: int = 2,
                         "error": None}
                 try:
                     info = parse_avi(rec.bytes)
-                except (ValueError, TypeError) as e:
+                except (NotImplementedError, ValueError, TypeError) as e:
                     rows.append({**base, "error": str(e)})
                     continue
                 for f in range(0, info.n_frames, every_n):
@@ -371,7 +371,12 @@ def frame_sample(videos: DataFrame, every_n: int = 2,
                             row.update(ok=True,
                                        phash_frame=average_phash(px),
                                        mean_luma=float(luma.mean()))
-                        except (ValueError, TypeError) as e:
+                        # NotImplementedError: a legal container whose
+                        # frame uses a JPEG feature the codec lacks
+                        # (progressive, 12-bit) is an invalid ROW, not
+                        # a task death — same contract as decode_stats
+                        except (NotImplementedError, ValueError,
+                                TypeError) as e:
                             row.update(error=str(e))
                     else:
                         row.update(ok=True)

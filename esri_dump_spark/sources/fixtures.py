@@ -116,26 +116,23 @@ def images_pdf(n: int, seed: int = 42, with_geo: bool = True) -> pd.DataFrame:
     return pdf
 
 
-def ensure_images_parquet(n: int, seed: int = 42,
-                          n_files: int = 16) -> str:
-    """Generate-once parquet cache; returns the path (a DIRECTORY of
-    ``n_files`` part files — a real table is many files, and a
-    single-file fixture caps the scan at 1-2 partitions, serializing
-    every decode UDF regardless of executor count).
-
-    v2: jpeg rows carry real baseline-JFIF bytes (kernels/jpeg.py),
-    not the old PNG-framed simulation — stale v1 caches must not load.
-    """
+def _ensure_pdf_parquet(cache_name: str, make_pdf, n_files: int) -> str:
+    """Generate-once parquet cache commit: write part files into a
+    ``.tmp`` sibling, then atomic-rename to the final DIRECTORY of
+    ``n_files`` parts (a real table is many files, and a single-file
+    fixture caps the scan at 1-2 partitions, serializing every decode
+    UDF regardless of executor count). A crashed prior run may have
+    left MORE part files in the .tmp than this run will write —
+    promoting them would duplicate rows, so stale .tmp dirs are
+    removed first; only the atomic rename publishes."""
     os.makedirs(FIXTURE_CACHE, exist_ok=True)
-    path = os.path.join(FIXTURE_CACHE, f"images_v2_n{n}_s{seed}.parquet")
+    path = os.path.join(FIXTURE_CACHE, cache_name)
     if not os.path.exists(path):
         tmp = path + ".tmp"
         if os.path.exists(tmp):
-            # a crashed prior run may have left MORE part files than
-            # this run will write — promoting them would duplicate rows
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        pdf = images_pdf(n, seed)
+        pdf = make_pdf()
         parts = max(1, min(n_files, len(pdf)))
         step = (len(pdf) + parts - 1) // parts
         for i in range(parts):
@@ -143,6 +140,15 @@ def ensure_images_parquet(n: int, seed: int = 42,
                 os.path.join(tmp, f"part-{i:04d}.parquet"), index=False)
         os.replace(tmp, path)
     return path
+
+
+def ensure_images_parquet(n: int, seed: int = 42,
+                          n_files: int = 16) -> str:
+    """Image-table cache. v2: jpeg rows carry real baseline-JFIF bytes
+    (kernels/jpeg.py), not the old PNG-framed simulation — stale v1
+    caches must not load."""
+    return _ensure_pdf_parquet(f"images_v2_n{n}_s{seed}.parquet",
+                               lambda: images_pdf(n, seed), n_files)
 
 
 def points_parquet_path(n: int, seed: int = 42) -> str:
@@ -288,44 +294,16 @@ def near_dup_videos_pdf(n: int, seed: int = 42) -> pd.DataFrame:
 def ensure_near_dup_videos_parquet(n: int, seed: int = 42,
                                    n_files: int = 16) -> str:
     """Generate-once cache for the planted-duplicate video table."""
-    os.makedirs(FIXTURE_CACHE, exist_ok=True)
-    path = os.path.join(FIXTURE_CACHE,
-                        f"videos_nd_v1_n{n}_s{seed}.parquet")
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        pdf = near_dup_videos_pdf(n, seed)
-        parts = max(1, min(n_files, len(pdf)))
-        step = (len(pdf) + parts - 1) // parts
-        for i in range(parts):
-            pdf.iloc[i * step:(i + 1) * step].to_parquet(
-                os.path.join(tmp, f"part-{i:04d}.parquet"), index=False)
-        os.replace(tmp, path)
-    return path
+    return _ensure_pdf_parquet(f"videos_nd_v1_n{n}_s{seed}.parquet",
+                               lambda: near_dup_videos_pdf(n, seed),
+                               n_files)
 
 
 def ensure_videos_parquet(n: int, seed: int = 42,
                           n_files: int = 16) -> str:
-    """Generate-once parquet cache for the video table — same
-    multi-file layout and atomic-rename commit as
-    ``ensure_images_parquet``."""
-    os.makedirs(FIXTURE_CACHE, exist_ok=True)
-    path = os.path.join(FIXTURE_CACHE, f"videos_v1_n{n}_s{seed}.parquet")
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        pdf = videos_pdf(n, seed)
-        parts = max(1, min(n_files, len(pdf)))
-        step = (len(pdf) + parts - 1) // parts
-        for i in range(parts):
-            pdf.iloc[i * step:(i + 1) * step].to_parquet(
-                os.path.join(tmp, f"part-{i:04d}.parquet"), index=False)
-        os.replace(tmp, path)
-    return path
+    """Generate-once parquet cache for the video table."""
+    return _ensure_pdf_parquet(f"videos_v1_n{n}_s{seed}.parquet",
+                               lambda: videos_pdf(n, seed), n_files)
 
 
 def bench_polygons_pdf(nv: int = 256, nx: int = 6, ny: int = 4,
