@@ -97,6 +97,8 @@ def run_headline(spark) -> dict[str, float]:
         "mix_sources", "token_budget", "decontaminate",
         "leakage_safe_split", "repetition", "redact_pii", "chunk_text",
         "image_quality", "top_quality", "govern_corpus",
+        # added in round 4 (video operators — not in earlier suite totals)
+        "frame_sample", "video_near_dup",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

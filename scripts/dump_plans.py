@@ -42,6 +42,12 @@ QUERIES = [
      "map-only"),
     ("salted_agg", "skew — two-phase salted aggregation"),
     ("extract_synthetic", "EP1 — manifest -> mapInPandas decode -> dedup"),
+    ("frame_sample", "F9b — video frame sampling: one map-only "
+     "MapInPandas over the container bytes, zero exchanges before the "
+     "rollup; bytes never shuffle"),
+    ("video_near_dup", "video dedup — frame phashes from the map stage "
+     "feed an ids-only self-equi-join on the 64-bit hash; every "
+     "Exchange carries (video_id, phash) and counts only"),
 ]
 
 
