@@ -3,17 +3,21 @@ projections (forward and inverse), replacing the reference's
 proj4js dependency (/root/reference/lib/tilejson.ts:2,119-128) for
 extent reprojection to EPSG:4326.
 
-Scope: 45 projection families with forward AND inverse — the full
+Scope: 50 projection families with forward AND inverse — the full
 cylindrical/conic/azimuthal canon plus Krovak (``_Krovak``), Hotine
 oblique Mercator, Gauss-Schreiber Double Stereographic (``_Sterea``,
 EPSG 9809, validated against the published RD New worked example),
 Colombia Urban / IGAC Plano Cartesiano (``_ColombiaUrban``, EPSG
-method 1052), and the pseudocylindricals (Eckert I-VI, Winkel, ...),
-covering 99.5% of the 4582-wkid parameter table
-(``data/wkid_params.json``). The residual 22 wkids (13 exotic
-families, pinned exactly in tests/test_proj.py) raise
-``UnsupportedProjectionError``; proj4js throws on a superset of those
-same WKTs inside the reference, so an error there IS parity.
+method 1052), the world lenticular/two-point families (Van der
+Grinten I with the Snyder closed cubic inverse, Times, Winkel II,
+Loximuthal, Two-Point Equidistant — each pinned by a property it is
+DEFINED by), and the pseudocylindricals (Eckert I-VI, Winkel, ...),
+covering 99.7% of the 4582-wkid parameter table
+(``data/wkid_params.json``). The residual 12 wkids (8 genuinely
+table- or lobe-defined families, pinned exactly in
+tests/test_proj.py) raise ``UnsupportedProjectionError``; proj4js
+throws on a superset of those same WKTs inside the reference, so an
+error there IS parity.
 
 All formulas are the public standards from Snyder, "Map Projections —
 A Working Manual" (USGS PP 1395): series/iteration forms for the
@@ -1390,6 +1394,214 @@ class _Gnomonic(_Proj):
         return lon, lat
 
 
+class _VanDerGrintenI(_SphericalFwd):
+    """Van der Grinten I (spherical, Snyder ch. 33, eqs 33-1..33-16):
+    the whole world in a circle of radius pi*a. Equator maps to
+    y = 0 / x = a*dlam and the central meridian to x = 0 (both pinned
+    in tests); elsewhere the published circular-arc construction."""
+
+    def fwd(self, lon, lat):
+        dl = lon - self.lon0
+        if abs(lat) < 1e-12:
+            return self.x0 + self.a * dl, self.y0
+        theta = math.asin(min(1.0, abs(2.0 * lat / math.pi)))
+        if abs(dl) < 1e-12 or abs(abs(lat) - math.pi / 2) < 1e-12:
+            return (self.x0,
+                    self.y0 + math.copysign(
+                        math.pi * self.a * math.tan(theta / 2.0), lat))
+        A = 0.5 * abs(math.pi / dl - dl / math.pi)
+        st, ct = math.sin(theta), math.cos(theta)
+        G = ct / (st + ct - 1.0)
+        P = G * (2.0 / st - 1.0)
+        Q = A * A + G
+        p2a2 = P * P + A * A
+        gpp = G - P * P
+        x = (math.pi * self.a
+             * (A * gpp + math.sqrt(max(0.0, A * A * gpp * gpp
+                                        - p2a2 * (G * G - P * P))))
+             / p2a2)
+        y = (math.pi * self.a
+             * (P * Q - A * math.sqrt(max(0.0, (A * A + 1.0) * p2a2
+                                          - Q * Q)))
+             / p2a2)
+        return (self.x0 + math.copysign(x, dl),
+                self.y0 + math.copysign(y, lat))
+
+    def inv(self, x, y):
+        # closed form, Snyder eqs 33-17..33-26 (the generic Newton
+        # diverges in the strongly compressed outer ring)
+        X = (x - self.x0) / (math.pi * self.a)
+        Y = (y - self.y0) / (math.pi * self.a)
+        if abs(Y) < 1e-12:
+            return self.lon0 + (x - self.x0) / self.a, 0.0
+        if abs(X) < 1e-12:
+            theta = 2.0 * math.atan(Y)
+            return self.lon0, math.pi / 2.0 * math.sin(theta)
+        x2y2 = X * X + Y * Y
+        c1 = -abs(Y) * (1.0 + x2y2)
+        c2 = c1 - 2.0 * Y * Y + X * X
+        c3 = -2.0 * c1 + 1.0 + 2.0 * Y * Y + x2y2 * x2y2
+        d = (Y * Y / c3
+             + (2.0 * c2 ** 3 / c3 ** 3
+                - 9.0 * c1 * c2 / (c3 * c3)) / 27.0)
+        a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+        m1 = 2.0 * math.sqrt(max(0.0, -a1 / 3.0))
+        arg = 3.0 * d / (a1 * m1) if a1 * m1 != 0.0 else 0.0
+        th1 = math.acos(max(-1.0, min(1.0, arg))) / 3.0
+        lat = math.copysign(
+            math.pi * (-m1 * math.cos(th1 + math.pi / 3.0)
+                       - c2 / (3.0 * c3)), Y)
+        lam = (math.pi
+               * (x2y2 - 1.0
+                  + math.sqrt(max(0.0, 1.0 + 2.0 * (X * X - Y * Y)
+                                  + x2y2 * x2y2)))
+               / (2.0 * X))
+        return self.lon0 + lam, lat
+
+
+class _Times(_SphericalFwd):
+    """Times (Moir 1965, The Times Atlas; spherical): a Gall
+    Stereographic variant. x = dlam*(0.74482 - 0.34588*sin^2(pi/4 *
+    tan(phi/2))), y = (1 + sqrt(2)/2)*tan(phi/2) — the published
+    constants (1.70711 = 1 + 1/sqrt(2))."""
+
+    def fwd(self, lon, lat):
+        t = math.tan(lat / 2.0)
+        s = math.sin(math.pi / 4.0 * t)
+        return (self.x0 + self.a * (lon - self.lon0)
+                * (0.74482 - 0.34588 * s * s),
+                self.y0 + self.a * 1.70711 * t)
+
+
+class _WinkelII(_SphericalFwd):
+    """Winkel II (spherical): arithmetic mean of the equirectangular
+    (at standard_parallel_1) and a Mollweide-style auxiliary angle —
+    x = dlam/2 (cos th + cos phi1), y = pi/4 (sin th + 2 phi/pi) with
+    th + sin th = pi sin phi (same fixpoint family as Mollweide)."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        self.cosp1 = math.cos(_rad(self.p.get("standard_parallel_1",
+                                              50.467)))
+
+    def fwd(self, lon, lat):
+        yy = lat * 2.0 / math.pi
+        k = math.pi * math.sin(lat)
+        th = lat * 1.8137993642342178
+        for _ in range(15):
+            denom = 1.0 + math.cos(th)
+            if denom < 1e-14:
+                break
+            v = (th + math.sin(th) - k) / denom
+            th -= v
+            if abs(v) < 1e-12:
+                break
+        th *= 0.5
+        return (self.x0 + 0.5 * self.a * (lon - self.lon0)
+                * (math.cos(th) + self.cosp1),
+                self.y0 + self.a * math.pi / 4.0
+                * (math.sin(th) + yy))
+
+
+class _Loximuthal(_SphericalFwd):
+    """Loximuthal (Siemon 1935/Tobler; spherical): rhumb lines from
+    the center (central_parallel, lon0) map to straight lines through
+    the origin at their true azimuth and true length —
+    x = dlam (phi - phi1) / ln(tan(pi/4+phi/2)/tan(pi/4+phi1/2)),
+    y = phi - phi1, with the cos(phi1) limit on the parallel."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        self.phi1 = _rad(self.p.get("central_parallel",
+                                    self.p.get("latitude_of_origin", 0.0)))
+        self.tan1 = math.tan(math.pi / 4.0 + self.phi1 / 2.0)
+
+    def fwd(self, lon, lat):
+        dl = lon - self.lon0
+        dphi = lat - self.phi1
+        if abs(dphi) < 1e-9:
+            x = dl * math.cos(self.phi1)
+        else:
+            t = math.tan(math.pi / 4.0 + lat / 2.0)
+            if t <= 0.0:
+                raise ValueError("loximuthal undefined at the pole")
+            x = dl * dphi / math.log(t / self.tan1)
+        return self.x0 + self.a * x, self.y0 + self.a * dphi
+
+
+class _TwoPointEquidistant(_SphericalFwd):
+    """Two-Point Equidistant (Snyder p. 192-195, spherical): distances
+    from BOTH anchor points are true. Construction: anchors at
+    (-c, 0) / (+c, 0) in angular units (d = 2c = anchor separation);
+    a point lands at the intersection of the circles of its true
+    angular distances z1/z2, on the side given by its azimuth from
+    anchor 1 relative to the anchor1->anchor2 azimuth. The inverse is
+    closed: recover (z1, z2) from the plane, solve the spherical
+    triangle for the bearing at anchor 1, and shoot the geodesic.
+    The defining both-distances-true property is pinned in tests."""
+
+    def __init__(self, crs):
+        super().__init__(crs)
+        p = self.p
+        self.ph1 = _rad(p.get("latitude_of_1st_point", 0.0))
+        self.lm1 = _rad(p.get("longitude_of_1st_point", 0.0))
+        self.ph2 = _rad(p.get("latitude_of_2nd_point", 0.0))
+        self.lm2 = _rad(p.get("longitude_of_2nd_point", 0.0))
+        self.d = self._dist(self.ph1, self.lm1, self.ph2, self.lm2)
+        if self.d < 1e-9:
+            raise ValueError("two-point equidistant anchors coincide")
+        self.c = self.d / 2.0
+        dl = self.lm2 - self.lm1
+        self.az12 = math.atan2(
+            math.sin(dl) * math.cos(self.ph2),
+            math.cos(self.ph1) * math.sin(self.ph2)
+            - math.sin(self.ph1) * math.cos(self.ph2) * math.cos(dl))
+
+    @staticmethod
+    def _dist(p1, l1, p2, l2):
+        # haversine: precise for small separations where acos is not
+        s = (math.sin((p2 - p1) / 2.0) ** 2
+             + math.cos(p1) * math.cos(p2)
+             * math.sin((l2 - l1) / 2.0) ** 2)
+        return 2.0 * math.asin(min(1.0, math.sqrt(s)))
+
+    def fwd(self, lon, lat):
+        z1 = self._dist(self.ph1, self.lm1, lat, lon)
+        z2 = self._dist(self.ph2, self.lm2, lat, lon)
+        x = (z1 * z1 - z2 * z2) / (4.0 * self.c)
+        y = math.sqrt(max(0.0, z1 * z1 - (x + self.c) ** 2))
+        if y > 0.0 and z1 > 1e-12:
+            dl = lon - self.lm1
+            az = math.atan2(
+                math.sin(dl) * math.cos(lat),
+                math.cos(self.ph1) * math.sin(lat)
+                - math.sin(self.ph1) * math.cos(lat) * math.cos(dl))
+            delta = math.atan2(math.sin(az - self.az12),
+                               math.cos(az - self.az12))
+            if delta > 0.0:
+                y = -y
+        return self.x0 + self.a * x, self.y0 + self.a * y
+
+    def inv(self, x, y):
+        xr = (x - self.x0) / self.a
+        yr = (y - self.y0) / self.a
+        z1 = math.hypot(xr + self.c, yr)
+        z2 = math.hypot(xr - self.c, yr)
+        if z1 < 1e-12:
+            return self.lm1, self.ph1
+        ca1 = ((math.cos(z2) - math.cos(self.d) * math.cos(z1))
+               / (math.sin(self.d) * math.sin(z1)))
+        a1 = math.acos(max(-1.0, min(1.0, ca1)))
+        az = self.az12 + (a1 if yr <= 0.0 else -a1)
+        lat = math.asin(max(-1.0, min(
+            1.0, math.sin(self.ph1) * math.cos(z1)
+            + math.cos(self.ph1) * math.sin(z1) * math.cos(az))))
+        lon = self.lm1 + math.atan2(
+            math.sin(az) * math.sin(z1) * math.cos(self.ph1),
+            math.cos(z1) - math.sin(self.ph1) * math.sin(lat))
+        return lon, lat
+
+
 class _ColombiaUrban(_Proj):
     """Colombia Urban / ESRI IGAC_Plano_Cartesiano (EPSG method 1052,
     IOGP Guidance Note 7-2): projection onto a horizontal plane at
@@ -1489,6 +1701,11 @@ SUPPORTED_PROJECTIONS = {
     "krovak": _Krovak,
     "gnomonic": _Gnomonic,
     "igac_plano_cartesiano": _ColombiaUrban,
+    "van_der_grinten_i": _VanDerGrintenI,
+    "times": _Times,
+    "winkel_ii": _WinkelII,
+    "loximuthal": _Loximuthal,
+    "two_point_equidistant": _TwoPointEquidistant,
     # world pseudocylindrical/lenticular families (sphere, numeric
     # Newton inverse) — beyond proj4js's set, i.e. added capability
     "eckert_i": _EckertI,

@@ -115,22 +115,19 @@ def test_supported_family_share_of_table():
 _EXPECTED_UNSUPPORTED = {
     "New_Zealand_Map_Grid": 1,
     "Laborde_Oblique_Mercator": 2,
-    "Winkel_II": 2,
-    "Loximuthal": 2,
     "Hotine_Oblique_Mercator_Two_Point_Natural_Origin": 2,
-    "Van_der_Grinten_I": 2,
-    "Robinson": 2,
-    "Two_Point_Equidistant": 2,
-    "Times": 2,
+    "Robinson": 2,   # defined by Robinson's published lookup TABLE,
+                     # which cannot be re-derived from a formula; do
+                     # not implement from memory
     "Fuller": 1,
     "Cube": 1,
-    "Goode_Homolosine": 2,
+    "Goode_Homolosine": 2,   # interrupted lobes (ESRI 'option' param)
     "Berghaus_Star": 1,
 }
 
 
 def test_unsupported_residual_set_is_exactly_pinned():
-    """Enumerate the residual: exactly these 22 wkids across 13 exotic
+    """Enumerate the residual: exactly these 12 wkids across 8 exotic
     families, nothing more (a new unsupported family = table update to
     review) and nothing fewer (an implemented family regressing out of
     SUPPORTED_PROJECTIONS must fail loudly, not shrink coverage
@@ -143,7 +140,82 @@ def test_unsupported_residual_set_is_exactly_pinned():
         if nm and nm.lower() not in P.SUPPORTED_PROJECTIONS:
             got[nm] = got.get(nm, 0) + 1
     assert got == _EXPECTED_UNSUPPORTED
-    assert sum(got.values()) == 22
+    assert sum(got.values()) == 12
+
+
+def test_world_family_defining_properties():
+    """First-principles pins for the round-4 world families (rule:
+    fwd/inv round-trips cannot catch shared errors, so pin a property
+    the projection is DEFINED by)."""
+    import math
+    tab = _wkid_table()
+    names = tab["projections"]
+
+    def crs_of(fam):
+        w = next(w for w, e in tab["entries"].items()
+                 if names[e[0]] == fam)
+        return P.projection_for(_crs_for_wkid(int(w)))
+
+    # Van der Grinten I: equator -> y=0 with x = a*dlam; central
+    # meridian -> x=0; pole at the world circle's radius pi*a*tan(45/2)
+    pr = crs_of("Van_der_Grinten_I")
+    assert abs(pr.fwd(math.radians(47), 0.0)[0]
+               - pr.a * math.radians(47)) < 1e-6
+    assert abs(pr.fwd(math.radians(47), 0.0)[1]) < 1e-9
+    assert abs(pr.fwd(0.0, 0.9)[0]) < 1e-9
+    assert abs(pr.fwd(0.0, math.pi / 2)[1]
+               - math.pi * pr.a * math.tan(math.pi / 4)) < 1e-6
+    # dense world-grid roundtrip through the closed cubic inverse
+    worst = 0.0
+    for lon_d in range(-175, 180, 23):
+        for lat_d in range(-88, 89, 11):
+            lon, lat = math.radians(lon_d), math.radians(lat_d)
+            lon2, lat2 = pr.inv(*pr.fwd(lon, lat))
+            worst = max(worst, abs(lon2 - lon), abs(lat2 - lat))
+    assert worst < 1e-9
+
+    # Two-point equidistant: planar distance to EACH anchor equals the
+    # true angular distance (the projection's definition), anchors land
+    # symmetric on the x axis
+    pr = crs_of("Two_Point_Equidistant")
+    x1, y1 = pr.fwd(pr.lm1, pr.ph1)
+    x2, y2 = pr.fwd(pr.lm2, pr.ph2)
+    assert abs(x1 + x2) < 1e-6 and abs(y1) < 1e-6 and abs(y2) < 1e-6
+    for lon_d, lat_d in ((-1.2, 0.7), (100, -30), (20, 80), (59, 61)):
+        lon, lat = math.radians(lon_d), math.radians(lat_d)
+        x, y = pr.fwd(lon, lat)
+        for (ph, lm, xa, ya) in ((pr.ph1, pr.lm1, x1, y1),
+                                 (pr.ph2, pr.lm2, x2, y2)):
+            true = pr._dist(ph, lm, lat, lon) * pr.a
+            assert abs(math.hypot(x - xa, y - ya) - true) < 1e-6
+
+    # Winkel II at the equator: th = 0 exactly, so
+    # x = a/2 * dlam * (1 + cos(phi1)), y = 0
+    pr = crs_of("Winkel_II")
+    x, y = pr.fwd(math.radians(30), 0.0)
+    assert abs(x - 0.5 * pr.a * math.radians(30) * (1 + pr.cosp1)) < 1e-6
+    assert abs(y) < 1e-9
+
+    # Times: published constants at phi=0 (x scale 0.74482) and the
+    # y = 1.70711 * tan(phi/2) ordinate
+    pr = crs_of("Times")
+    assert abs(pr.fwd(math.radians(10), 0.0)[0]
+               - 0.74482 * pr.a * math.radians(10)) < 1e-6
+    assert abs(pr.fwd(0.0, math.radians(60))[1]
+               - 1.70711 * pr.a * math.tan(math.radians(30))) < 1e-6
+
+    # Loximuthal: along the central parallel x degenerates to the
+    # equirectangular limit dlam*cos(phi1); the straight segment from
+    # the origin to any image point has TRUE rhumb length
+    pr = crs_of("Loximuthal")
+    assert abs(pr.fwd(math.radians(20), pr.phi1)[0]
+               - pr.a * math.radians(20) * math.cos(pr.phi1)) < 1e-6
+    lon, lat = math.radians(-70), math.radians(-10)
+    x, y = pr.fwd(lon, lat)
+    ln = math.log(math.tan(math.pi / 4 + lat / 2)
+                  / math.tan(math.pi / 4 + pr.phi1 / 2))
+    rhumb = abs(lat - pr.phi1) * math.sqrt(1 + (lon / ln) ** 2)
+    assert abs(math.hypot(x, y) - pr.a * rhumb) < 1e-6
 
 
 def test_colombia_urban_igac_plano_cartesiano():
