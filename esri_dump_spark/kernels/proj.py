@@ -3,7 +3,9 @@ projections (forward and inverse), replacing the reference's
 proj4js dependency (/root/reference/lib/tilejson.ts:2,119-128) for
 extent reprojection to EPSG:4326.
 
-Scope: 50 projection families with forward AND inverse — the full
+Scope: 51 registered ESRI projection names, every one with
+forward AND inverse (42 distinct implementations + 5
+parameterized variants; some names alias one implementation) — the full
 cylindrical/conic/azimuthal canon plus Krovak (``_Krovak``), Hotine
 oblique Mercator, Gauss-Schreiber Double Stereographic (``_Sterea``,
 EPSG 9809, validated against the published RD New worked example),
@@ -1401,7 +1403,9 @@ class _VanDerGrintenI(_SphericalFwd):
     in tests); elsewhere the published circular-arc construction."""
 
     def fwd(self, lon, lat):
-        dl = lon - self.lon0
+        # wrap into [-pi, pi]: A(dl) = A(pi^2/dl) makes the raw form
+        # non-injective past the antimeridian (proj4js adjlon parity)
+        dl = math.remainder(lon - self.lon0, 2.0 * math.pi)
         if abs(lat) < 1e-12:
             return self.x0 + self.a * dl, self.y0
         theta = math.asin(min(1.0, abs(2.0 * lat / math.pi)))
@@ -1523,10 +1527,29 @@ class _Loximuthal(_SphericalFwd):
             x = dl * math.cos(self.phi1)
         else:
             t = math.tan(math.pi / 4.0 + lat / 2.0)
-            if t <= 0.0:
-                raise ValueError("loximuthal undefined at the pole")
-            x = dl * dphi / math.log(t / self.tan1)
+            # pole limit: |log| -> inf so x -> 0; returning the limit
+            # (instead of raising) keeps fwd total on [-pi/2, pi/2],
+            # which the generic Newton inverse needs to stay inside
+            # the domain when seeded from out-of-image corners of a
+            # world extent (and makes the two poles symmetric — the
+            # north pole's tan(pi/2) is a huge-but-finite float)
+            x = 0.0 if t <= 1e-15 else dl * dphi / math.log(t / self.tan1)
         return self.x0 + self.a * x, self.y0 + self.a * dphi
+
+    def inv(self, x, y):
+        # exact closed inverse of the forward (y carries lat alone,
+        # then x unwinds dl); the pole column x != 0 has no preimage
+        # and resolves to the central meridian by the x -> 0 limit
+        dphi = (y - self.y0) / self.a
+        lat = self.phi1 + dphi
+        if abs(dphi) < 1e-9:
+            dl = (x - self.x0) / (self.a * math.cos(self.phi1))
+        else:
+            t = math.tan(math.pi / 4.0 + lat / 2.0)
+            dl = (0.0 if t <= 1e-15
+                  else (x - self.x0) * math.log(t / self.tan1)
+                  / (self.a * dphi))
+        return self.lon0 + dl, lat
 
 
 class _TwoPointEquidistant(_SphericalFwd):
