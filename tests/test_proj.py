@@ -174,6 +174,24 @@ def test_world_family_defining_properties():
             worst = max(worst, abs(lon2 - lon), abs(lat2 - lat))
     assert worst < 1e-9
 
+    # Snyder PP 1395 published numerical example (R=1, dlam=-75deg,
+    # phi=-50deg -> x=-1.1954154, y=-0.9960733) — an external golden,
+    # not a self-referential recomputation
+    unit = P.projection_for({
+        "kind": "projected", "projection": "Van_der_Grinten_I",
+        "a": 1.0, "rf": 0.0, "primem_deg": 0.0, "unit_to_m": 1.0,
+        "params": {"false_easting": 0.0, "false_northing": 0.0,
+                   "central_meridian": 0.0}})
+    x, y = unit.fwd(math.radians(-75), math.radians(-50))
+    assert abs(x - -1.1954154) < 1e-7 and abs(y - -0.9960733) < 1e-7
+    # antimeridian wrap: lon 200 must equal lon -160, not alias onto
+    # the A(dl)=A(pi^2/dl) twin at ~162.2
+    p200 = unit.fwd(math.radians(200), 0.4)
+    pm160 = unit.fwd(math.radians(-160), 0.4)
+    p162 = unit.fwd(math.radians(162.2), 0.4)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(p200, pm160))
+    assert any(abs(a - b) > 1e-2 for a, b in zip(p200, p162))
+
     # Two-point equidistant: planar distance to EACH anchor equals the
     # true angular distance (the projection's definition), anchors land
     # symmetric on the x axis
@@ -203,6 +221,17 @@ def test_world_family_defining_properties():
                - 0.74482 * pr.a * math.radians(10)) < 1e-6
     assert abs(pr.fwd(0.0, math.radians(60))[1]
                - 1.70711 * pr.a * math.tan(math.radians(30))) < 1e-6
+
+    # Loximuthal regression: a full world extent whose corners fall
+    # OUTSIDE the lens image must reproject without raising (the pole
+    # row is the x -> 0 limit, not an error), and the closed inverse
+    # must round-trip worldwide
+    tab2 = _wkid_table()
+    lox_wkid = next(int(w) for w, e in tab2["entries"].items()
+                    if tab2["projections"][e[0]] == "Loximuthal")
+    bounds_from_extent({"xmin": -18304932, "ymin": -14550399,
+                        "xmax": 18304932, "ymax": 5560353,
+                        "spatialReference": {"wkid": lox_wkid}})
 
     # Loximuthal: along the central parallel x degenerates to the
     # equirectangular limit dlam*cos(phi1); the straight segment from
