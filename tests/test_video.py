@@ -213,6 +213,59 @@ def test_video_near_dup_bytes_never_shuffle(spark):
         assert "bytes" not in s, s
 
 
+def test_video_job_resumes_from_file_lineage(spark, tmp_path):
+    """scripts/job_video_frames.py: file-granularity resume over the
+    video table — new files are processed, completed ones skipped, and
+    the appended frame parts union to the single-shot output. Also
+    covers the corrupt-row path end-to-end: a file with one bad video
+    still certifies (its ok=false rows reached the sink)."""
+    import importlib.util
+    import os
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "job_video_frames",
+        os.path.join(REPO, "scripts", "job_video_frames.py"))
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    inp = str(tmp_path / "videos")
+    out = str(tmp_path / "out")
+    ref_out = str(tmp_path / "ref_out")
+
+    pdf = videos_pdf(8)
+    spark.createDataFrame(pdf.iloc[:4]).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    r1 = job.run(spark, inp, out, run_id="v")
+    assert r1["resumed_skipping_files"] == 0
+    n1 = r1["metrics"]["n_rows"]
+    assert n1 == sum(len(range(0, video_n_frames(i), 2)) for i in range(4))
+
+    # a second file arrives, containing one corrupt video
+    bad = pd.DataFrame({"video_id": ["badv"], "bytes": [b"junk"],
+                        "w": np.int32(0), "h": np.int32(0), "fmt": "avi",
+                        "n_frames": np.int32(0), "fps": np.int32(10)})
+    spark.createDataFrame(pd.concat([pdf.iloc[4:], bad],
+                                    ignore_index=True)).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    r2 = job.run(spark, inp, out, run_id="v")
+    assert r2["resumed_skipping_files"] == 1
+
+    # third run: nothing new
+    r3 = job.run(spark, inp, out, run_id="v")
+    assert r3["resumed_skipping_files"] == 2
+    assert r3["metrics"]["n_rows"] == 0
+
+    # appended parts == single-shot reference, incl. the ok=false row
+    ref = job.run(spark, inp, ref_out, run_id="fresh")
+    assert ref["resumed_skipping_files"] == 0
+    got = sorted((r.video_id, r.frame_idx, r.ok) for r in
+                 spark.read.parquet(f"{out}/frames").collect())
+    exp = sorted((r.video_id, r.frame_idx, r.ok) for r in
+                 spark.read.parquet(f"{ref_out}/frames").collect())
+    assert got == exp
+    assert ("badv", None, False) in got
+
+
 def test_frame_sample_without_stats_skips_decode(spark):
     from esri_dump_spark.operators.multimodal import frame_sample
     pdf = videos_pdf(3)
