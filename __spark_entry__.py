@@ -1037,6 +1037,29 @@ def q_video_near_dup(spark, sf_dir):
         F.max("n_shared_frames").alias("max_shared_f"))
 
 
+def q_audio_stats(spark, sf_dir):
+    """Multimodal audio: PCM-WAV decode (kernels/wav.py) + waveform
+    signals (rms, zero-crossing rate, spectral centroid via rFFT) in
+    one map-only mapInPandas pass, rolled up into floor-quantized
+    integer invariants frozen as a GOLDEN-LITERAL oracle (same freeze
+    protocol: deterministic fixture + codec, input layout vs
+    repartition(13) identical before pinning). The fixture's pure-tone
+    clips are bin-aligned sines, so the physics pins (rms = A/sqrt 2,
+    zcr = 2f, centroid = f) hold in tests/test_audio.py."""
+    from esri_dump_spark.sources.fixtures import ensure_audios_parquet
+    from esri_dump_spark.operators.multimodal import audio_stats
+    aud = spark.read.parquet(ensure_audios_parquet(400))
+    st = audio_stats(aud)
+    return st.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum("n_frames").alias("sum_frames"),
+        F.sum(F.floor(F.col("duration_s") * 1000)).alias("sum_dur_ms"),
+        F.sum(F.floor(F.col("rms") * 10000)).alias("sum_rms_bp"),
+        F.sum(F.floor("zcr_hz")).alias("sum_floor_zcr"),
+        F.sum(F.floor("centroid_hz")).alias("sum_floor_centroid"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash banded-LSH near-dup pairs on documents. Oracled: the
     signature family is md5-gram + linear-congruential permutations
@@ -1383,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,            # twin rewrite
         "frame_sample": q_frame_sample,            # new: video frames
         "video_near_dup": q_video_near_dup,        # new: video dedup
+        "audio_stats": q_audio_stats,              # new: audio signals
         # ---- (3) one canary per §2 family (r01-r03 proven) ----
         "count_probe": q_count_probe,
         "extract_ids": q_extract_ids,
@@ -1396,7 +1420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_geo": q_knn_geo,
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
-        "cell_assign": q_cell_assign,
         "topk_window": q_topk_window,
         "renderer_compile": q_renderer_compile,
         "exact_dedup": q_exact_dedup,
@@ -1411,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- slot 50 boundary ----------------
         # ---- r01-r03 proven, local parity gate only ----
         "dedup_first_event": q_dedup_first_event,
+        "cell_assign": q_cell_assign,
         "agg_pricing": q_agg_pricing,
         "join_broadcast": q_join_broadcast,
         "class_breaks": q_class_breaks,
@@ -2064,6 +2088,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(100 AS BIGINT) AS n_a,
                CAST(2 AS BIGINT) AS min_shared_f,
                CAST(4 AS BIGINT) AS max_shared_f"""
+    # audio golden (same freeze protocol; 400 deterministic WAV clips)
+    oracles["audio_stats"] = """
+        SELECT CAST(400 AS BIGINT) AS n_clips,
+               CAST(400 AS BIGINT) AS n_ok,
+               CAST(2200000 AS BIGINT) AS sum_frames,
+               CAST(275000 AS BIGINT) AS sum_dur_ms,
+               CAST(909038 AS BIGINT) AS sum_rms_bp,
+               CAST(318191 AS BIGINT) AS sum_floor_zcr,
+               CAST(541129 AS BIGINT) AS sum_floor_centroid"""
     # same freeze protocol: measured twice (input layout vs
     # repartition(13)) and identical before pinning
     oracles["image_quality"] = """

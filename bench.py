@@ -97,8 +97,9 @@ def run_headline(spark) -> dict[str, float]:
         "mix_sources", "token_budget", "decontaminate",
         "leakage_safe_split", "repetition", "redact_pii", "chunk_text",
         "image_quality", "top_quality", "govern_corpus",
-        # added in round 4 (video operators — not in earlier suite totals)
-        "frame_sample", "video_near_dup",
+        # added in round 4 (video/audio operators — not in earlier
+        # suite totals)
+        "frame_sample", "video_near_dup", "audio_stats",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -36,7 +36,8 @@ from pyspark.sql import types as T
 from ..kernels.image import decode_image, encode_image, psnr, average_phash
 
 __all__ = ["decode_stats", "verify_images", "resize_images",
-           "image_quality_stats", "frame_sample", "video_near_dup"]
+           "image_quality_stats", "frame_sample", "video_near_dup",
+           "audio_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -261,6 +262,81 @@ def image_quality_stats(images: DataFrame) -> DataFrame:
 
     return (images.select("image_id", "bytes", "fmt")
             .mapInPandas(run, schema=_IQ_SCHEMA))
+
+
+_AUDIO_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("sr", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr_hz", T.DoubleType()),
+    T.StructField("centroid_hz", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def audio_stats(audios: DataFrame) -> DataFrame:
+    """Per-clip audio signals for corpus filtering — the audio analog
+    of ``image_quality_stats`` over opaque PCM-WAV binary columns:
+
+      rms          — root-mean-square level of the [-1, 1) waveform
+                     (silence / clipping detector)
+      zcr_hz       — zero crossings per second (a pure tone of
+                     frequency f crosses at exactly 2f — pinned in
+                     tests from first principles)
+      centroid_hz  — spectral centroid of the rFFT magnitude spectrum
+                     (brightness; equals f for a bin-aligned tone)
+
+    Channels are averaged before analysis. Same resilience contract as
+    every decode operator here: corrupt or non-PCM rows land as
+    ok=false + error, never a task death. One map-only ``mapInPandas``
+    pass, vectorized NumPy (FFT included); bytes never shuffle."""
+
+    from ..kernels.wav import parse_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rec in b.itertuples(index=False):
+                try:
+                    info = parse_wav(rec.bytes)
+                except (NotImplementedError, ValueError, TypeError) as e:
+                    rows.append({
+                        "audio_id": rec.audio_id, "ok": False,
+                        "sr": None, "channels": None, "n_frames": None,
+                        "duration_s": None, "rms": None, "zcr_hz": None,
+                        "centroid_hz": None, "error": str(e)})
+                    continue
+                x = info.samples.astype(np.float64).mean(axis=1) / 32768.0
+                n = x.size
+                dur = n / info.rate
+                # sign changes with exact-zero samples skipped (the
+                # standard convention — a bin-aligned tone lands
+                # exactly on zero at its crossings)
+                sgn = np.sign(x)
+                sgn = sgn[sgn != 0.0]
+                crossings = (int(np.count_nonzero(sgn[:-1] != sgn[1:]))
+                             if sgn.size > 1 else 0)
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(n, d=1.0 / info.rate)
+                tot = float(mag.sum())
+                centroid = float((freqs * mag).sum() / tot) if tot > 0 \
+                    else 0.0
+                rows.append({
+                    "audio_id": rec.audio_id, "ok": True,
+                    "sr": info.rate, "channels": info.channels,
+                    "n_frames": n, "duration_s": dur,
+                    "rms": float(np.sqrt(np.mean(x * x))),
+                    "zcr_hz": crossings / dur,
+                    "centroid_hz": centroid, "error": None})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in _AUDIO_SCHEMA])
+
+    return (audios.select("audio_id", "bytes")
+            .mapInPandas(run, schema=_AUDIO_SCHEMA))
 
 
 def video_near_dup(videos: DataFrame, every_n: int = 1,

@@ -31,6 +31,7 @@ __all__ = ["images_pdf", "polygons_records", "polygons_pdf",
            "videos_pdf", "ensure_videos_parquet", "video_frame_pixels",
            "video_n_frames", "near_dup_videos_pdf",
            "ensure_near_dup_videos_parquet",
+           "audios_pdf", "ensure_audios_parquet", "audio_samples",
            "bench_polygons_pdf", "FIXTURE_CACHE"]
 
 FIXTURE_CACHE = os.environ.get(
@@ -304,6 +305,56 @@ def ensure_videos_parquet(n: int, seed: int = 42,
     """Generate-once parquet cache for the video table."""
     return _ensure_pdf_parquet(f"videos_v1_n{n}_s{seed}.parquet",
                                lambda: videos_pdf(n, seed), n_files)
+
+
+def audio_samples(audio_idx: int, seed: int = 42):
+    """Reference waveform regeneration: pure function of the clip
+    index. Every third clip is a PURE bin-aligned tone (frequency an
+    exact multiple of sr/n), so rms = amp/sqrt(2), zcr = 2f and
+    spectral centroid = f hold EXACTLY — first-principles pins for
+    the audio operator; the rest are tone + seeded noise. Returns
+    (int16 samples, sr, tone_hz or None)."""
+    sr = 8000
+    n = 4000 + (audio_idx % 4) * 1000            # 0.5 .. 0.875 s
+    k = 100 + (audio_idx * 37) % 300             # FFT bin index
+    f = k * sr / n                               # bin-aligned tone
+    t = np.arange(n, dtype=np.float64)
+    wave = np.sin(2.0 * np.pi * f * t / sr)
+    if audio_idx % 3 != 0:
+        rng = np.random.default_rng(seed * 5_000_011 + audio_idx)
+        wave = 0.8 * wave + 0.2 * rng.uniform(-1.0, 1.0, n)
+        tone = None
+    else:
+        tone = f
+    samples = np.round(wave * 12000.0).astype(np.int16)
+    return samples, sr, tone
+
+
+def audios_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic PCM-WAV audio table, shaped like the image/video
+    tables: (audio_id string, bytes binary, sr int32, n_frames int32,
+    channels int32, fmt string)."""
+    from ..kernels.wav import encode_wav
+    rows = []
+    for i in range(n):
+        samples, sr, _ = audio_samples(i, seed)
+        rows.append({
+            "audio_id": f"aud{i:012d}",
+            "bytes": encode_wav(samples, sr),
+            "sr": sr, "n_frames": len(samples),
+            "channels": 1, "fmt": "wav",
+        })
+    pdf = pd.DataFrame(rows)
+    for c in ("sr", "n_frames", "channels"):
+        pdf[c] = pdf[c].astype("int32")
+    return pdf
+
+
+def ensure_audios_parquet(n: int, seed: int = 42,
+                          n_files: int = 16) -> str:
+    """Generate-once cache for the audio table."""
+    return _ensure_pdf_parquet(f"audios_v1_n{n}_s{seed}.parquet",
+                               lambda: audios_pdf(n, seed), n_files)
 
 
 def bench_polygons_pdf(nv: int = 256, nx: int = 6, ny: int = 4,
