@@ -1418,8 +1418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect": q_pip_rect,
         "poly_intersect_join": q_poly_intersect_join,
         "knn_geo": q_knn_geo,
-        "tile_assign": q_tile_assign,
+        # tile family canary is tile_pyramid (its leaf level IS
+        # assign_tiles); tile_assign moves past the boundary
         "tile_pyramid": q_tile_pyramid,
+        "cell_assign": q_cell_assign,
         "topk_window": q_topk_window,
         "renderer_compile": q_renderer_compile,
         "exact_dedup": q_exact_dedup,
@@ -1434,7 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- slot 50 boundary ----------------
         # ---- r01-r03 proven, local parity gate only ----
         "dedup_first_event": q_dedup_first_event,
-        "cell_assign": q_cell_assign,
+        "tile_assign": q_tile_assign,
         "agg_pricing": q_agg_pricing,
         "join_broadcast": q_join_broadcast,
         "class_breaks": q_class_breaks,

@@ -136,12 +136,12 @@ def _walk(data: bytes, pos: int, end: int):
     [pos, end); raises ValueError on any truncation."""
     while pos < end:
         if pos + 8 > end:
-            raise ValueError("truncated AVI chunk header")
+            raise ValueError("truncated RIFF chunk header")
         fourcc = data[pos:pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = pos + 8
         if body + size > end:
-            raise ValueError("AVI chunk overruns its parent")
+            raise ValueError("RIFF chunk overruns its parent")
         yield fourcc, body, size
         pos = body + size + (size % 2)   # skip the even-pad byte
 

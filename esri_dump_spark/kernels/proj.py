@@ -1525,14 +1525,15 @@ class _Loximuthal(_SphericalFwd):
         dphi = lat - self.phi1
         if abs(dphi) < 1e-9:
             x = dl * math.cos(self.phi1)
+        elif abs(lat) >= math.pi / 2.0 - 1e-12:
+            # pole limit at BOTH poles: |log| -> inf so x -> 0
+            # (tan(pi/2) is a huge-but-finite float, so the south
+            # pole's t <= 0 test alone would leave the north pole
+            # with a wrong nonzero x); keeping fwd total lets the
+            # world-extent inversion stay inside the domain
+            x = 0.0
         else:
             t = math.tan(math.pi / 4.0 + lat / 2.0)
-            # pole limit: |log| -> inf so x -> 0; returning the limit
-            # (instead of raising) keeps fwd total on [-pi/2, pi/2],
-            # which the generic Newton inverse needs to stay inside
-            # the domain when seeded from out-of-image corners of a
-            # world extent (and makes the two poles symmetric — the
-            # north pole's tan(pi/2) is a huge-but-finite float)
             x = 0.0 if t <= 1e-15 else dl * dphi / math.log(t / self.tan1)
         return self.x0 + self.a * x, self.y0 + self.a * dphi
 
@@ -1544,6 +1545,8 @@ class _Loximuthal(_SphericalFwd):
         lat = self.phi1 + dphi
         if abs(dphi) < 1e-9:
             dl = (x - self.x0) / (self.a * math.cos(self.phi1))
+        elif abs(lat) >= math.pi / 2.0 - 1e-12:
+            dl = 0.0          # pole column (both poles): x == 0
         else:
             t = math.tan(math.pi / 4.0 + lat / 2.0)
             dl = (0.0 if t <= 1e-15

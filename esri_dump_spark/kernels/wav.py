@@ -19,6 +19,8 @@ import struct
 
 import numpy as np
 
+from .avi import _chunk, _walk   # shared RIFF container grammar
+
 __all__ = ["encode_wav", "parse_wav", "WavInfo"]
 
 
@@ -54,11 +56,12 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         raise ValueError("bad channel count")
     data = np.ascontiguousarray(s, dtype="<i2").tobytes()
     block = ch * 2
+    if rate * block > 0xFFFFFFFF or len(data) + 44 > 0xFFFFFFFF:
+        # all RIFF sizes (incl. the fmt byte-rate field) are uint32 —
+        # fail with the documented error type, not struct.error
+        raise ValueError("WAV fields exceed 32-bit RIFF limits")
     fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
-    body = (b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data
-            + (b"\x00" if len(data) % 2 else b""))
+    body = b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -76,24 +79,15 @@ def parse_wav(data: bytes) -> WavInfo:
     end = 8 + riff_size
     if end > len(data):
         raise ValueError("truncated RIFF payload")
-    pos = 12
     fmt = None
     payload = None
-    while pos < end:
-        if pos + 8 > end:
-            raise ValueError("truncated WAV chunk header")
-        tag = data[pos:pos + 4]
-        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
-        body = pos + 8
-        if body + size > end:
-            raise ValueError("WAV chunk overruns its parent")
+    for tag, body, size in _walk(data, 12, end):
         if tag == b"fmt ":
             if size < 16:
                 raise ValueError("short fmt chunk")
             fmt = struct.unpack("<HHIIHH", data[body:body + 16])
         elif tag == b"data":
             payload = data[body:body + size]
-        pos = body + size + (size % 2)
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, ch, rate, _, _, bits = fmt

@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["LINEAGE_COLUMNS", "new_attempt_id", "with_lineage",
            "read_lineage", "commit_attempt", "committed_attempts",
-           "observe_metrics", "pending_work", "completed_keys"]
+           "observe_metrics", "pending_work", "completed_keys",
+           "run_resumable"]
 
 LINEAGE_COLUMNS = ["run_id", "attempt_id", "partition_id", "work_key",
                    "work_keys", "n_rows", "bytes_in", "t_start", "t_end",
@@ -221,3 +222,43 @@ def pending_work(manifest: DataFrame, done: DataFrame,
     left_anti against the manifest."""
     done = done.select(F.col("work_key").alias(manifest_key)).distinct()
     return manifest.join(F.broadcast(done), manifest_key, "left_anti")
+
+
+def run_resumable(spark, manifest: DataFrame, transform,
+                  out_dir: str, run_id: str,
+                  sink_name: str = "output",
+                  work_key_col: str = "work_key") -> dict:
+    """The checkpoint-resume harness, payload-agnostic: ONE place that
+    owns the crash-safety ordering every resumable job must keep
+    (CLAUDE.md invariant — lineage rows land during the map stage and
+    certify NOTHING until the commit marker lands strictly AFTER the
+    sink write returns).
+
+    ``manifest``: the input rows plus a ``work_key_col`` identifying
+    each work item (typically ``F.input_file_name()``); work items
+    must not split across partitions (files below
+    ``spark.sql.files.maxPartitionBytes``).
+    ``transform``: DataFrame -> DataFrame over the PENDING manifest
+    rows; its output is appended to ``{out_dir}/{sink_name}``, so it
+    must be re-aggregatable or idempotent per work item.
+
+    Returns {run_id, resumed_skipping_files, metrics}.
+    """
+    lineage_dir = f"{out_dir}/_lineage"
+    attempt_id = new_attempt_id()
+    done = completed_keys(spark, lineage_dir, run_id)
+    n_done = done.count()
+    pending = pending_work(manifest, done, work_key_col)
+    # lineage wraps the SCAN side (pre-transform): a work item whose
+    # rows all filter out downstream still certifies once scanned +
+    # committed — wrapping post-transform leaves such items
+    # re-processed on every resume, the pending set never converging
+    pending = with_lineage(pending, run_id, lineage_dir,
+                           work_key_col=work_key_col, collect_keys=True,
+                           attempt_id=attempt_id)
+    observed, obs = observe_metrics(transform(pending))
+    observed.write.mode("append").parquet(f"{out_dir}/{sink_name}")
+    # the ordering invariant: marker strictly after the sink write
+    commit_attempt(lineage_dir, run_id, attempt_id)
+    return {"run_id": run_id, "resumed_skipping_files": n_done,
+            "metrics": dict(obs.get)}

@@ -38,55 +38,29 @@ def run(spark: SparkSession, images_path: str, out_dir: str,
     from esri_dump_spark.operators.spatial_join import (
         point_in_polygon_join, point_in_polygon_join_dist)
     from esri_dump_spark.operators.tiles import assign_tiles
-    from esri_dump_spark.operators.lineage import (commit_attempt,
-                                                   completed_keys,
-                                                   new_attempt_id,
-                                                   observe_metrics,
-                                                   pending_work,
-                                                   with_lineage)
+    from esri_dump_spark.operators.lineage import run_resumable
     from esri_dump_spark.sources.fixtures import polygons_pdf
-
-    lineage_dir = f"{out_dir}/_lineage"
-    attempt_id = new_attempt_id()
 
     imgs = (spark.read.parquet(images_path)
             .select("image_id", "lon", "lat")
             .withColumn("work_key", F.input_file_name()))
 
-    # trust only COMMITTED attempts: lineage rows land during the map
-    # stage, so a crash before the parquet append below must not mark
-    # those files done (their counts never reached the sink)
-    done = completed_keys(spark, lineage_dir, run_id)
-    n_done = done.count()
-    pending = pending_work(imgs, done, "work_key")
+    def transform(pending):
+        if polygons_path is not None:
+            polys = spark.read.parquet(polygons_path)
+            joined = point_in_polygon_join_dist(pending, polys, res=11,
+                                                id_col="image_id")
+        else:
+            joined = point_in_polygon_join(pending, polygons_pdf(),
+                                           res=11)
+        return assign_tiles(joined, z=13).groupBy(
+            "poly_id", "tile_id").agg(F.count(F.lit(1)).alias("n"))
 
-    # lineage wraps the SCAN side (pre-join): a file whose points all
-    # miss every polygon still contributes zero rows to the sink — it
-    # is complete once scanned + committed. Wrapping post-join left
-    # such files uncertified forever (re-scanned on every resume, the
-    # pending set never converging to empty). The crash-safety
-    # ordering is unchanged: these keys certify nothing until the
-    # commit marker lands after the sink write below.
-    pending = with_lineage(pending, run_id, lineage_dir,
-                           work_key_col="work_key", collect_keys=True,
-                           attempt_id=attempt_id)
-    if polygons_path is not None:
-        polys = spark.read.parquet(polygons_path)
-        joined = point_in_polygon_join_dist(pending, polys, res=11,
-                                            id_col="image_id")
-    else:
-        joined = point_in_polygon_join(pending, polygons_pdf(), res=11)
-    tiled = assign_tiles(joined, z=13)
-    out = tiled.groupBy("poly_id", "tile_id").agg(
-        F.count(F.lit(1)).alias("n"))
-    observed, obs = observe_metrics(out)
-    observed.write.mode("append").parquet(f"{out_dir}/assignments")
-    # write ordering is the crash-safety invariant: the marker that
-    # promotes this attempt's lineage to "completed" lands strictly
-    # after the sink write returned
-    commit_attempt(lineage_dir, run_id, attempt_id)
-    return {"run_id": run_id, "resumed_skipping_files": n_done,
-            "metrics": dict(obs.get)}
+    # the crash-safety ordering (commit marker strictly after the sink
+    # write; scan-side lineage) lives in run_resumable — shared with
+    # job_video_frames.py, stated once
+    return run_resumable(spark, imgs, transform, out_dir, run_id,
+                         sink_name="assignments")
 
 
 def main() -> None:

@@ -31,35 +31,17 @@ import pyspark.sql.functions as F
 
 def run(spark: SparkSession, videos_path: str, out_dir: str,
         run_id: str = "default", every_n: int = 2) -> dict:
-    from esri_dump_spark.operators.lineage import (commit_attempt,
-                                                   completed_keys,
-                                                   new_attempt_id,
-                                                   observe_metrics,
-                                                   pending_work,
-                                                   with_lineage)
+    from esri_dump_spark.operators.lineage import run_resumable
     from esri_dump_spark.operators.multimodal import frame_sample
-
-    lineage_dir = f"{out_dir}/_lineage"
-    attempt_id = new_attempt_id()
 
     vids = (spark.read.parquet(videos_path)
             .select("video_id", "bytes")
             .withColumn("work_key", F.input_file_name()))
-
-    done = completed_keys(spark, lineage_dir, run_id)
-    n_done = done.count()
-    pending = pending_work(vids, done, "work_key")
-    pending = with_lineage(pending, run_id, lineage_dir,
-                           work_key_col="work_key", collect_keys=True,
-                           attempt_id=attempt_id)
-
-    frames = frame_sample(pending, every_n=every_n)
-    observed, obs = observe_metrics(frames)
-    observed.write.mode("append").parquet(f"{out_dir}/frames")
-    # marker lands strictly AFTER the sink write returned
-    commit_attempt(lineage_dir, run_id, attempt_id)
-    return {"run_id": run_id, "resumed_skipping_files": n_done,
-            "metrics": dict(obs.get)}
+    # the crash-safety ordering lives in run_resumable, not here
+    return run_resumable(
+        spark, vids, lambda pending: frame_sample(pending,
+                                                  every_n=every_n),
+        out_dir, run_id, sink_name="frames")
 
 
 def main() -> None:

@@ -239,6 +239,10 @@ def test_world_family_defining_properties():
     pr = crs_of("Loximuthal")
     assert abs(pr.fwd(math.radians(20), pr.phi1)[0]
                - pr.a * math.radians(20) * math.cos(pr.phi1)) < 1e-6
+    # both poles collapse to x = 0 (tan(pi/2) is a huge finite float,
+    # so the north pole needs the explicit |lat| guard)
+    assert pr.fwd(math.radians(179), math.pi / 2)[0] == 0.0
+    assert pr.fwd(math.radians(179), -math.pi / 2)[0] == 0.0
     lon, lat = math.radians(-70), math.radians(-10)
     x, y = pr.fwd(lon, lat)
     ln = math.log(math.tan(math.pi / 4 + lat / 2)
