@@ -266,6 +266,38 @@ def test_video_job_resumes_from_file_lineage(spark, tmp_path):
     assert ("badv", None, False) in got
 
 
+def test_frame_sample_under_structured_streaming(spark, tmp_path):
+    """Incremental video ingestion: frame_sample is a stateless
+    mapInPandas, so it composes with readStream unchanged — new video
+    files arriving in a directory yield their frame rows per
+    micro-batch, and the streamed union equals the batch result."""
+    pdf = videos_pdf(6)
+    inp = str(tmp_path / "vstream_in")
+    sdf = spark.createDataFrame(pdf)
+    sdf.filter("video_id < 'vid000000000003'").coalesce(1) \
+        .write.mode("append").parquet(inp)
+    sdf.filter("video_id >= 'vid000000000003'").coalesce(1) \
+        .write.mode("append").parquet(inp)
+
+    from esri_dump_spark.operators.multimodal import frame_sample
+    stream = (spark.readStream.schema(sdf.schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    q = (frame_sample(stream, every_n=2, with_bytes=False)
+         .writeStream.format("memory").queryName("vframes")
+         .option("checkpointLocation", str(tmp_path / "vckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted((r.video_id, r.frame_idx, r.phash_frame) for r in
+                 spark.sql("SELECT video_id, frame_idx, phash_frame "
+                           "FROM vframes").collect())
+    exp = sorted((r.video_id, r.frame_idx, r.phash_frame) for r in
+                 frame_sample(sdf, every_n=2, with_bytes=False)
+                 .select("video_id", "frame_idx", "phash_frame")
+                 .collect())
+    assert len(got) > 0 and got == exp
+
+
 def test_frame_sample_without_stats_skips_decode(spark):
     from esri_dump_spark.operators.multimodal import frame_sample
     pdf = videos_pdf(3)
