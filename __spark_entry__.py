@@ -1060,6 +1060,27 @@ def q_audio_stats(spark, sf_dir):
         F.sum(F.floor("centroid_hz")).alias("sum_floor_centroid"))
 
 
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-duplicate pairs by shared window fingerprints
+    (Haitsma-Kalker-family 32-bit spectral hashes) over the planted-
+    duplicate fixture — pair k of 100 shares exactly 2 + (k%3)
+    sample-identical windows, so the GOLDEN LITERALS equal the
+    analytic ground truth (100 pairs, sum 299), re-verified
+    layout-stable before freezing. Completes the modality dedup
+    matrix; only (audio_id, fp) ever shuffles."""
+    from esri_dump_spark.sources.fixtures import (
+        ensure_near_dup_audios_parquet)
+    from esri_dump_spark.operators.multimodal import audio_near_dup
+    auds = spark.read.parquet(ensure_near_dup_audios_parquet(200))
+    p = audio_near_dup(auds, min_shared=2)
+    return p.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_shared_windows").alias("sum_shared"),
+        F.countDistinct("audio_a").alias("n_a"),
+        F.min("n_shared_windows").alias("min_shared_w"),
+        F.max("n_shared_windows").alias("max_shared_w"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash banded-LSH near-dup pairs on documents. Oracled: the
     signature family is md5-gram + linear-congruential permutations
@@ -1407,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,            # new: video frames
         "video_near_dup": q_video_near_dup,        # new: video dedup
         "audio_stats": q_audio_stats,              # new: audio signals
+        "audio_near_dup": q_audio_near_dup,        # new: audio dedup
         # ---- (3) one canary per §2 family (r01-r03 proven) ----
         "count_probe": q_count_probe,
         "extract_ids": q_extract_ids,
@@ -1428,7 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "emb_near_dup": q_emb_near_dup,
+        # embedding-dedup family stays covered in-prefix by the two
+        # emb_near_dup_lsh entries; the exact variant moves past 50
         "ivf_ann": q_ivf_ann,
         "token_count": q_token_count,
         "govern_corpus": q_govern_corpus,
@@ -1436,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- slot 50 boundary ----------------
         # ---- r01-r03 proven, local parity gate only ----
         "dedup_first_event": q_dedup_first_event,
+        "emb_near_dup": q_emb_near_dup,
         "tile_assign": q_tile_assign,
         "agg_pricing": q_agg_pricing,
         "join_broadcast": q_join_broadcast,
@@ -2090,6 +2114,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(100 AS BIGINT) AS n_a,
                CAST(2 AS BIGINT) AS min_shared_f,
                CAST(4 AS BIGINT) AS max_shared_f"""
+    # audio near-dup golden: literals EQUAL the analytic ground truth
+    # (pair k shares 2+(k%3) windows: 100 pairs, sum 299), layout-
+    # stable before freezing
+    oracles["audio_near_dup"] = """
+        SELECT CAST(100 AS BIGINT) AS n_pairs,
+               CAST(299 AS BIGINT) AS sum_shared,
+               CAST(100 AS BIGINT) AS n_a,
+               CAST(2 AS BIGINT) AS min_shared_w,
+               CAST(4 AS BIGINT) AS max_shared_w"""
     # audio golden (same freeze protocol; 400 deterministic WAV clips)
     oracles["audio_stats"] = """
         SELECT CAST(400 AS BIGINT) AS n_clips,

@@ -99,7 +99,7 @@ def run_headline(spark) -> dict[str, float]:
         "image_quality", "top_quality", "govern_corpus",
         # added in round 4 (video/audio operators — not in earlier
         # suite totals)
-        "frame_sample", "video_near_dup", "audio_stats",
+        "frame_sample", "video_near_dup", "audio_stats", "audio_near_dup",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

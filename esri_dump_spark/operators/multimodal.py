@@ -37,7 +37,8 @@ from ..kernels.image import decode_image, encode_image, psnr, average_phash
 
 __all__ = ["decode_stats", "verify_images", "resize_images",
            "image_quality_stats", "frame_sample", "video_near_dup",
-           "audio_stats"]
+           "audio_stats", "audio_fingerprints", "audio_near_dup",
+           "shared_hash_pairs"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -339,6 +340,118 @@ def audio_stats(audios: DataFrame) -> DataFrame:
             .mapInPandas(run, schema=_AUDIO_SCHEMA))
 
 
+def shared_hash_pairs(items: DataFrame, id_col: str, hash_col: str,
+                      min_shared: int, max_df: int | None,
+                      count_alias: str) -> DataFrame:
+    """Generic near-dup pair machinery over (id, content-hash) rows:
+    distinct per item, optional ``max_df`` document-frequency cap
+    (drops degenerate hashes shared by more than that many items —
+    the n-gram max_df candidate rule; the df filter side is small so
+    Spark broadcasts it), ids-only self-equi-join on the hash, and a
+    per-pair shared-count threshold. The bytes the hashes came from
+    never enter this plan — callers hash in their map stage. Backs
+    both video (frame phash) and audio (window fingerprint) dedup."""
+    a_id, b_id = f"{id_col}_a", f"{id_col}_b"
+    items = items.select(id_col, hash_col).distinct()
+    if max_df is not None:
+        df_ok = (items.groupBy(hash_col)
+                 .agg(F.count(F.lit(1)).alias("_df"))
+                 .filter(F.col("_df") <= max_df)
+                 .select(hash_col))
+        items = items.join(df_ok, hash_col)
+    a = items.select(F.col(id_col).alias(a_id), hash_col)
+    b = items.select(F.col(id_col).alias(b_id), hash_col)
+    return (a.join(b, hash_col)
+            .filter(F.col(a_id) < F.col(b_id))
+            .groupBy(a_id, b_id)
+            .agg(F.count(F.lit(1)).alias(count_alias))
+            .filter(F.col(count_alias) >= min_shared))
+
+
+_AFP_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("window_idx", T.IntegerType()),
+    T.StructField("fp", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+AUDIO_FP_WINDOW = 1024          # samples per fingerprint window
+AUDIO_FP_BANDS = 33             # log-ish bands -> 32 delta bits
+
+
+def audio_fingerprints(audios: DataFrame,
+                       window: int = AUDIO_FP_WINDOW) -> DataFrame:
+    """Explode each clip into per-window 32-bit spectral fingerprints
+    (Haitsma-Kalker family): window the mono waveform (hop = window,
+    no overlap — windows of byte-identical audio then fingerprint
+    byte-identically, which is what dedup joins on), rFFT each
+    window, fold the magnitude spectrum into 33 power-law bands, and
+    set bit b when band b's energy exceeds band b+1's. Deterministic,
+    map-only, vectorized across all windows of a batch at once; a
+    corrupt clip lands as ONE ok=false row."""
+
+    from ..kernels.wav import parse_wav
+    cols = [f.name for f in _AFP_SCHEMA]
+    # power-law band edges over the rfft bins (shared by every clip
+    # with the same window size; depends only on bin count)
+    nbins = window // 2 + 1
+    edges = np.unique(np.round(
+        np.power(np.linspace(1.0, nbins ** (1.0 / 2.2),
+                             AUDIO_FP_BANDS + 1), 2.2)).astype(int))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rec in b.itertuples(index=False):
+                try:
+                    info = parse_wav(rec.bytes)
+                except (NotImplementedError, ValueError, TypeError) as e:
+                    rows.append({"audio_id": rec.audio_id, "ok": False,
+                                 "window_idx": None, "fp": None,
+                                 "error": str(e)})
+                    continue
+                x = info.samples.astype(np.float64).mean(axis=1)
+                nwin = x.size // window
+                if nwin == 0:
+                    rows.append({"audio_id": rec.audio_id, "ok": False,
+                                 "window_idx": None, "fp": None,
+                                 "error": "clip shorter than one "
+                                          "fingerprint window"})
+                    continue
+                frames = x[:nwin * window].reshape(nwin, window)
+                mag = np.abs(np.fft.rfft(frames, axis=1))
+                e = np.add.reduceat(mag * mag, edges[:-1], axis=1)
+                bits = (e[:, :-1] > e[:, 1:])
+                weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
+                fps = (bits.astype(np.int64) * weights).sum(axis=1)
+                for w in range(nwin):
+                    rows.append({"audio_id": rec.audio_id, "ok": True,
+                                 "window_idx": w, "fp": int(fps[w]),
+                                 "error": None})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (audios.select("audio_id", "bytes")
+            .mapInPandas(run, schema=_AFP_SCHEMA))
+
+
+def audio_near_dup(audios: DataFrame, min_shared: int = 2,
+                   max_df: int | None = 1000,
+                   window: int = AUDIO_FP_WINDOW) -> DataFrame:
+    """Audio near-duplicate pairs by shared window fingerprints — the
+    audio leg of the modality-complete dedup matrix (text minhash /
+    simhash / n-gram, embeddings, image phash, video frame phash,
+    cross-modal consensus). Same ids-only shuffle posture as
+    ``video_near_dup`` via ``shared_hash_pairs``; ``max_df`` drops
+    degenerate fingerprints (digital silence, test tones) before the
+    join."""
+    fps = audio_fingerprints(audios, window=window).filter(F.col("ok"))
+    return (shared_hash_pairs(fps, "audio_id", "fp",
+                              min_shared, max_df, "n_shared_windows")
+            .withColumnRenamed("audio_id_a", "audio_a")
+            .withColumnRenamed("audio_id_b", "audio_b"))
+
+
 def video_near_dup(videos: DataFrame, every_n: int = 1,
                    min_shared: int = 2,
                    max_df: int | None = 1000) -> DataFrame:
@@ -349,31 +462,13 @@ def video_near_dup(videos: DataFrame, every_n: int = 1,
 
     Plan shape (the 100 TB posture): ``frame_sample`` is map-only and
     projects bytes away immediately, so the only thing that ever
-    shuffles is (video_id, phash_frame) — an ids-only bucketed
-    self-equi-join on the 64-bit hash, the same shape as the image
-    ``phash_near_dup`` family. ``max_df`` drops degenerate frame
-    hashes appearing in more than that many videos (black frames,
-    test cards) before the join — the n-gram max_df candidate cap
-    applied to frames; None disables."""
+    shuffles is (video_id, phash_frame) — see ``shared_hash_pairs``."""
     frames = (frame_sample(videos, every_n=every_n, with_bytes=False)
-              .filter(F.col("ok"))
-              .select("video_id", "phash_frame")
-              .distinct())
-    if max_df is not None:
-        df_ok = (frames.groupBy("phash_frame")
-                 .agg(F.count(F.lit(1)).alias("_df"))
-                 .filter(F.col("_df") <= max_df)
-                 .select("phash_frame"))
-        frames = frames.join(df_ok, "phash_frame")
-    a = frames.select(F.col("video_id").alias("video_a"),
-                      "phash_frame")
-    b = frames.select(F.col("video_id").alias("video_b"),
-                      "phash_frame")
-    return (a.join(b, "phash_frame")
-            .filter(F.col("video_a") < F.col("video_b"))
-            .groupBy("video_a", "video_b")
-            .agg(F.count(F.lit(1)).alias("n_shared_frames"))
-            .filter(F.col("n_shared_frames") >= min_shared))
+              .filter(F.col("ok")))
+    return (shared_hash_pairs(frames, "video_id", "phash_frame",
+                              min_shared, max_df, "n_shared_frames")
+            .withColumnRenamed("video_id_a", "video_a")
+            .withColumnRenamed("video_id_b", "video_b"))
 
 
 _FRAME_SCHEMA = T.StructType([

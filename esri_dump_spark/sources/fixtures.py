@@ -32,6 +32,8 @@ __all__ = ["images_pdf", "polygons_records", "polygons_pdf",
            "video_n_frames", "near_dup_videos_pdf",
            "ensure_near_dup_videos_parquet",
            "audios_pdf", "ensure_audios_parquet", "audio_samples",
+           "audio_n_windows", "near_dup_audios_pdf",
+           "ensure_near_dup_audios_parquet",
            "bench_polygons_pdf", "FIXTURE_CACHE"]
 
 FIXTURE_CACHE = os.environ.get(
@@ -355,6 +357,53 @@ def ensure_audios_parquet(n: int, seed: int = 42,
     """Generate-once cache for the audio table."""
     return _ensure_pdf_parquet(f"audios_v1_n{n}_s{seed}.parquet",
                                lambda: audios_pdf(n, seed), n_files)
+
+
+def audio_n_windows(audio_idx: int) -> int:
+    return 5 + (audio_idx % 4)           # 5..8 fingerprint windows
+
+
+def near_dup_audios_pdf(n: int, seed: int = 42,
+                        window: int = 1024) -> pd.DataFrame:
+    """Audio table with PLANTED near-duplicates: clips (2k, 2k+1)
+    share their first ``2 + (k % 3)`` fingerprint WINDOWS
+    sample-identically (hop = window, so byte-equal audio fingerprints
+    byte-equally), each keeps its own noise tail. Ground truth is
+    exact: pair k shares 2..4 window fingerprints; unrelated noise
+    windows collide at ~2^-32."""
+    from ..kernels.wav import encode_wav
+
+    def noise(key: int, nsamp: int) -> np.ndarray:
+        rng = np.random.default_rng(seed * 7_000_003 + key)
+        return rng.integers(-20000, 20000, nsamp).astype(np.int16)
+
+    rows = []
+    for i in range(n):
+        k = i // 2
+        nwin = audio_n_windows(i)
+        shared = 2 + (k % 3)
+        parts = [noise(2 * k * 1000 + w, window) if w < shared
+                 else noise(i * 1000 + 100 + w, window)
+                 for w in range(nwin)]
+        samples = np.concatenate(parts)
+        rows.append({
+            "audio_id": f"aud{i:012d}",
+            "bytes": encode_wav(samples, 8000),
+            "sr": 8000, "n_frames": len(samples),
+            "channels": 1, "fmt": "wav",
+        })
+    pdf = pd.DataFrame(rows)
+    for c in ("sr", "n_frames", "channels"):
+        pdf[c] = pdf[c].astype("int32")
+    return pdf
+
+
+def ensure_near_dup_audios_parquet(n: int, seed: int = 42,
+                                   n_files: int = 16) -> str:
+    """Generate-once cache for the planted-duplicate audio table."""
+    return _ensure_pdf_parquet(f"audios_nd_v1_n{n}_s{seed}.parquet",
+                               lambda: near_dup_audios_pdf(n, seed),
+                               n_files)
 
 
 def bench_polygons_pdf(nv: int = 256, nx: int = 6, ny: int = 4,

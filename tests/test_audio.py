@@ -124,6 +124,75 @@ def test_audio_stats_operator(spark):
             assert r.centroid_hz > 100.0 and 0.0 < r.rms < 1.0
 
 
+def test_audio_fingerprints_deterministic_and_aligned():
+    """Byte-identical audio prefixes fingerprint byte-identically
+    (hop = window), and the fingerprint is a pure function of the
+    samples — computed twice it matches."""
+    from esri_dump_spark.sources.fixtures import near_dup_audios_pdf
+    from esri_dump_spark.kernels.wav import parse_wav
+    import numpy as np
+    from esri_dump_spark.operators.multimodal import (AUDIO_FP_BANDS,
+                                                      AUDIO_FP_WINDOW)
+    pdf = near_dup_audios_pdf(4)
+    nbins = AUDIO_FP_WINDOW // 2 + 1
+    edges = np.unique(np.round(np.power(
+        np.linspace(1.0, nbins ** (1.0 / 2.2), AUDIO_FP_BANDS + 1),
+        2.2)).astype(int))
+
+    def fps(wav_bytes):
+        x = parse_wav(wav_bytes).samples[:, 0].astype(np.float64)
+        nwin = x.size // AUDIO_FP_WINDOW
+        fr = x[:nwin * AUDIO_FP_WINDOW].reshape(nwin, AUDIO_FP_WINDOW)
+        mag = np.abs(np.fft.rfft(fr, axis=1))
+        e = np.add.reduceat(mag * mag, edges[:-1], axis=1)
+        bits = (e[:, :-1] > e[:, 1:])
+        w = (1 << np.arange(bits.shape[1], dtype=np.int64))
+        return (bits.astype(np.int64) * w).sum(axis=1).tolist()
+
+    f0, f1 = fps(pdf["bytes"][0]), fps(pdf["bytes"][1])
+    # pair 0 shares exactly its first 2 windows
+    assert f0[:2] == f1[:2]
+    assert f0[2] != f1[2]
+    assert fps(pdf["bytes"][0]) == f0      # deterministic
+
+
+def test_audio_near_dup_exact_ground_truth(spark):
+    """Planted duplicates: pair k shares exactly 2 + (k % 3) window
+    fingerprints — the operator recovers exactly those pairs with
+    exactly those counts."""
+    from esri_dump_spark.operators.multimodal import audio_near_dup
+    from esri_dump_spark.sources.fixtures import near_dup_audios_pdf
+    auds = spark.createDataFrame(near_dup_audios_pdf(20))  # 10 pairs
+    got = {(r.audio_a, r.audio_b): r.n_shared_windows
+           for r in audio_near_dup(auds, min_shared=3,
+                                   max_df=None).collect()}
+    exp = {(f"aud{2 * k:012d}", f"aud{2 * k + 1:012d}"): 2 + (k % 3)
+           for k in range(10) if 2 + (k % 3) >= 3}
+    assert got == exp
+    assert audio_near_dup(auds, min_shared=2, max_df=None).count() == 10
+    # every shared fingerprint appears in exactly 2 clips -> max_df=1
+    # drops them all
+    assert audio_near_dup(auds, min_shared=1, max_df=1).count() == 0
+
+
+def test_audio_near_dup_bytes_never_shuffle(spark):
+    from esri_dump_spark.operators.multimodal import audio_near_dup
+    from esri_dump_spark.sources.fixtures import (
+        ensure_near_dup_audios_parquet)
+    import re
+    df = audio_near_dup(spark.read.parquet(
+        ensure_near_dup_audios_parquet(40)), min_shared=2)
+    assert df.count() == 20
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    sections = re.split(r"\n\(\d+\) ", "\n" + formatted)
+    exchanges = [s for s in sections if s.startswith("Exchange")]
+    assert exchanges
+    for s in exchanges:
+        assert "bytes" not in s, s
+
+
 def test_audio_stats_plan_is_map_only(spark):
     from esri_dump_spark.operators.multimodal import audio_stats
     df = audio_stats(spark.read.parquet(ensure_audios_parquet(24)))
