@@ -402,34 +402,49 @@ def audio_fingerprints(audios: DataFrame,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
+            # ok rows stay columnar end-to-end (an hour-long clip is
+            # ~150k windows — per-window dict building would cost as
+            # much as the rFFT itself); the rare error rows go through
+            # a small dict path and concat at the end
+            ids, widx, fps_parts = [], [], []
+            err_rows = []
             for rec in b.itertuples(index=False):
                 try:
                     info = parse_wav(rec.bytes)
                 except (NotImplementedError, ValueError, TypeError) as e:
-                    rows.append({"audio_id": rec.audio_id, "ok": False,
-                                 "window_idx": None, "fp": None,
-                                 "error": str(e)})
+                    err_rows.append({"audio_id": rec.audio_id,
+                                     "ok": False, "window_idx": None,
+                                     "fp": None, "error": str(e)})
                     continue
                 x = info.samples.astype(np.float64).mean(axis=1)
                 nwin = x.size // window
                 if nwin == 0:
-                    rows.append({"audio_id": rec.audio_id, "ok": False,
-                                 "window_idx": None, "fp": None,
-                                 "error": "clip shorter than one "
-                                          "fingerprint window"})
+                    err_rows.append({"audio_id": rec.audio_id,
+                                     "ok": False, "window_idx": None,
+                                     "fp": None,
+                                     "error": "clip shorter than one "
+                                              "fingerprint window"})
                     continue
                 frames = x[:nwin * window].reshape(nwin, window)
                 mag = np.abs(np.fft.rfft(frames, axis=1))
                 e = np.add.reduceat(mag * mag, edges[:-1], axis=1)
                 bits = (e[:, :-1] > e[:, 1:])
                 weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
-                fps = (bits.astype(np.int64) * weights).sum(axis=1)
-                for w in range(nwin):
-                    rows.append({"audio_id": rec.audio_id, "ok": True,
-                                 "window_idx": w, "fp": int(fps[w]),
-                                 "error": None})
-            yield pd.DataFrame(rows, columns=cols)
+                ids.append(np.repeat(rec.audio_id, nwin))
+                widx.append(np.arange(nwin, dtype=np.int32))
+                fps_parts.append((bits.astype(np.int64) * weights)
+                                 .sum(axis=1))
+            ok_pdf = pd.DataFrame({
+                "audio_id": np.concatenate(ids) if ids else [],
+                "ok": True,
+                "window_idx": np.concatenate(widx) if widx else [],
+                "fp": np.concatenate(fps_parts) if fps_parts else [],
+                "error": None}, columns=cols)
+            if err_rows:
+                ok_pdf = pd.concat(
+                    [ok_pdf, pd.DataFrame(err_rows, columns=cols)],
+                    ignore_index=True)
+            yield ok_pdf
 
     return (audios.select("audio_id", "bytes")
             .mapInPandas(run, schema=_AFP_SCHEMA))

@@ -286,7 +286,10 @@ def test_frame_sample_under_structured_streaming(spark, tmp_path):
          .writeStream.format("memory").queryName("vframes")
          .option("checkpointLocation", str(tmp_path / "vckpt"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
 
     got = sorted((r.video_id, r.frame_idx, r.phash_frame) for r in
                  spark.sql("SELECT video_id, frame_idx, phash_frame "
