@@ -119,6 +119,14 @@ def images_pdf(n: int, seed: int = 42, with_geo: bool = True) -> pd.DataFrame:
     return pdf
 
 
+def _layout_suffix(n_files: int) -> str:
+    """Non-default file layouts get their own cache entry — the part
+    count IS part of the fixture's identity (it decides scan
+    parallelism), so a 64-file request must not silently serve a
+    cached 16-file table."""
+    return "" if n_files == 16 else f"_f{n_files}"
+
+
 def _ensure_pdf_parquet(cache_name: str, make_pdf, n_files: int) -> str:
     """Generate-once parquet cache commit: write part files into a
     ``.tmp`` sibling, then atomic-rename to the final DIRECTORY of
@@ -150,7 +158,8 @@ def ensure_images_parquet(n: int, seed: int = 42,
     """Image-table cache. v2: jpeg rows carry real baseline-JFIF bytes
     (kernels/jpeg.py), not the old PNG-framed simulation — stale v1
     caches must not load."""
-    return _ensure_pdf_parquet(f"images_v2_n{n}_s{seed}.parquet",
+    return _ensure_pdf_parquet(
+        f"images_v2_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
                                lambda: images_pdf(n, seed), n_files)
 
 
@@ -297,7 +306,8 @@ def near_dup_videos_pdf(n: int, seed: int = 42) -> pd.DataFrame:
 def ensure_near_dup_videos_parquet(n: int, seed: int = 42,
                                    n_files: int = 16) -> str:
     """Generate-once cache for the planted-duplicate video table."""
-    return _ensure_pdf_parquet(f"videos_nd_v1_n{n}_s{seed}.parquet",
+    return _ensure_pdf_parquet(
+        f"videos_nd_v1_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
                                lambda: near_dup_videos_pdf(n, seed),
                                n_files)
 
@@ -305,7 +315,8 @@ def ensure_near_dup_videos_parquet(n: int, seed: int = 42,
 def ensure_videos_parquet(n: int, seed: int = 42,
                           n_files: int = 16) -> str:
     """Generate-once parquet cache for the video table."""
-    return _ensure_pdf_parquet(f"videos_v1_n{n}_s{seed}.parquet",
+    return _ensure_pdf_parquet(
+        f"videos_v1_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
                                lambda: videos_pdf(n, seed), n_files)
 
 
@@ -355,7 +366,8 @@ def audios_pdf(n: int, seed: int = 42) -> pd.DataFrame:
 def ensure_audios_parquet(n: int, seed: int = 42,
                           n_files: int = 16) -> str:
     """Generate-once cache for the audio table."""
-    return _ensure_pdf_parquet(f"audios_v1_n{n}_s{seed}.parquet",
+    return _ensure_pdf_parquet(
+        f"audios_v1_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
                                lambda: audios_pdf(n, seed), n_files)
 
 
@@ -401,7 +413,8 @@ def near_dup_audios_pdf(n: int, seed: int = 42,
 def ensure_near_dup_audios_parquet(n: int, seed: int = 42,
                                    n_files: int = 16) -> str:
     """Generate-once cache for the planted-duplicate audio table."""
-    return _ensure_pdf_parquet(f"audios_nd_v1_n{n}_s{seed}.parquet",
+    return _ensure_pdf_parquet(
+        f"audios_nd_v1_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
                                lambda: near_dup_audios_pdf(n, seed),
                                n_files)
 
