@@ -434,17 +434,19 @@ def audio_fingerprints(audios: DataFrame,
                 widx.append(np.arange(nwin, dtype=np.int32))
                 fps_parts.append((bits.astype(np.int64) * weights)
                                  .sum(axis=1))
-            ok_pdf = pd.DataFrame({
-                "audio_id": np.concatenate(ids) if ids else [],
-                "ok": True,
-                "window_idx": np.concatenate(widx) if widx else [],
-                "fp": np.concatenate(fps_parts) if fps_parts else [],
-                "error": None}, columns=cols)
+            # ok and error rows yield as SEPARATE frames: concat with
+            # the all-None error frame would degrade every numeric
+            # column to object dtype, re-boxing the very per-window
+            # ints the columnar path exists to avoid
+            if ids:
+                yield pd.DataFrame({
+                    "audio_id": np.concatenate(ids),
+                    "ok": True,
+                    "window_idx": np.concatenate(widx),
+                    "fp": np.concatenate(fps_parts),
+                    "error": None}, columns=cols)
             if err_rows:
-                ok_pdf = pd.concat(
-                    [ok_pdf, pd.DataFrame(err_rows, columns=cols)],
-                    ignore_index=True)
-            yield ok_pdf
+                yield pd.DataFrame(err_rows, columns=cols)
 
     return (audios.select("audio_id", "bytes")
             .mapInPandas(run, schema=_AFP_SCHEMA))

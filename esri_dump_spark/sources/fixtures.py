@@ -119,12 +119,16 @@ def images_pdf(n: int, seed: int = 42, with_geo: bool = True) -> pd.DataFrame:
     return pdf
 
 
-def _layout_suffix(n_files: int) -> str:
-    """Non-default file layouts get their own cache entry — the part
-    count IS part of the fixture's identity (it decides scan
-    parallelism), so a 64-file request must not silently serve a
-    cached 16-file table."""
-    return "" if n_files == 16 else f"_f{n_files}"
+def _layout_suffix(n_files: int, n_rows: int) -> str:
+    """Every cache name embeds the EFFECTIVE part count (requests are
+    clamped to the row count, so the name encodes what is actually on
+    disk) — the layout decides scan parallelism and is part of the
+    fixture's identity; a 64-file request must never serve a cached
+    16-file table, and two requests that clamp to the same layout
+    share one entry. Cache versions were bumped alongside this change
+    so pre-suffix entries (whose layout the name did not pin) are
+    orphaned rather than trusted."""
+    return f"_f{max(1, min(n_files, n_rows))}"
 
 
 def _ensure_pdf_parquet(cache_name: str, make_pdf, n_files: int) -> str:
@@ -155,11 +159,11 @@ def _ensure_pdf_parquet(cache_name: str, make_pdf, n_files: int) -> str:
 
 def ensure_images_parquet(n: int, seed: int = 42,
                           n_files: int = 16) -> str:
-    """Image-table cache. v2: jpeg rows carry real baseline-JFIF bytes
-    (kernels/jpeg.py), not the old PNG-framed simulation — stale v1
-    caches must not load."""
+    """Image-table cache. v3 = v2 content (real baseline-JFIF jpeg
+    bytes, not the old PNG-framed simulation) + layout-pinned names;
+    stale v1/v2 caches must not load."""
     return _ensure_pdf_parquet(
-        f"images_v2_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
+        f"images_v3_n{n}_s{seed}{_layout_suffix(n_files, n)}.parquet",
                                lambda: images_pdf(n, seed), n_files)
 
 
@@ -307,7 +311,7 @@ def ensure_near_dup_videos_parquet(n: int, seed: int = 42,
                                    n_files: int = 16) -> str:
     """Generate-once cache for the planted-duplicate video table."""
     return _ensure_pdf_parquet(
-        f"videos_nd_v1_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
+        f"videos_nd_v2_n{n}_s{seed}{_layout_suffix(n_files, n)}.parquet",
                                lambda: near_dup_videos_pdf(n, seed),
                                n_files)
 
@@ -316,7 +320,7 @@ def ensure_videos_parquet(n: int, seed: int = 42,
                           n_files: int = 16) -> str:
     """Generate-once parquet cache for the video table."""
     return _ensure_pdf_parquet(
-        f"videos_v1_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
+        f"videos_v2_n{n}_s{seed}{_layout_suffix(n_files, n)}.parquet",
                                lambda: videos_pdf(n, seed), n_files)
 
 
@@ -367,7 +371,7 @@ def ensure_audios_parquet(n: int, seed: int = 42,
                           n_files: int = 16) -> str:
     """Generate-once cache for the audio table."""
     return _ensure_pdf_parquet(
-        f"audios_v1_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
+        f"audios_v2_n{n}_s{seed}{_layout_suffix(n_files, n)}.parquet",
                                lambda: audios_pdf(n, seed), n_files)
 
 
@@ -414,7 +418,7 @@ def ensure_near_dup_audios_parquet(n: int, seed: int = 42,
                                    n_files: int = 16) -> str:
     """Generate-once cache for the planted-duplicate audio table."""
     return _ensure_pdf_parquet(
-        f"audios_nd_v1_n{n}_s{seed}{_layout_suffix(n_files)}.parquet",
+        f"audios_nd_v2_n{n}_s{seed}{_layout_suffix(n_files, n)}.parquet",
                                lambda: near_dup_audios_pdf(n, seed),
                                n_files)
 
