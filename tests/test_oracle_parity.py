@@ -63,6 +63,42 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_twin_dtype_audit(spark, sf_dir):
+    """Mechanical guard for the representation class behind the r04
+    split_assign red cell: both engines produced bit-identical VALUES
+    but DuckDB's bare integer sum() returns HUGEINT (Arrow
+    decimal128), which lands in pandas as float64 while Spark emits
+    int64 — the driver's representation-sensitive hash then diverges
+    on identical data. Execute every twin at LIMIT 0 and assert (a)
+    no decimal/HUGEINT column survives to the projection and (b) no
+    column is integer-class on one engine and floating-class on the
+    other. Schema-only on both sides: Spark analysis, DuckDB LIMIT 0."""
+    import pyarrow as pa
+
+    _INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+    _FLT_SPARK = {"float", "double"}
+    con = _duck(sf_dir)
+    problems = []
+    for name in sorted(ORACLES):
+        duck_schema = con.sql(ORACLES[name]).limit(0).arrow().schema
+        spark_types = {f.name: f.dataType.simpleString()
+                       for f in QUERIES[name](spark, sf_dir).schema.fields}
+        for field in duck_schema:
+            st = spark_types.get(field.name)
+            if pa.types.is_decimal(field.type):
+                problems.append(
+                    f"{name}.{field.name}: DuckDB {field.type} "
+                    f"(HUGEINT/decimal -> pandas float64) vs Spark {st}"
+                    " — CAST the twin expression to BIGINT/DOUBLE")
+            elif st in _INT_SPARK and pa.types.is_floating(field.type):
+                problems.append(f"{name}.{field.name}: DuckDB "
+                                f"{field.type} vs Spark {st}")
+            elif st in _FLT_SPARK and pa.types.is_integer(field.type):
+                problems.append(f"{name}.{field.name}: DuckDB "
+                                f"{field.type} vs Spark {st}")
+    assert not problems, "twin dtype drift:\n" + "\n".join(problems)
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
