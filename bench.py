@@ -268,6 +268,15 @@ def main() -> None:
                          if sum(times.values()) <= sum(times2.values())
                          else (times, times2))
         noise["slower_pass_queries"] = slower
+        # best-of-2 can mask a real regression that merely coincides
+        # with an episode: re-score the KEPT pass's sentinels, and if
+        # it is still above threshold surface it as possibly genuine
+        # (a real slowdown uniform across sentinels is otherwise
+        # indistinguishable from host noise)
+        kept = _noise_check(times, sf_val)
+        noise["kept_pass_sentinels"] = kept["sentinels"]
+        noise["kept_pass_ratio"] = kept["ratio_vs_history"]
+        noise["persistent"] = kept["episode"]
 
     # north-star throughput at full parallelism (median of reps)
     _spatial_tile_job(spark, points_path, polys, dim)  # warm
@@ -358,6 +367,13 @@ def archive_run(out: dict) -> None:
                 f" — EPISODE: suite re-timed once, faster pass recorded "
                 f"(pass totals {nc.get('pass_totals_sec')}s; slower pass "
                 f"kept in the JSON)")
+            if nc.get("persistent"):
+                lines.append(
+                    f" — WARNING: the KEPT pass's sentinels are still "
+                    f"{nc.get('kept_pass_ratio')}x history median (above "
+                    f"threshold). A persistent episode across both passes "
+                    f"may be a real regression, not host noise — compare "
+                    f"the next run before trusting these numbers.")
         lines.append("\n")
     mode = "a" if os.path.exists(f"{REPO}/BENCH/HISTORY.md") else "w"
     with open(f"{REPO}/BENCH/HISTORY.md", mode) as f:

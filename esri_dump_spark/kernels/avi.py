@@ -76,6 +76,15 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
         # all RIFF sizes are uint32 — fail with the documented error
         # type instead of struct.error deep in a pack call
         raise ValueError("AVI fields exceed 32-bit RIFF limits")
+    # the TOTAL riff payload is a uint32 too: many moderate frames can
+    # sum past 4 GiB even when every per-field check above passes.
+    # Per-frame cost = chunk header (8) + payload + odd-byte pad;
+    # the headers/index add 8+4 (RIFF+'AVI ') + hdrl (~132) + movi
+    # list overhead (12) + idx1 (8 + 16/frame) — bound generously.
+    total = sum(len(f) + 8 + (len(f) & 1) + 16 for f in frames) + 1024
+    if total > 0xFFFFFFFF:
+        raise ValueError("AVI fields exceed 32-bit RIFF limits: total "
+                         "RIFF payload would pass 4 GiB")
 
     avih = struct.pack(
         "<14I",

@@ -532,44 +532,92 @@ def frame_sample(videos: DataFrame, every_n: int = 2,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
+            # ok frames stay columnar end-to-end, mirroring
+            # audio_fingerprints: per-video NumPy arrays appended to
+            # batch-level parts, concatenated once — no per-frame dict
+            # re-boxing the ints the JPEG decode just produced. Error
+            # rows (corrupt container, undecodable frame) take a small
+            # dict path and yield as a SEPARATE frame: concatenating
+            # with an all-None frame would degrade every numeric
+            # column to object dtype.
+            idp, fip, nfp, wp, hp = [], [], [], [], []
+            byp, php, lup = [], [], []
+            err_rows = []
             for rec in b.itertuples(index=False):
-                base = {"video_id": rec.video_id, "ok": False,
-                        "frame_idx": None, "n_frames": None,
-                        "w": None, "h": None, "fmt": None, "bytes": None,
-                        "phash_frame": None, "mean_luma": None,
-                        "error": None}
                 try:
                     info = parse_avi(rec.bytes)
                 except (NotImplementedError, ValueError, TypeError) as e:
-                    rows.append({**base, "error": str(e)})
+                    err_rows.append({
+                        "video_id": rec.video_id, "ok": False,
+                        "frame_idx": None, "n_frames": None,
+                        "w": None, "h": None, "fmt": None, "bytes": None,
+                        "phash_frame": None, "mean_luma": None,
+                        "error": str(e)})
                     continue
-                for f in range(0, info.n_frames, every_n):
-                    row = {**base, "frame_idx": f,
-                           "n_frames": info.n_frames,
-                           "w": info.width, "h": info.height,
-                           "fmt": "jpeg",
-                           "bytes": info.frames[f] if with_bytes else None}
-                    if with_stats:
+                fidx = np.arange(0, info.n_frames, every_n,
+                                 dtype=np.int32)
+                okm = np.ones(fidx.size, dtype=bool)
+                ph = np.zeros(fidx.size, dtype=np.int64)
+                lu = np.zeros(fidx.size, dtype=np.float64)
+                if with_stats:
+                    for j, f in enumerate(fidx):
                         try:
                             px = decode_image(info.frames[f], "jpeg")
-                            luma = (0.299 * px[:, :, 0].astype(np.float64)
-                                    + 0.587 * px[:, :, 1]
-                                    + 0.114 * px[:, :, 2])
-                            row.update(ok=True,
-                                       phash_frame=average_phash(px),
-                                       mean_luma=float(luma.mean()))
                         # NotImplementedError: a legal container whose
                         # frame uses a JPEG feature the codec lacks
                         # (progressive, 12-bit) is an invalid ROW, not
                         # a task death — same contract as decode_stats
                         except (NotImplementedError, ValueError,
                                 TypeError) as e:
-                            row.update(error=str(e))
-                    else:
-                        row.update(ok=True)
-                    rows.append(row)
-            yield pd.DataFrame(rows, columns=cols)
+                            okm[j] = False
+                            err_rows.append({
+                                "video_id": rec.video_id, "ok": False,
+                                "frame_idx": int(f),
+                                "n_frames": info.n_frames,
+                                "w": info.width, "h": info.height,
+                                "fmt": "jpeg",
+                                "bytes": (info.frames[f] if with_bytes
+                                          else None),
+                                "phash_frame": None, "mean_luma": None,
+                                "error": str(e)})
+                            continue
+                        luma = (0.299 * px[:, :, 0].astype(np.float64)
+                                + 0.587 * px[:, :, 1]
+                                + 0.114 * px[:, :, 2])
+                        ph[j] = average_phash(px)
+                        lu[j] = float(luma.mean())
+                keep = fidx[okm]
+                if keep.size == 0:
+                    continue
+                idp.append(np.repeat(rec.video_id, keep.size))
+                fip.append(keep)
+                nfp.append(np.full(keep.size, info.n_frames,
+                                   dtype=np.int32))
+                wp.append(np.full(keep.size, info.width, dtype=np.int32))
+                hp.append(np.full(keep.size, info.height,
+                                  dtype=np.int32))
+                if with_bytes:
+                    payload = np.empty(keep.size, dtype=object)
+                    payload[:] = [info.frames[f] for f in keep]
+                    byp.append(payload)
+                if with_stats:
+                    php.append(ph[okm])
+                    lup.append(lu[okm])
+            if idp:
+                yield pd.DataFrame({
+                    "video_id": np.concatenate(idp),
+                    "ok": True,
+                    "frame_idx": np.concatenate(fip),
+                    "n_frames": np.concatenate(nfp),
+                    "w": np.concatenate(wp),
+                    "h": np.concatenate(hp),
+                    "fmt": "jpeg",
+                    "bytes": np.concatenate(byp) if byp else None,
+                    "phash_frame": np.concatenate(php) if php else None,
+                    "mean_luma": np.concatenate(lup) if lup else None,
+                    "error": None}, columns=cols)
+            if err_rows:
+                yield pd.DataFrame(err_rows, columns=cols)
 
     return (videos.select("video_id", "bytes")
             .mapInPandas(run, schema=_FRAME_SCHEMA))

@@ -48,6 +48,14 @@ QUERIES = [
     ("video_near_dup", "video dedup — frame phashes from the map stage "
      "feed an ids-only self-equi-join on the 64-bit hash; every "
      "Exchange carries (video_id, phash) and counts only"),
+    ("audio_stats", "F9c — audio decode + signal stats: one map-only "
+     "MapInPandas over the PCM-WAV bytes (rms/zcr/centroid computed "
+     "columnar per batch); zero exchanges, bytes never shuffle"),
+    ("audio_near_dup", "audio dedup — per-window Haitsma-Kalker "
+     "fingerprints from the map stage feed the same ids-only "
+     "shared_hash_pairs engine as video; every Exchange carries "
+     "(audio_id, fp) and counts only, max_df caps degenerate "
+     "fingerprints before the self-join"),
 ]
 
 

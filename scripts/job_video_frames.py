@@ -13,8 +13,12 @@ input FILE; lineage wraps the SCAN side so a video whose frames all
 fail to decode still certifies once scanned + committed (its rows land
 as ok=false — the P3 contract — so the sink DOES receive them). On
 restart with the same run_id + out_dir, completed files are anti-joined
-away. Frame rows are append-only and idempotent per file, so the union
-of appended parts equals the single-shot output.
+away. Delivery is AT-LEAST-ONCE, not idempotent: a crash between the
+sink append returning and ``commit_attempt`` writing the marker leaves
+that attempt uncommitted, so resume re-processes the file and the sink
+then holds its frame rows twice. Consumers must dedup by
+(video_id, frame_idx) after a crash in that window — the same caveat
+``run_resumable``'s docstring states.
 
 Crash-safety ordering (CLAUDE.md invariant): lineage rows land during
 the map stage and certify NOTHING until ``commit_attempt`` writes the
