@@ -1892,12 +1892,12 @@ def oracle_sql() -> dict[str, str]:
             FROM tg JOIN eg USING (gh)
             GROUP BY doc_id
             HAVING count(*) >= 1""",
-        # threshold = floor(0.2 * 2^60), the same integer the engine's
-        # sample_fraction embeds in its plan
+        # threshold via the shared spelling — the exact integer the
+        # engine's sample_fraction embeds in its plan
         "sample_fraction": f"""
             SELECT doc_id, lang FROM documents
             WHERE {SM.hash_u60_sql("CAST(doc_id AS VARCHAR)", "s2")}
-                  < {int(0.2 * (1 << 60))}""",
+                  < {SM.fraction_threshold(0.2)}""",
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

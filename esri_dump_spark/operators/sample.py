@@ -29,9 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_u60", "split_assign", "sample_fraction",
-           "stratified_sample", "mix_sources", "take_token_budget",
-           "leakage_safe_split", "top_percent"]
+__all__ = ["hash_u60", "fraction_threshold", "split_assign",
+           "sample_fraction", "stratified_sample", "mix_sources",
+           "take_token_budget", "leakage_safe_split", "top_percent"]
 
 _U60 = 1 << 60
 
@@ -91,17 +91,25 @@ def split_assign(df: DataFrame, id_col: str,
     return df.withColumn(split_col, expr)
 
 
+def fraction_threshold(fraction: float) -> int:
+    """THE one spelling of ``sample_fraction``'s keep threshold
+    (``int(fraction * 2^60)``, full range at 1.0) — the engine embeds
+    it in its plan and the DuckDB twins interpolate the same integer,
+    so a rounding change here can never drift one side only."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return _U60 if fraction == 1.0 else int(fraction * _U60)
+
+
 def sample_fraction(df: DataFrame, id_col: str, fraction: float,
                     seed: str = "") -> DataFrame:
     """Deterministic Bernoulli-style sample: keep rows whose hash
-    falls under ``floor(fraction * 2^60)``. The SAME rows survive on
-    every rerun and at every parallelism — unlike ``df.sample`` —
-    and two samples at fractions f1 < f2 nest (f1's rows are a
-    subset of f2's), which makes scaling-law subset chains free.
-    Map-only, zero shuffle."""
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError("fraction must be in [0, 1]")
-    thr = _U60 if fraction == 1.0 else int(fraction * _U60)
+    falls under ``fraction_threshold(fraction)``. The SAME rows
+    survive on every rerun and at every parallelism — unlike
+    ``df.sample`` — and two samples at fractions f1 < f2 nest (f1's
+    rows are a subset of f2's), which makes scaling-law subset chains
+    free. Map-only, zero shuffle."""
+    thr = fraction_threshold(fraction)
     return df.filter(hash_u60(id_col, seed) < F.lit(thr))
 
 

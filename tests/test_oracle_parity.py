@@ -85,7 +85,15 @@ def test_twin_dtype_audit(spark, sf_dir):
                        for f in QUERIES[name](spark, sf_dir).schema.fields}
         for field in duck_schema:
             st = spark_types.get(field.name)
-            if pa.types.is_decimal(field.type):
+            # Spark-side decimals are the same hazard mirrored: they
+            # land in pandas as object/Decimal while the twin emits
+            # float64 or int64
+            if st and st.startswith("decimal"):
+                problems.append(
+                    f"{name}.{field.name}: Spark {st} (Decimal -> "
+                    f"pandas object) vs DuckDB {field.type}"
+                    " — cast the Spark column to bigint/double")
+            elif pa.types.is_decimal(field.type):
                 problems.append(
                     f"{name}.{field.name}: DuckDB {field.type} "
                     f"(HUGEINT/decimal -> pandas float64) vs Spark {st}"
