@@ -1082,6 +1082,48 @@ def q_audio_near_dup(spark, sf_dir):
         F.max("n_shared_windows").alias("max_shared_w"))
 
 
+def q_video_cluster_dedup(spark, sf_dir):
+    """Video cluster dedup over the planted-duplicate fixture: the
+    pair graph is 100 DISJOINT 2-cliques (videos (2k, 2k+1) share
+    2+(k%3) byte-identical frames; noise tails never collide), so the
+    min-id survivor set is exactly the even-suffix videos — the
+    oracle recomputes that analytic ground truth from the planted
+    structure (count 100, suffix sum 2*(0+...+99)=9900, zero odd
+    suffixes). Exercises pairs -> connected components -> left_anti
+    collapse end-to-end on real containers."""
+    from esri_dump_spark.sources.fixtures import (
+        ensure_near_dup_videos_parquet)
+    from esri_dump_spark.operators.multimodal import video_cluster_dedup
+    vids = spark.read.parquet(ensure_near_dup_videos_parquet(200))
+    out = video_cluster_dedup(vids, every_n=1, min_shared=2)
+    sfx = F.substring("video_id", 4, 12).cast("long")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum(sfx).alias("sum_sfx"),
+        F.sum(F.pmod(sfx, F.lit(2))).alias("n_odd"),
+        F.min(sfx).alias("min_sfx"),
+        F.max(sfx).alias("max_sfx"))
+
+
+def q_audio_cluster_dedup(spark, sf_dir):
+    """Audio cluster dedup over the planted-duplicate fixture — same
+    analytic ground truth as the video twin: clips (2k, 2k+1) share
+    2+(k%3) sample-identical fingerprint windows, 100 disjoint
+    2-cliques, min-id survivors = the even-suffix clips."""
+    from esri_dump_spark.sources.fixtures import (
+        ensure_near_dup_audios_parquet)
+    from esri_dump_spark.operators.multimodal import audio_cluster_dedup
+    auds = spark.read.parquet(ensure_near_dup_audios_parquet(200))
+    out = audio_cluster_dedup(auds, min_shared=2)
+    sfx = F.substring("audio_id", 4, 12).cast("long")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum(sfx).alias("sum_sfx"),
+        F.sum(F.pmod(sfx, F.lit(2))).alias("n_odd"),
+        F.min(sfx).alias("min_sfx"),
+        F.max(sfx).alias("max_sfx"))
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash banded-LSH near-dup pairs on documents. Oracled: the
     signature family is md5-gram + linear-congruential permutations
@@ -1510,6 +1552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": q_value_quantiles,
         "embedding_norms": q_embedding_norms,
         "supplier_volume": q_supplier_volume,
+        # round-5 additions (oracled; past the window by design — new
+        # operators never displace the canary/rotation policy above)
+        "video_cluster_dedup": q_video_cluster_dedup,
+        "audio_cluster_dedup": q_audio_cluster_dedup,
     }
 
 
@@ -2124,6 +2170,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(100 AS BIGINT) AS n_a,
                CAST(2 AS BIGINT) AS min_shared_w,
                CAST(4 AS BIGINT) AS max_shared_w"""
+    # cluster-dedup analytic twins: the planted pair graph is 100
+    # DISJOINT 2-cliques over ids (2k, 2k+1), so min-id survivors are
+    # exactly the even suffixes — the oracle RECOMPUTES that ground
+    # truth from the planted structure (generate_series) rather than
+    # freezing measured literals; the integer sums must be CAST (bare
+    # DuckDB sum() is HUGEINT — CLAUDE.md twin invariant)
+    _cluster_truth = """
+        WITH s AS (SELECT (k - 1) * 2 AS sfx
+                   FROM generate_series(1, 100) t(k))
+        SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+               CAST(sum(sfx) AS BIGINT) AS sum_sfx,
+               CAST(sum(sfx % 2) AS BIGINT) AS n_odd,
+               CAST(min(sfx) AS BIGINT) AS min_sfx,
+               CAST(max(sfx) AS BIGINT) AS max_sfx
+        FROM s"""
+    oracles["video_cluster_dedup"] = _cluster_truth
+    oracles["audio_cluster_dedup"] = _cluster_truth
     # audio golden (same freeze protocol; 400 deterministic WAV clips)
     oracles["audio_stats"] = """
         SELECT CAST(400 AS BIGINT) AS n_clips,

@@ -38,7 +38,8 @@ from ..kernels.image import decode_image, encode_image, psnr, average_phash
 __all__ = ["decode_stats", "verify_images", "resize_images",
            "image_quality_stats", "frame_sample", "video_near_dup",
            "audio_stats", "audio_fingerprints", "audio_near_dup",
-           "shared_hash_pairs"]
+           "shared_hash_pairs", "cluster_dedup_from_pairs",
+           "video_cluster_dedup", "audio_cluster_dedup"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -467,6 +468,61 @@ def audio_near_dup(audios: DataFrame, min_shared: int = 2,
                               min_shared, max_df, "n_shared_windows")
             .withColumnRenamed("audio_id_a", "audio_a")
             .withColumnRenamed("audio_id_b", "audio_b"))
+
+
+def cluster_dedup_from_pairs(items: DataFrame, pairs: DataFrame,
+                             id_col: str, a_col: str,
+                             b_col: str) -> DataFrame:
+    """Generic cluster collapse over ANY near-dup pair table: one
+    survivor — the minimum id — per connected component of the pair
+    graph, returning the surviving rows of ``items`` unchanged. The
+    same posture as ``phash_cluster_dedup`` / ``minhash_dedup(
+    connected=True)``, factored out so every modality's pair generator
+    (video frame phash, audio window fingerprints, cross-modal
+    consensus) gets chained-burst collapse without re-deriving the
+    component logic.
+
+    Scale posture: ``component_min_labels`` runs over near-dup volume
+    only (O(component diameter) rounds, localCheckpoint-truncated);
+    the final left_anti join broadcasts the loser set when it fits
+    (losers are bounded by duplicate volume, not corpus volume), so
+    the payload bytes of ``items`` stay put."""
+    from .dedup import component_min_labels
+    edges = pairs.select(F.col(a_col).alias("id_a"),
+                         F.col(b_col).alias("id_b"))
+    labels = component_min_labels(edges)
+    losers = (labels.filter(F.col("rep") != F.col("id"))
+              .select(F.col("id").alias(id_col)))
+    return items.join(losers, id_col, "left_anti")
+
+
+def video_cluster_dedup(videos: DataFrame, every_n: int = 1,
+                        min_shared: int = 2,
+                        max_df: int | None = 1000,
+                        id_col: str = "video_id") -> DataFrame:
+    """Video cluster dedup: one survivor per connected component of
+    the ``video_near_dup`` pair graph — collapses re-upload chains
+    (A~B and B~C with no direct A-C pair) to a single copy, which
+    pair-dropping alone cannot. Completes the video leg of the
+    modality dedup matrix (pairs AND cluster collapse, like image
+    phash and text minhash)."""
+    pairs = video_near_dup(videos, every_n=every_n,
+                           min_shared=min_shared, max_df=max_df)
+    return cluster_dedup_from_pairs(videos, pairs, id_col,
+                                    "video_a", "video_b")
+
+
+def audio_cluster_dedup(audios: DataFrame, min_shared: int = 2,
+                        max_df: int | None = 1000,
+                        window: int = AUDIO_FP_WINDOW,
+                        id_col: str = "audio_id") -> DataFrame:
+    """Audio cluster dedup: one survivor per connected component of
+    the ``audio_near_dup`` fingerprint pair graph — the audio leg of
+    pairs-AND-collapse parity across modalities."""
+    pairs = audio_near_dup(audios, min_shared=min_shared,
+                           max_df=max_df, window=window)
+    return cluster_dedup_from_pairs(audios, pairs, id_col,
+                                    "audio_a", "audio_b")
 
 
 def video_near_dup(videos: DataFrame, every_n: int = 1,

@@ -193,6 +193,22 @@ def test_audio_near_dup_bytes_never_shuffle(spark):
         assert "bytes" not in s, s
 
 
+def test_audio_cluster_dedup_exact_survivors(spark):
+    """Disjoint 2-cliques over (2k, 2k+1) -> min-id survivors are
+    exactly the even-suffix clips, at any input layout."""
+    from esri_dump_spark.operators.multimodal import audio_cluster_dedup
+    from esri_dump_spark.sources.fixtures import (
+        ensure_near_dup_audios_parquet)
+    auds = spark.read.parquet(ensure_near_dup_audios_parquet(40))
+    out = audio_cluster_dedup(auds, min_shared=2)
+    got = sorted(r.audio_id for r in out.select("audio_id").collect())
+    assert got == [f"aud{2 * k:012d}" for k in range(20)]
+    got13 = sorted(r.audio_id for r in audio_cluster_dedup(
+        auds.repartition(13), min_shared=2)
+        .select("audio_id").collect())
+    assert got13 == got
+
+
 def test_audio_stats_plan_is_map_only(spark):
     from esri_dump_spark.operators.multimodal import audio_stats
     df = audio_stats(spark.read.parquet(ensure_audios_parquet(24)))

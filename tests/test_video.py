@@ -213,6 +213,37 @@ def test_video_near_dup_bytes_never_shuffle(spark):
         assert "bytes" not in s, s
 
 
+def test_cluster_dedup_from_pairs_collapses_chains(spark):
+    """A~B and B~C with NO direct A-C pair must still collapse to one
+    survivor (the minimum id) — the component behavior pair-dropping
+    alone cannot give; untouched items survive."""
+    from esri_dump_spark.operators.multimodal import (
+        cluster_dedup_from_pairs)
+    items = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)],
+                                  ["id"])
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  ["x_a", "x_b"])
+    out = cluster_dedup_from_pairs(items, pairs, "id", "x_a", "x_b")
+    assert sorted(r.id for r in out.collect()) == ["a", "d"]
+
+
+def test_video_cluster_dedup_exact_survivors(spark):
+    """The planted pair graph is disjoint 2-cliques over (2k, 2k+1),
+    so min-id survivors are exactly the even-suffix videos; the
+    result must be layout-independent (two-layout probe discipline)."""
+    from esri_dump_spark.operators.multimodal import video_cluster_dedup
+    from esri_dump_spark.sources.fixtures import (
+        ensure_near_dup_videos_parquet)
+    vids = spark.read.parquet(ensure_near_dup_videos_parquet(40))
+    out = video_cluster_dedup(vids, every_n=1, min_shared=2)
+    got = sorted(r.video_id for r in out.select("video_id").collect())
+    assert got == [f"vid{2 * k:012d}" for k in range(20)]
+    got13 = sorted(r.video_id for r in video_cluster_dedup(
+        vids.repartition(13), every_n=1, min_shared=2)
+        .select("video_id").collect())
+    assert got13 == got
+
+
 def test_video_job_resumes_from_file_lineage(spark, tmp_path):
     """scripts/job_video_frames.py: file-granularity resume over the
     video table — new files are processed, completed ones skipped, and
