@@ -227,6 +227,39 @@ def test_cluster_dedup_from_pairs_collapses_chains(spark):
     assert sorted(r.id for r in out.collect()) == ["a", "d"]
 
 
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_cluster_dedup_from_pairs_matches_union_find(spark, seed):
+    """Random pair graphs (cycles, chains, multi-edges, isolated
+    items) vs a driver-side union-find: the survivor set must be the
+    min id of every component plus every untouched item — the generic
+    guarantee the modality wrappers inherit."""
+    import numpy as np
+    from esri_dump_spark.operators.multimodal import (
+        cluster_dedup_from_pairs)
+    rng = np.random.default_rng(seed)
+    ids = [f"it{i:03d}" for i in range(30)]
+    edges = [(ids[int(a)], ids[int(b)])
+             for a, b in rng.integers(0, 30, size=(25, 2)) if a != b]
+    items = spark.createDataFrame([(i,) for i in ids], ["id"])
+    pairs = spark.createDataFrame(edges, ["p_a", "p_b"])
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i for i in ids if find(i) == i}
+    got = {r.id for r in cluster_dedup_from_pairs(
+        items, pairs, "id", "p_a", "p_b").collect()}
+    assert got == expected
+
+
 def test_video_cluster_dedup_exact_survivors(spark):
     """The planted pair graph is disjoint 2-cliques over (2k, 2k+1),
     so min-id survivors are exactly the even-suffix videos; the
