@@ -473,6 +473,29 @@ def q_chunk_text(spark, sf_dir):
     return X.chunk_text(docs, "doc_id", "text", chunk_chars=120)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Text: cross-document boilerplate line scrub (the RefinedWeb /
+    CCNet exact line-dedup pass) over a deterministically
+    line-structured view of `documents` — the fixture corpus has no
+    newlines, so each text is tiled into 40-char windows joined by
+    newline FIRST (pure map-side on both engines; 161 windows repeat
+    across docs at sf0.01). Per-doc output: md5 digest of the
+    rewritten text + kept/removed counts. Lines repeated only WITHIN
+    one doc survive (cross-doc threshold counts distinct docs)."""
+    from esri_dump_spark.operators.text import line_dedup
+    docs = _t(spark, sf_dir, "documents").filter("length(text) > 0")
+    structured = docs.select(
+        "doc_id",
+        F.expr("array_join(transform("
+               "sequence(1, CAST(ceil(length(text)/40.0) AS INT)),"
+               " i -> substring(text, (i-1)*40+1, 40)), '\\n')"
+               ).alias("text"))
+    out = line_dedup(structured, "doc_id", min_docs=2)
+    return out.select("doc_id",
+                      F.md5(F.col("text_dedup")).alias("dedup_md5"),
+                      "n_lines", "n_removed")
+
+
 def q_top_quality(spark, sf_dir):
     """Selection: keep the top 20% of documents per language by a
     weighted COMPOSITE score, 10*quality + stop_ratio (quality alone
@@ -1438,8 +1461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sample/mix/budget twins rebuilt on sample.hash_u60_sql /
     split_case_sql with the HUGEINT CAST fix (split_assign was r04's
     one red cell: identical values, representation-only hash miss),
-    the poly_intersect_anti NOT-EXISTS rewrite, and frame_sample's
-    columnar ok-path emission (video_near_dup consumes it); (2) the
+    the poly_intersect_anti NOT-EXISTS rewrite, frame_sample's
+    columnar ok-path emission (video_near_dup consumes it), and the
+    two operators NEW this round (video/audio_cluster_dedup —
+    deterministic analytic golden twins); (2) the
     six queries whose only driver rows were rows-only from r01 even
     though golden oracles exist today; (3) one regression canary per
     §2 family. Everything beyond slot 50 is driver-proven in r01-r04
@@ -1459,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_intersect_anti": q_poly_intersect_anti,  # NOT EXISTS twin
         "frame_sample": q_frame_sample,        # columnar ok-path emission
         "video_near_dup": q_video_near_dup,    # consumes frame_sample
+        "video_cluster_dedup": q_video_cluster_dedup,  # new this round
+        "audio_cluster_dedup": q_audio_cluster_dedup,  # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1467,7 +1494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "phash_near_dup": q_phash_near_dup,
         # ---- (3) one canary per §2 family (driver-proven r01-r04) ----
-        "count_probe": q_count_probe,
         "extract_ids": q_extract_ids,
         "topfeatures_extract": q_topfeatures_extract,
         "discovery": q_discovery,
@@ -1486,9 +1512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assign_tiles); tile_assign stays past the boundary
         "tile_pyramid": q_tile_pyramid,
         "cell_assign": q_cell_assign,
-        "topk_window": q_topk_window,
+        "line_dedup": q_line_dedup,            # new this round
         "renderer_compile": q_renderer_compile,
-        "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "simhash_pairs": q_simhash_pairs,
@@ -1552,10 +1577,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": q_value_quantiles,
         "embedding_norms": q_embedding_norms,
         "supplier_volume": q_supplier_volume,
-        # round-5 additions (oracled; past the window by design — new
-        # operators never displace the canary/rotation policy above)
-        "video_cluster_dedup": q_video_cluster_dedup,
-        "audio_cluster_dedup": q_audio_cluster_dedup,
+        # evicted round-5 canaries (4x driver-proven r01-r04; their
+        # families stay windowed via extract_ids/extract_synthetic,
+        # the five other dedup entries, and knn_geo's window top-k)
+        "count_probe": q_count_probe,
+        "exact_dedup": q_exact_dedup,
+        "topk_window": q_topk_window,
     }
 
 
@@ -1783,6 +1810,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents) t""",
         "chunk_text": X.chunk_text_sql("doc_id", "text", 120,
                                        "documents"),
+        "line_dedup": f"""
+            SELECT doc_id, md5(text_dedup) AS dedup_md5,
+                   n_lines, n_removed
+            FROM ({X.line_dedup_sql(
+                "doc_id", "text", 2, "text_dedup", "", f'''
+                (SELECT doc_id,
+                        array_to_string(list_transform(
+                            range(1, CAST(ceil(len(text)/40.0)
+                                  AS BIGINT) + 1),
+                            i -> substr(text,
+                                 CAST((i-1)*40+1 AS BIGINT), 40)),
+                            chr(10)) AS text
+                 FROM documents WHERE len(text) > 0)''')})""",
         "fingerprint": f"""
             SELECT doc_id, {X.fingerprint_sql('text')} AS fp
             FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500)""",

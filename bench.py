@@ -100,6 +100,9 @@ def run_headline(spark) -> dict[str, float]:
         # added in round 4 (video/audio operators — not in earlier
         # suite totals)
         "frame_sample", "video_near_dup", "audio_stats", "audio_near_dup",
+        # added in round 5 (cluster collapse + line dedup — not in
+        # earlier suite totals)
+        "video_cluster_dedup", "audio_cluster_dedup", "line_dedup",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

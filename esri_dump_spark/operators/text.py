@@ -15,10 +15,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "quality_score", "language_id", "fingerprint",
-    "repetition_signals", "redact_pii", "chunk_text",
+    "repetition_signals", "redact_pii", "chunk_text", "line_dedup",
     "token_count_sql", "quality_score_sql", "language_id_sql",
     "fingerprint_sql", "repetition_signals_sql", "redact_pii_sql",
-    "chunk_text_sql",
+    "chunk_text_sql", "line_dedup_sql",
 ]
 
 # ---------------------------------------------------------------- tokens
@@ -354,6 +354,110 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str = "text",
                     F.expr(f"substring({text_col},"
                            f" (chunk_idx - 1) * {chunk_chars} + 1,"
                            f" {chunk_chars})").alias("chunk_text")))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str = "text",
+               min_docs: int = 2, out: str = "text_dedup",
+               seed: str = "", broadcast_freq: bool = True) -> DataFrame:
+    """Exact repeated-line scrub (the RefinedWeb / CCNet line-dedup
+    pass): drop every line whose TRIMMED form occurs in >= ``min_docs``
+    distinct documents, rewriting each doc with the survivors in their
+    original order. Blank lines are exempt (they are formatting, not
+    boilerplate). Emits one row per non-NULL-text doc:
+    ``(id_col, out, n_lines, n_removed)`` — a doc whose every line is
+    boilerplate collapses to ``''``, never NULL.
+
+    A line repeated only WITHIN one document is kept — intra-doc
+    repetition is ``repetition_signals``'s job; this op targets
+    cross-document boilerplate (nav bars, cookie banners, licenses).
+
+    Scale: the explode is map-side; lines immediately reduce to their
+    60-bit md5 key (``sample.hash_u60`` — the engine-portable
+    derivation), so the frequency agg exchanges (int64, id) only and
+    the line text itself never shuffles twice. The above-threshold key
+    set is corpus-rare boilerplate and broadcasts into the marking
+    join by default (``broadcast_freq=False`` for pathological
+    corpora); reassembly is ONE doc-keyed aggregate of
+    (pos, line, flag) structs — all JVM higher-order functions,
+    no Python anywhere.
+    """
+    from .sample import hash_u60
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would drop every "
+                         "non-blank line)")
+    lines = (df.filter(F.col(text_col).isNotNull())
+               .select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                        .alias("pos", "line")))
+    keyed = lines.withColumn("_lkey", hash_u60(F.trim(F.col("line")),
+                                               seed))
+    freq = (keyed.filter(F.trim(F.col("line")) != "")
+            .groupBy("_lkey")
+            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+            .filter(F.col("_nd") >= int(min_docs))
+            .select("_lkey", F.lit(True).alias("_dup")))
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    marked = keyed.join(freq, "_lkey", "left")
+    # pos is unique per doc, so the struct sort never compares beyond
+    # its first field and the rewrite order is deterministic
+    kept = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("pos"), F.col("line"),
+                             F.col("_dup")))),
+                lambda s: s["_dup"].isNull()),
+            lambda s: s["line"]),
+        "\n")
+    return (marked.groupBy(id_col)
+            .agg(kept.alias(out),
+                 F.count(F.lit(1)).alias("n_lines"),
+                 F.count(F.col("_dup")).alias("n_removed")))
+
+
+def line_dedup_sql(id_col: str, text_col: str = "text",
+                   min_docs: int = 2, out: str = "text_dedup",
+                   seed: str = "",
+                   table: str = "documents") -> str:
+    """DuckDB twin of ``line_dedup``: same split, the shared
+    ``hash_u60_sql`` line key, the same distinct-doc threshold, and an
+    ordered FILTERed string_agg rebuild (coalesced to ``''`` to match
+    Spark's empty-array ``array_join``). Counts stay BIGINT (count,
+    never bare integer sum)."""
+    from .sample import hash_u60_sql
+    lkey = hash_u60_sql("trim(line)", seed)
+    return f"""
+        WITH _ld_lines AS (
+            SELECT {id_col}, CAST(i - 1 AS INT) AS pos,
+                   parts[i] AS line
+            FROM (SELECT {id_col},
+                         string_split({text_col}, chr(10)) AS parts
+                  FROM {table} WHERE {text_col} IS NOT NULL) _t,
+                 UNNEST(range(1, len(parts) + 1)) AS _r(i)
+        ),
+        _ld_keyed AS (
+            SELECT {id_col}, pos, line, {lkey} AS lkey,
+                   trim(line) <> '' AS nb
+            FROM _ld_lines
+        ),
+        _ld_freq AS (
+            SELECT lkey FROM _ld_keyed WHERE nb
+            GROUP BY lkey
+            HAVING count(DISTINCT {id_col}) >= {int(min_docs)}
+        ),
+        _ld_marked AS (
+            SELECT k.*, EXISTS (SELECT 1 FROM _ld_freq f
+                                WHERE f.lkey = k.lkey) AS dup
+            FROM _ld_keyed k
+        )
+        SELECT {id_col},
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT dup), '') AS {out},
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(CASE WHEN dup THEN 1 END) AS BIGINT)
+                   AS n_removed
+        FROM _ld_marked GROUP BY {id_col}"""
 
 
 def chunk_text_sql(id_col: str, text_col: str = "text",

@@ -56,6 +56,18 @@ QUERIES = [
      "shared_hash_pairs engine as video; every Exchange carries "
      "(audio_id, fp) and counts only, max_df caps degenerate "
      "fingerprints before the self-join"),
+    ("line_dedup", "cross-doc boilerplate line scrub — the explode "
+     "and 60-bit line-key derivation are map-side; the frequency agg "
+     "exchanges (int64, doc_id) only; the rare above-threshold key "
+     "set feeds a BroadcastHashJoin marker; ONE doc-keyed aggregate "
+     "(struct sort + filter + join, all JVM higher-order functions) "
+     "rebuilds the text — no Python anywhere"),
+    ("video_cluster_dedup", "F9d — cluster collapse over the near-dup "
+     "pair graph: min-id-per-component labels (iterative fixpoint runs "
+     "at build time off localCheckpoints) reduce to a loser-id set that "
+     "BROADCASTS to a left_anti join against the payload table, so "
+     "video bytes never enter an exchange; audio_cluster_dedup shares "
+     "this exact shape via cluster_dedup_from_pairs"),
 ]
 
 

@@ -57,7 +57,7 @@ def test_jvm_only_operators_have_no_python_node(spark, sf_dir):
                  "embedding_norms", "salted_agg", "salted_join",
                  "mix_sources", "token_budget", "decontaminate",
                  "repetition", "redact_pii", "chunk_text",
-                 "top_quality"):
+                 "top_quality", "line_dedup"):
         plan = _physical(E.queries()[name](spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "MapInPandas" not in plan, f"{name} has a Python stage"

@@ -735,6 +735,55 @@ def test_chunk_text_windows(spark):
     assert oracle == got
 
 
+def test_line_dedup_semantics_and_twin(spark):
+    """Cross-doc repeated lines (trim-matched) are scrubbed from every
+    doc; blank lines and intra-doc-only repeats survive; order is
+    preserved; all-boilerplate docs collapse to '' (never NULL); NULL
+    texts emit no row; the DuckDB twin reproduces rows exactly."""
+    rows = [(1, "KEEP me\nBOILER\n\nunique one"),
+            (2, "BOILER\nanother unique"),
+            (3, "  BOILER  \nthird unique"),   # trims to the same key
+            (4, "solo line\nsolo line"),       # intra-doc repeat only
+            (5, "BOILER"),                     # everything removed
+            (6, None),
+            (7, "")]                           # one blank line
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.text_dedup, r.n_lines, r.n_removed)
+           for r in X.line_dedup(df, "doc_id", min_docs=2).collect()}
+    assert got == {
+        1: ("KEEP me\n\nunique one", 4, 1),
+        2: ("another unique", 2, 1),
+        3: ("third unique", 2, 1),
+        4: ("solo line\nsolo line", 2, 0),
+        5: ("", 1, 1),
+        7: ("", 1, 0),
+    }
+    # BOILER sits in 4 distinct docs (1,2,3,5): still scrubbed at
+    # min_docs=4, kept everywhere once the threshold passes that
+    at4 = {r.doc_id: r.n_removed
+           for r in X.line_dedup(df, "doc_id", min_docs=4).collect()}
+    assert at4 == {1: 1, 2: 1, 3: 1, 4: 0, 5: 1, 7: 0}
+    higher = {r.doc_id: r.n_removed
+              for r in X.line_dedup(df, "doc_id", min_docs=5).collect()}
+    assert all(v == 0 for v in higher.values())
+    with pytest.raises(ValueError, match="min_docs"):
+        X.line_dedup(df, "doc_id", min_docs=1)
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = {r[0]: (r[1], r[2], r[3]) for r in con.sql(
+        X.line_dedup_sql("doc_id", "text", 2, table="t")).fetchall()}
+    assert oracle == got
+
+    # the shuffle-join scale path is value-identical to the broadcast
+    # default
+    nb = {r.doc_id: (r.text_dedup, r.n_lines, r.n_removed)
+          for r in X.line_dedup(df, "doc_id", min_docs=2,
+                                broadcast_freq=False).collect()}
+    assert nb == got
+
+
 def test_govern_corpus_stage_semantics(spark, sf_dir):
     """Every survivor individually passes each gate (quality,
     repetition, decontamination) and carries a valid split label;
