@@ -648,6 +648,20 @@ def q_emb_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
 
 
+def q_emb_cluster_dedup(spark, sf_dir):
+    """Dedup: embedding cluster collapse — one min-id survivor per
+    connected component of the EXACT cosine pair graph at threshold
+    0.40 (the sf0.01 graph has 42 components with 8 chained ones of
+    size >= 3, so the collapse is distinguishable from one-hop
+    pair-dropping). Completes the pairs-AND-collapse matrix for the
+    embedding modality; the twin closes the same pair graph with a
+    recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = D.embedding_cluster_dedup(emb, "vec_id", "embedding",
+                                    threshold=0.40)
+    return out.select("vec_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful sessionization (applyInPandas; batch twin of the
     applyInPandasWithState streaming operator)."""
@@ -1501,7 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tilejson_doc": q_tilejson_doc,        # exercises the CRS chain
         "image_decode_stats": q_image_decode_stats,
         "image_quality": q_image_quality,
-        "date_iso": q_date_iso,
+        "emb_cluster_dedup": q_emb_cluster_dedup,  # new this round
         "where_pushdown": q_where_pushdown,
         "pip_rect": q_pip_rect,
         "poly_intersect_join": q_poly_intersect_join,
@@ -1583,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_probe": q_count_probe,
         "exact_dedup": q_exact_dedup,
         "topk_window": q_topk_window,
+        "date_iso": q_date_iso,
     }
 
 
@@ -2056,6 +2071,8 @@ def oracle_sql() -> dict[str, str]:
                    round(shared * 1.0 / (na + nb - shared), 6) AS jaccard_r
             FROM sh
             WHERE shared * 1.0 / (na + nb - shared) >= 0.5""",
+        "emb_cluster_dedup": D.embedding_cluster_dedup_oracle_sql(
+            "vec_id", "embedding", "embeddings", 0.40),
         "emb_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(

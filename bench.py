@@ -102,6 +102,10 @@ def run_headline(spark) -> dict[str, float]:
         "frame_sample", "video_near_dup", "audio_stats", "audio_near_dup",
         # added in round 5 (cluster collapse + line dedup — not in
         # earlier suite totals)
+        # (emb_cluster_dedup stays out like emb_near_dup: the exact
+        # quadratic cosine oracle path isn't a throughput query; the
+        # LSH scale path's timing signal is emb-family adjacent via
+        # minhash/phash suite entries)
         "video_cluster_dedup", "audio_cluster_dedup", "line_dedup",
     ]
     qs = E.queries()

@@ -32,21 +32,35 @@ from pyspark.sql.functions import pandas_udf
 __all__ = ["cosine_topk", "fit_centroids", "assign_centroid", "ivf_topk"]
 
 
-def _cos_expr(va: str, vb: str) -> str:
-    dot = f"aggregate(zip_with({va}, {vb}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-    na = f"sqrt(aggregate({va}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
-    nb = f"sqrt(aggregate({vb}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
-    return f"{dot} / ({na} * {nb})"
+def _cos_side(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Hoist the double cast + norm per ROW so the scoring stage folds
+    one dot product per (query, vector) pair instead of three — bit-
+    identical to the historical per-pair `dot/(na*nb)` expression
+    (same element promotions, same fold order, same division; see
+    dedup._cos_sides)."""
+    return (df.withColumn(
+                f"_n{out}",
+                F.expr(f"sqrt(aggregate({vec_col}, 0D, (acc, v) -> "
+                       f"acc + CAST(v AS DOUBLE) * v))"))
+            .withColumn(out, F.expr(
+                f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
+            .drop(vec_col))
+
+
+_PAIR_COS = ("aggregate(zip_with(_qv, _pv, (x, y) -> x * y), 0D, "
+             "(acc, v) -> acc + v) / (_n_qv * _n_pv)")
 
 
 def cosine_topk(queries: DataFrame, vectors: DataFrame, k: int,
                 query_id: str = "query_id", vec_id: str = "vec_id",
                 q_vec: str = "embedding", p_vec: str = "embedding") -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cosine, rank)."""
-    q = queries.select(F.col(query_id), F.col(q_vec).alias("_qv"))
-    p = vectors.select(F.col(vec_id), F.col(p_vec).alias("_pv"))
+    q = _cos_side(queries.select(F.col(query_id),
+                                 F.col(q_vec).alias("_v")), "_v", "_qv")
+    p = _cos_side(vectors.select(F.col(vec_id),
+                                 F.col(p_vec).alias("_v")), "_v", "_pv")
     scored = (F.broadcast(q).crossJoin(p)
-              .withColumn("cosine", F.expr(_cos_expr("_qv", "_pv"))))
+              .withColumn("cosine", F.expr(_PAIR_COS)))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(vec_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -139,9 +153,13 @@ def ivf_topk(queries: DataFrame, vectors: DataFrame, k: int,
 
     q = (queries.select(F.col(query_id), F.col(q_vec).alias("_qv"))
          .withColumn("centroid_id", F.explode(probes(F.col("_qv")))))
+    # hoist after the probe UDF (it reads the raw float arrays) —
+    # the re-rank then folds one dot per candidate
+    q = _cos_side(q.withColumnRenamed("_qv", "_v"), "_v", "_qv")
+    vecs = _cos_side(vecs.withColumnRenamed("_pv", "_v"), "_v", "_pv")
 
     cand = q.join(vecs, "centroid_id", "inner")
-    scored = cand.withColumn("cosine", F.expr(_cos_expr("_qv", "_pv")))
+    scored = cand.withColumn("cosine", F.expr(_PAIR_COS))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(vec_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -68,6 +68,11 @@ QUERIES = [
      "BROADCASTS to a left_anti join against the payload table, so "
      "video bytes never enter an exchange; audio_cluster_dedup shares "
      "this exact shape via cluster_dedup_from_pairs"),
+    ("emb_cluster_dedup", "embedding cluster collapse — per-row "
+     "double-cast + norm hoisted out of the pair stage (one fold per "
+     "pair), min-id component labels (pointer-jumped fixpoint at build "
+     "time) reduce to a loser-id set broadcast into a left_anti join; "
+     "embedding arrays never shuffle"),
 ]
 
 

@@ -237,20 +237,23 @@ def test_block_lsh_lossless_auto_blocks(spark):
 
 
 def test_component_min_labels_long_chain_fixpoint(spark):
-    """A chain whose diameter exceeds the round-2 iteration cap (25)
-    must still converge to ONE survivor — the old code exited silently
-    with labels still moving and kept multiple survivors."""
-    N = 30
+    """A chain far beyond any per-round reach must still converge to
+    ONE survivor — the round-2 code exited silently with labels still
+    moving and kept multiple survivors. With pointer jumping the round
+    count is O(log diameter), so a 300-node chain converges in ~9
+    rounds instead of ~300."""
+    N = 300
     pairs = spark.createDataFrame([(i, i + 1) for i in range(N)],
                                   "id_a long, id_b long")
     labels = D.component_min_labels(pairs)
     reps = {r.rep for r in labels.collect()}
     assert reps == {0}
     # non-convergence within the safety cap raises instead of
-    # returning a wrong labeling
+    # returning a wrong labeling (3 doubling rounds cannot span a
+    # 300-node chain)
     import pytest
     with pytest.raises(RuntimeError):
-        D.component_min_labels(pairs, max_iter=5)
+        D.component_min_labels(pairs, max_iter=3)
 
 
 def test_multi_index_plan_wide_keys_at_high_hamming():
@@ -733,6 +736,51 @@ def test_chunk_text_windows(spark):
     oracle = sorted(tuple(r) for r in con.sql(
         X.chunk_text_sql("doc_id", "text", 4, "t")).fetchall())
     assert oracle == got
+
+
+def test_embedding_cluster_dedup_chain_and_twin(spark):
+    """A chained component (edges 5-7 and 6-7 only) collapses to ONE
+    survivor — one-hop id_b dropping would keep both 5 and 6; exact
+    duplicates collapse; isolated vectors survive; the recursive-CTE
+    DuckDB twin returns the identical survivor set."""
+    import math
+
+    def vec(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(1, vec(200.0)),                  # isolated
+            (2, vec(270.0)), (3, vec(270.0)),  # exact dup -> keep 2
+            (5, vec(0.0)), (7, vec(55.0)), (6, vec(110.0))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = sorted(r.vec_id for r in
+                 D.embedding_cluster_dedup(df, threshold=0.5).collect())
+    assert out == [1, 2, 5]
+
+    # the one-hop posture keeps 6 (only 3 and 7 are ever an id_b):
+    # the component collapse is genuinely stronger
+    pairs = D.cosine_pairs(df, "vec_id", "embedding", 0.5)
+    onehop = sorted(r.vec_id for r in df.join(
+        pairs.select(F.col("id_b").alias("vec_id")).distinct(),
+        "vec_id", "left_anti").collect())
+    assert onehop == [1, 2, 5, 6]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE emb (vec_id INT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?, ?)", rows)
+    oracle = sorted(r[0] for r in con.sql(
+        D.embedding_cluster_dedup_oracle_sql(
+            "vec_id", "embedding", "emb", 0.5)).fetchall())
+    assert oracle == out
+
+    # the LSH scale path: missed edges can only ADD survivors (recall
+    # < 1 by design), and exact duplicates share every band signature
+    # so 3 is always caught
+    lsh = sorted(r.vec_id for r in D.embedding_cluster_dedup(
+        df, threshold=0.5, method="lsh", bands=4,
+        rows_per_band=2).collect())
+    assert set(lsh) >= {1, 2, 5} and 3 not in lsh
+    with pytest.raises(ValueError, match="method"):
+        D.embedding_cluster_dedup(df, method="nope")
 
 
 def test_line_dedup_semantics_and_twin(spark):
