@@ -27,6 +27,7 @@ from esri_dump_spark.operators import text as X
 from esri_dump_spark.operators import dedup as D
 from esri_dump_spark.operators import ann as A
 from esri_dump_spark.operators import sample as SM
+from esri_dump_spark.operators.search import bm25_topk_oracle_sql
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -524,6 +525,20 @@ def q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (X.fingerprint(docs).orderBy("doc_id").limit(500)
             .select("doc_id", "fp"))
+
+
+_BM25_TERMS = ["spark", "vector", "merge"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: Okapi BM25 top-12 for a 3-term query over
+    the documents table — the sparse/lexical half of the similarity
+    family (ANN in operators/ann.py is the dense half). One regexp
+    tokenization per document (single aggregate fold), corpus stats
+    as ONE broadcast row, TakeOrderedAndProject top-k — no global
+    sort, no text past the scan."""
+    from esri_dump_spark.operators.search import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=12)
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -1477,8 +1492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     one red cell: identical values, representation-only hash miss),
     the poly_intersect_anti NOT-EXISTS rewrite, frame_sample's
     columnar ok-path emission (video_near_dup consumes it), and the
-    two operators NEW this round (video/audio_cluster_dedup —
-    deterministic analytic golden twins); (2) the
+    operators NEW this round (video/audio_cluster_dedup —
+    deterministic analytic golden twins — and bm25_topk, the lexical
+    half of the similarity family); (2) the
     six queries whose only driver rows were rows-only from r01 even
     though golden oracles exist today; (3) one regression canary per
     §2 family. Everything beyond slot 50 is driver-proven in r01-r04
@@ -1500,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dup": q_video_near_dup,    # consumes frame_sample
         "video_cluster_dedup": q_video_cluster_dedup,  # new this round
         "audio_cluster_dedup": q_audio_cluster_dedup,  # new this round
+        "bm25_topk": q_bm25_topk,                      # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1540,11 +1557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed": q_stream_windowed,
         "asof_events": q_asof_events,
         "audio_stats": q_audio_stats,
-        "audio_near_dup": q_audio_near_dup,
         "lineage_metrics": q_lineage_metrics,
         "salted_join": q_salted_join,
         # ---------------- slot 50 boundary ----------------
         # ---- driver-proven r01-r04, local parity gate only ----
+        # audio_near_dup yielded its slot to bm25_topk (new): the
+        # audio family stays windowed via audio_stats +
+        # audio_cluster_dedup, and audio_near_dup passed r04.
+        "audio_near_dup": q_audio_near_dup,
         "stylejson_doc": q_stylejson_doc,
         "pip_rect_dist": q_pip_rect_dist,
         "interval_attrib": q_interval_attrib,
@@ -1776,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE sqrt((q.qlon - p.lon) * (q.qlon - p.lon)
                      + (q.qlat - p.lat) * (q.qlat - p.lat)) <= 2.0""",
         "token_count": f"SELECT doc_id, {X.token_count_sql('text')} AS n_tokens FROM documents",
+        "bm25_topk": bm25_topk_oracle_sql(_BM25_TERMS, k=12),
         "quality_score": f"""
             SELECT doc_id, {qmeta['n_chars_t']} AS n_chars_t,
                    {qmeta['n_words']} AS n_words,

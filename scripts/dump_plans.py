@@ -73,6 +73,12 @@ QUERIES = [
      "pair), min-id component labels (pointer-jumped fixpoint at build "
      "time) reduce to a loser-id set broadcast into a left_anti join; "
      "embedding arrays never shuffle"),
+    ("bm25_topk", "lexical retrieval — ONE tokenization fold per "
+     "document (persisted as fixed-width (id, dl, tf...) — text never "
+     "survives the scan), corpus stats as a single-row aggregate "
+     "broadcast back via BroadcastNestedLoopJoin, scoring map-only in "
+     "codegen, top-k via TakeOrderedAndProject (per-partition heaps, "
+     "never a global sort); the rank window runs on k rows"),
 ]
 
 

@@ -63,6 +63,26 @@ def test_jvm_only_operators_have_no_python_node(spark, sf_dir):
         assert "MapInPandas" not in plan, f"{name} has a Python stage"
 
 
+def test_bm25_plan_shape(spark, sf_dir):
+    """BM25 scale contract: JVM-only, ONE tokenization fold however
+    many query terms (the persisted (id, dl, tf...) relation keeps
+    CollapseProject from inlining the fold per field), corpus stats
+    broadcast (BNLJ on a 1-row side), and top-k via
+    TakeOrderedAndProject — never a global sort of the corpus."""
+    from esri_dump_spark.operators.search import bm25_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1 = _physical(bm25_topk(docs, ["spark"], k=5))
+    p4 = _physical(bm25_topk(docs, ["spark", "merge", "vector",
+                                    "table"], k=5))
+    for p in (p1, p4):
+        assert "EvalPython" not in p and "MapInPandas" not in p
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastNestedLoopJoin" in p
+    # tokenization count is a layout constant, not O(terms)
+    assert (p1.count("regexp_extract_all")
+            == p4.count("regexp_extract_all"))
+
+
 def test_pip_join_is_broadcast_plus_arrow(spark, sf_dir):
     df = E.queries()["pip_rect"](spark, sf_dir)
     plan = _physical(df)

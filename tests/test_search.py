@@ -1,0 +1,101 @@
+"""BM25 lexical top-k (operators/search.py) against a brute-force
+Python reference that reproduces the IEEE operation order of the
+shared `_bm25_score_sql` spelling, plus contract and layout checks.
+The DuckDB-twin parity runs in tests/test_oracle_parity.py once the
+query is registered in __spark_entry__.py."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from esri_dump_spark.operators.search import bm25_topk
+
+_TOK = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+# Texts crafted so adjacent scores differ by >> 1e-3: cross-engine
+# ln() wobble (sub-ulp) can never reorder or change the 6-dp rounding.
+_DOCS = [
+    (1, "spark spark spark joins the table"),
+    (2, "spark merge merge sort is a table scan over rows"),
+    (3, "merge only merge here merge merge"),
+    (4, "nothing relevant appears in this document at all"),
+    (5, "spark merge spark merge"),
+    (6, None),
+    (7, "spark"),
+    (8, "a very long document that mentions spark once and then "
+        "keeps going with many filler tokens to stretch the length "
+        "normalization denominator out"),
+]
+
+
+def _brute(rows, terms, k, k1=1.2, b=0.75):
+    docs = [(i, _TOK.findall(t.lower())) for i, t in rows if t is not None]
+    n = len(docs)
+    avgdl = float(sum(len(ts) for _, ts in docs)) / n
+    df = {t: sum(1 for _, ts in docs if t in ts) for t in terms}
+    out = []
+    for i, ts in docs:
+        dl = len(ts)
+        s = 0.0
+        for t in terms:
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s = s + (idf * (ts.count(t) * (k1 + 1.0))
+                     / (ts.count(t) + k1 * (1 - b + b * dl / avgdl)))
+        if s > 0:
+            out.append((i, round(s, 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return [(i, s, r + 1) for r, (i, s) in enumerate(out[:k])]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(_DOCS, "doc_id INT, text STRING")
+
+
+def test_bm25_matches_brute_force(spark):
+    got = [tuple(r) for r in
+           bm25_topk(_docs_df(spark), ["spark", "merge"], k=5).collect()]
+    exp = _brute(_DOCS, ["spark", "merge"], k=5)
+    assert [(g[0], g[2]) for g in got] == [(e[0], e[2]) for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], abs=2e-6)
+    # doc 4 (no term) and doc 6 (NULL) never appear at any k
+    all_ids = {r[0] for r in
+               bm25_topk(_docs_df(spark), ["spark", "merge"], k=100)
+               .collect()}
+    assert 4 not in all_ids and 6 not in all_ids
+
+
+def test_bm25_k_exceeds_matches_returns_fewer(spark):
+    rows = bm25_topk(_docs_df(spark), ["spark"], k=50).collect()
+    assert len(rows) == 5  # docs 1,2,5,7,8 contain 'spark'
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_bm25_tf_and_length_physics(spark):
+    # doc 3 is merge-dense AND short: both BM25 levers favor it
+    top = bm25_topk(_docs_df(spark), ["merge"], k=1).collect()[0]
+    assert top.doc_id == 3 and top.rank == 1
+
+
+def test_bm25_layout_invariant(spark):
+    a = sorted(map(tuple,
+                   bm25_topk(_docs_df(spark), ["spark", "merge"], k=5)
+                   .collect()))
+    b = sorted(map(tuple,
+                   bm25_topk(_docs_df(spark).repartition(7),
+                             ["spark", "merge"], k=5).collect()))
+    assert a == b
+
+
+def test_bm25_term_validation(spark):
+    df = _docs_df(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [])
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_topk(df, ["spark", "spark"])
+    for bad in ["Spark", "two words", "", "a-b"]:
+        with pytest.raises(ValueError, match="lowercase"):
+            bm25_topk(df, [bad])
