@@ -27,7 +27,8 @@ from esri_dump_spark.operators import text as X
 from esri_dump_spark.operators import dedup as D
 from esri_dump_spark.operators import ann as A
 from esri_dump_spark.operators import sample as SM
-from esri_dump_spark.operators.search import bm25_topk_oracle_sql
+from esri_dump_spark.operators.search import (bm25_topk_oracle_sql,
+                                              rrf_weight_sql)
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -539,6 +540,29 @@ def q_bm25_topk(spark, sf_dir):
     sort, no text past the scan."""
     from esri_dump_spark.operators.search import bm25_topk
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=12)
+
+
+_HYBRID_QVEC = 7     # query embedding = vec_id 7 (doc_id-aligned ids)
+_HYBRID_K_EACH = 20  # per-channel candidate depth before fusion
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the sparse channel
+    (BM25 over documents.text) and the dense channel (exact cosine
+    over embeddings), k-bounded lists full-outer folded with the
+    shared CAST(1 AS DOUBLE)/(c+rank) weight — the fused score depends
+    only on integer ranks, so the twin is exact by construction."""
+    from esri_dump_spark.operators.ann import cosine_topk
+    from esri_dump_spark.operators.search import bm25_topk, rrf_fuse
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = (bm25_topk(docs, _BM25_TERMS, k=_HYBRID_K_EACH)
+              .select("doc_id", "rank"))
+    qv = (emb.filter(F.col("vec_id") == _HYBRID_QVEC)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    dense = (cosine_topk(qv, emb, k=_HYBRID_K_EACH)
+             .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return rrf_fuse([sparse, dense], k=10)
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -1517,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_cluster_dedup": q_video_cluster_dedup,  # new this round
         "audio_cluster_dedup": q_audio_cluster_dedup,  # new this round
         "bm25_topk": q_bm25_topk,                      # new this round
+        "hybrid_retrieval": q_hybrid_retrieval,        # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1546,7 +1571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,            # new this round
         "renderer_compile": q_renderer_compile,
         "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "emb_near_dup_lsh_golden": q_emb_near_dup_lsh_golden,
@@ -1561,10 +1585,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         # ---------------- slot 50 boundary ----------------
         # ---- driver-proven r01-r04, local parity gate only ----
-        # audio_near_dup yielded its slot to bm25_topk (new): the
-        # audio family stays windowed via audio_stats +
-        # audio_cluster_dedup, and audio_near_dup passed r04.
+        # audio_near_dup and minhash_pairs_hashkey yielded their slots
+        # to bm25_topk + hybrid_retrieval (new): the audio family stays
+        # windowed via audio_stats + audio_cluster_dedup, the minhash
+        # family via minhash_pairs (same twin as the hashkey mode),
+        # and both evictees passed r04.
         "audio_near_dup": q_audio_near_dup,
+        "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "stylejson_doc": q_stylejson_doc,
         "pip_rect_dist": q_pip_rect_dist,
         "interval_attrib": q_interval_attrib,
@@ -1797,6 +1824,38 @@ def oracle_sql() -> dict[str, str]:
                      + (q.qlat - p.lat) * (q.qlat - p.lat)) <= 2.0""",
         "token_count": f"SELECT doc_id, {X.token_count_sql('text')} AS n_tokens FROM documents",
         "bm25_topk": bm25_topk_oracle_sql(_BM25_TERMS, k=12),
+        # rrf depends ONLY on integer ranks (shared rrf_weight_sql
+        # spelling, fixed-order sum) — float-wobble-free twin; the
+        # dense CTE repeats ann_cosine's proven rank spelling
+        "hybrid_retrieval": f"""
+            WITH _sparse AS (
+              {bm25_topk_oracle_sql(_BM25_TERMS, k=_HYBRID_K_EACH)}),
+            _dense AS (
+              SELECT vec_id, rank FROM (
+                SELECT e.vec_id,
+                       row_number() OVER (ORDER BY
+                         list_cosine_similarity(q.qe,
+                           CAST(e.embedding AS DOUBLE[])) DESC,
+                         e.vec_id ASC) AS rank
+                FROM (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                      FROM embeddings WHERE vec_id = {_HYBRID_QVEC}) q
+                CROSS JOIN embeddings e)
+              WHERE rank <= {_HYBRID_K_EACH}),
+            _sc AS (SELECT doc_id, {rrf_weight_sql(60)} AS _s0
+                    FROM _sparse),
+            _dc AS (SELECT vec_id AS doc_id, {rrf_weight_sql(60)} AS _s1
+                    FROM _dense),
+            _f AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                          COALESCE(a._s0, 0.0) + COALESCE(b._s1, 0.0)
+                          AS rrf,
+                          CAST(a._s0 IS NOT NULL AS BIGINT)
+                          + CAST(b._s1 IS NOT NULL AS BIGINT) AS n_lists
+                   FROM _sc a FULL OUTER JOIN _dc b
+                   ON a.doc_id = b.doc_id)
+            SELECT doc_id, rrf, n_lists,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                   AS rank
+            FROM _f ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
         "quality_score": f"""
             SELECT doc_id, {qmeta['n_chars_t']} AS n_chars_t,
                    {qmeta['n_words']} AS n_words,

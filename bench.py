@@ -107,6 +107,8 @@ def run_headline(spark) -> dict[str, float]:
         # LSH scale path's timing signal is emb-family adjacent via
         # minhash/phash suite entries)
         "video_cluster_dedup", "audio_cluster_dedup", "line_dedup",
+        # retrieval family (round 5): lexical BM25 + sparse/dense RRF
+        "bm25_topk", "hybrid_retrieval",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

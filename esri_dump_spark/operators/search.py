@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 from .text import _TOKEN_RE, _spark_re
 
-__all__ = ["bm25_topk", "bm25_topk_oracle_sql"]
+__all__ = ["bm25_topk", "bm25_topk_oracle_sql", "rrf_fuse",
+           "rrf_weight_sql"]
 
 _TERM_RE = re.compile(r"[a-z0-9]+\Z")
 
@@ -129,6 +130,56 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     top = (scored.orderBy(F.desc("score_r"), F.asc(id_col)).limit(k)
            .select(id_col, "score_r"))
     w = Window.orderBy(F.desc("score_r"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_weight_sql(c: int) -> str:
+    """THE spelling of the reciprocal-rank weight over a column named
+    ``rank`` — shared verbatim by the Spark plan and every DuckDB twin
+    (CLAUDE.md one-spelling invariant). The fused score depends ONLY
+    on integer ranks, so cross-engine parity is exact by construction:
+    no ln(), no rounding, just IEEE division and a fixed-order sum.
+    The explicit DOUBLE cast matters: BOTH engines parse a bare
+    ``1.0`` literal as DECIMAL, and Spark's decimal division
+    truncates at scale 12 (caught by tests/test_search.py's bit-exact
+    hand example)."""
+    return f"CAST(1 AS DOUBLE) / ({int(c)} + rank)"
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10,
+             id_col: str = "doc_id", c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists into one top-k.
+
+    Each input carries (``id_col``, ``rank``) with ranks 1..k_i (any
+    other columns are ignored); the fused score is the fixed-order sum
+    of ``1/(c+rank)`` over the lists that mention the id (SIGIR'09
+    Cormack et al. — public method). Returns (id_col, rrf, n_lists,
+    rank) ordered by (rrf DESC, id ASC).
+
+    Scale shape: the inputs are already k-bounded (each is somebody's
+    top-k), so the full-outer fold joins tiny tables — AQE broadcasts
+    them — and the whole fusion is O(Σ k_i) rows however large the
+    corpora behind the rankings were. Addition folds left-to-right in
+    list order, never through a groupBy sum, so the IEEE result is
+    deterministic and engine-identical (a distributed sum of 3+ terms
+    has no fixed association order)."""
+    if not rankings:
+        raise ValueError("rankings must be a non-empty list")
+    acc = None
+    for j, r in enumerate(rankings):
+        side = r.select(
+            F.col(id_col),
+            F.expr(rrf_weight_sql(c)).alias(f"_s{j}"))
+        acc = side if acc is None else acc.join(side, id_col, "full_outer")
+    score = F.lit(0.0)
+    hits = F.lit(0).cast("long")
+    for j in range(len(rankings)):
+        score = score + F.coalesce(F.col(f"_s{j}"), F.lit(0.0))
+        hits = hits + F.col(f"_s{j}").isNotNull().cast("long")
+    top = (acc.select(F.col(id_col), score.alias("rrf"),
+                      hits.alias("n_lists"))
+           .orderBy(F.desc("rrf"), F.asc(id_col)).limit(k))
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
 
 

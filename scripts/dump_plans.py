@@ -79,6 +79,11 @@ QUERIES = [
      "broadcast back via BroadcastNestedLoopJoin, scoring map-only in "
      "codegen, top-k via TakeOrderedAndProject (per-partition heaps, "
      "never a global sort); the rank window runs on k rows"),
+    ("hybrid_retrieval", "sparse+dense fusion — BM25 and exact-cosine "
+     "channels each end k-bounded, so the full-outer RRF fold joins "
+     "tiny lists (AQE-broadcast); the fused score is a fixed-order "
+     "sum of CAST(1 AS DOUBLE)/(c+rank) weights — integer-rank-only, "
+     "no corpus-sized work after the two channel top-ks"),
 ]
 
 

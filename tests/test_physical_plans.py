@@ -81,6 +81,10 @@ def test_bm25_plan_shape(spark, sf_dir):
     # tokenization count is a layout constant, not O(terms)
     assert (p1.count("regexp_extract_all")
             == p4.count("regexp_extract_all"))
+    # the RRF fusion stage is JVM-only too and never a global sort
+    ph = _physical(E.queries()["hybrid_retrieval"](spark, sf_dir))
+    assert "EvalPython" not in ph and "MapInPandas" not in ph
+    assert "TakeOrderedAndProject" in ph
 
 
 def test_pip_join_is_broadcast_plus_arrow(spark, sf_dir):

@@ -11,7 +11,7 @@ import re
 
 import pytest
 
-from esri_dump_spark.operators.search import bm25_topk
+from esri_dump_spark.operators.search import bm25_topk, rrf_fuse
 
 _TOK = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
@@ -88,6 +88,56 @@ def test_bm25_layout_invariant(spark):
                    bm25_topk(_docs_df(spark).repartition(7),
                              ["spark", "merge"], k=5).collect()))
     assert a == b
+
+
+def _ranked(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id INT, rank INT")
+
+
+def test_rrf_fuse_hand_example(spark):
+    a = _ranked(spark, [(10, 1), (20, 2), (30, 3)])
+    b = _ranked(spark, [(20, 1), (40, 2), (10, 3)])
+    got = [tuple(r) for r in rrf_fuse([a, b], k=10, c=60).collect()]
+    exp = sorted(
+        [(10, 0.0 + 1 / 61 + 1 / 63, 2),
+         (20, 0.0 + 1 / 62 + 1 / 61, 2),
+         (30, 0.0 + 1 / 63 + 0.0, 1),
+         (40, 0.0 + 0.0 + 1 / 62, 1)],
+        key=lambda t: (-t[1], t[0]))
+    assert got == [(i, s, n, r + 1)
+                   for r, (i, s, n) in enumerate(exp)]
+    # both-list consensus outranks either single-list entry
+    assert got[0][0] in (10, 20) and got[0][2] == 2
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    # doc 5 only in list A at rank 2; doc 3 only in list B at rank 2:
+    # identical scores, id ascending wins
+    a = _ranked(spark, [(9, 1), (5, 2)])
+    b = _ranked(spark, [(9, 1), (3, 2)])
+    rows = rrf_fuse([a, b], k=3).collect()
+    assert [(r.doc_id, r.rank) for r in rows] == [(9, 1), (3, 2), (5, 3)]
+
+
+def test_rrf_fuse_three_lists_fixed_fold_order(spark):
+    lists = [
+        _ranked(spark, [(1, 1), (2, 2)]),
+        _ranked(spark, [(2, 1), (3, 2)]),
+        _ranked(spark, [(3, 1), (1, 2)]),
+    ]
+    got = {r.doc_id: r.rrf for r in rrf_fuse(lists, k=10).collect()}
+    # expected = the SAME left-to-right fold the operator documents
+    exp = {
+        1: ((0.0 + 1 / 61) + 0.0) + 1 / 62,
+        2: ((0.0 + 1 / 62) + 1 / 61) + 0.0,
+        3: ((0.0 + 0.0) + 1 / 62) + 1 / 61,
+    }
+    assert got == exp  # bit-exact, not approx
+
+
+def test_rrf_fuse_validation(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
 
 
 def test_bm25_term_validation(spark):
