@@ -26,11 +26,27 @@ Python in the hot path):
   sort; the rank window runs on k rows.
 
 The DuckDB twin shares the score arithmetic verbatim via
-``_bm25_score_sql`` (CLAUDE.md one-spelling invariant) and the
-tokenizer pairing established by ``text.token_count_sql``. Scores are
+``_bm25_score_sql`` (CLAUDE.md one-spelling invariant). Scores are
 sums of nonnegative terms, so the signed-zero normalization is not
 needed (CLAUDE.md audit note); ordering uses the ROUNDED score so a
 sub-ulp ``ln`` divergence between Java and libm cannot reorder rows.
+
+Cross-engine hardening (round-5 review findings):
+
+- Case folding is ASCII ``translate``, not ``lower()``: Java's
+  locale-aware toLowerCase diverges from DuckDB on non-ASCII input
+  (U+0130 lowers to 'i'+U+0307 in Java — an extra symbol token).
+  translate() has identical 1:1 semantics in both engines, and query
+  terms are ASCII-only anyway.
+- The tokenizer uses an explicit whitespace class, not ``\\s`` (Java
+  includes U+000B in ``\\s``, RE2 does not — the CLAUDE.md shared
+  regex subset). ``text._TOKEN_RE``'s ``\\s`` spelling is
+  grandfathered for the never-lowered token_count twin; new twins
+  comply.
+- Float constants are spelled ``CAST(x AS DOUBLE)``: bare decimal
+  literals parse as DECIMAL in BOTH engines and Spark then performs
+  decimal (not IEEE) arithmetic — the same trap ``rrf_weight_sql``
+  documents.
 """
 
 from __future__ import annotations
@@ -40,12 +56,29 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import _TOKEN_RE, _spark_re
+from .text import _spark_re
 
 __all__ = ["bm25_topk", "bm25_topk_oracle_sql", "rrf_fuse",
            "rrf_weight_sql"]
 
-_TERM_RE = re.compile(r"[a-z0-9]+\Z")
+# Explicit whitespace class (shared Java/RE2 subset — see module doc);
+# otherwise the same letter-run / digit-run / symbol tokenizer as
+# text._TOKEN_RE.
+_BM25_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
+
+# terms must be tokens the tokenizer can actually emit: a pure letter
+# run or a pure digit run (a mixed 'gpt4' string would tokenize as
+# 'gpt','4' and silently never match)
+_TERM_RE = re.compile(r"(?:[a-z]+|[0-9]+)\Z")
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _lower_sql(col: str) -> str:
+    """ASCII case fold with identical semantics in Spark and DuckDB
+    (1:1 translate — never locale/Unicode lower(), see module doc)."""
+    return f"translate({col}, '{_UPPER}', '{_LOWER}')"
 
 
 def _check_terms(terms: list[str]) -> None:
@@ -56,19 +89,23 @@ def _check_terms(terms: list[str]) -> None:
     for t in terms:
         if not _TERM_RE.match(t):
             raise ValueError(
-                f"term {t!r} must be a single lowercase [a-z0-9]+ token")
+                f"term {t!r} must be a single lowercase letter run "
+                f"[a-z]+ or digit run [0-9]+ (what the tokenizer "
+                f"emits)")
 
 
 def _lit(x: float) -> str:
-    """A float literal with identical parse in Spark SQL and DuckDB."""
-    return repr(float(x))
+    """A float constant with identical IEEE semantics in Spark SQL
+    and DuckDB: bare decimal literals parse as DECIMAL in both
+    engines, and Spark would then do decimal (non-IEEE) arithmetic."""
+    return f"CAST({repr(float(x))} AS DOUBLE)"
 
 
 def _stats_fold_sql(text_col: str, terms: list[str]) -> str:
     """One pass over the token array -> struct(dl, tf0, tf1, ...):
     document length and one term frequency per query term."""
-    toks = (f"filter(regexp_extract_all(lower({text_col}), "
-            f"'{_spark_re(_TOKEN_RE)}', 0), x -> x != '')")
+    toks = (f"filter(regexp_extract_all({_lower_sql(text_col)}, "
+            f"'{_spark_re(_BM25_TOKEN_RE)}', 0), x -> x != '')")
     zero = ", ".join(["'dl', 0L"] +
                      [f"'tf{j}', 0L" for j in range(len(terms))])
     step = ", ".join(
@@ -105,9 +142,12 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     The per-doc token stats feed BOTH the corpus-stats aggregate and
     the scoring stage, so they are persisted (MEMORY_AND_DISK): the
     tokenization fold runs ONCE over the corpus, and what is cached is
-    only (id, dl, tf...) — fixed-width integers, never text. The
-    ContextCleaner reclaims the cache when the result goes
-    unreachable."""
+    only (id, dl, tf...) — fixed-width integers, never text. Each
+    call builds its own cache; the ContextCleaner reclaims it when
+    the returned DataFrame goes unreachable (callers issuing many
+    BM25 queries over ONE corpus should persist the stats once and
+    reuse — the per-call cache is deliberate for the one-shot driver
+    pattern)."""
     _check_terms(terms)
     fold = _stats_fold_sql(text_col, terms)
     tf_cols = [f"_tf{j}" for j in range(len(terms))]
@@ -187,12 +227,13 @@ def bm25_topk_oracle_sql(terms: list[str], k: int = 10,
                          table: str = "documents",
                          id_col: str = "doc_id", text_col: str = "text",
                          k1: float = 1.2, b: float = 0.75) -> str:
-    """DuckDB twin of ``bm25_topk`` — same tokenizer pairing as
-    ``text.token_count_sql`` (Spark filters the engine's empty
-    matches; DuckDB never emits them), same score spelling via
-    ``_bm25_score_sql``, same rounded-score ordering."""
+    """DuckDB twin of ``bm25_topk`` — same tokenizer (Spark filters
+    the engine's empty matches; DuckDB never emits them), same ASCII
+    case fold, same score spelling via ``_bm25_score_sql``, same
+    rounded-score ordering."""
     _check_terms(terms)
-    toks = f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}')"
+    toks = (f"regexp_extract_all({_lower_sql(text_col)}, "
+            f"'{_BM25_TOKEN_RE}')")
     tf_sel = ", ".join(
         f"len(list_filter({toks}, x -> x = '{t}')) AS _tf{j}"
         for j, t in enumerate(terms))

@@ -13,7 +13,13 @@ import pytest
 
 from esri_dump_spark.operators.search import bm25_topk, rrf_fuse
 
-_TOK = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_TOK = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]")
+
+
+def _ascii_lower(s: str) -> str:
+    # the operator's translate() fold: ASCII-only, never Unicode lower
+    return s.translate(str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"))
 
 # Texts crafted so adjacent scores differ by >> 1e-3: cross-engine
 # ln() wobble (sub-ulp) can never reorder or change the 6-dp rounding.
@@ -32,7 +38,8 @@ _DOCS = [
 
 
 def _brute(rows, terms, k, k1=1.2, b=0.75):
-    docs = [(i, _TOK.findall(t.lower())) for i, t in rows if t is not None]
+    docs = [(i, _TOK.findall(_ascii_lower(t)))
+            for i, t in rows if t is not None]
     n = len(docs)
     avgdl = float(sum(len(ts) for _, ts in docs)) / n
     df = {t: sum(1 for _, ts in docs if t in ts) for t in terms}
@@ -146,6 +153,38 @@ def test_bm25_term_validation(spark):
         bm25_topk(df, [])
     with pytest.raises(ValueError, match="distinct"):
         bm25_topk(df, ["spark", "spark"])
-    for bad in ["Spark", "two words", "", "a-b"]:
-        with pytest.raises(ValueError, match="lowercase"):
+    for bad in ["Spark", "two words", "", "a-b", "gpt4"]:
+        # 'gpt4' would tokenize as 'gpt','4' and silently never match
+        with pytest.raises(ValueError, match="letter run"):
             bm25_topk(df, [bad])
+
+
+def test_bm25_cross_engine_on_nasty_unicode(spark):
+    """The round-5 review hazards, pinned: Java lower() would split
+    U+0130 into 'i'+U+0307 (an extra symbol token) and Java \\s counts
+    U+000B as whitespace while RE2 does not — the ASCII translate fold
+    and the explicit whitespace class make both engines agree on this
+    corpus. Full Spark-vs-DuckDB compare, not a brute-force proxy."""
+    import duckdb
+    import pandas as pd
+
+    from esri_dump_spark.operators.search import bm25_topk_oracle_sql
+
+    nasty = [
+        (1, "SPARK İstanbul spark merge"),       # dotted capital I
+        (2, "spark\x0bmerge spark"),                  # vertical tab
+        (3, "MERGE merge Merge Über"),           # U+00DC
+        (4, "spark " * 5 + "İ\x0bİ"),
+        (5, None),
+    ]
+    sdf = spark.createDataFrame(nasty, "doc_id INT, text STRING")
+    got = [tuple(r) for r in
+           bm25_topk(sdf, ["spark", "merge"], k=10).collect()]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        nasty, columns=["doc_id", "text"]))
+    exp = con.sql(bm25_topk_oracle_sql(["spark", "merge"], k=10)
+                  ).fetchall()
+    assert got == [tuple(r) for r in exp]
+    assert len(got) == 4
