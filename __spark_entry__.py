@@ -821,6 +821,31 @@ def q_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Importance-weighted corpus sample: the 50 documents with the
+    largest Efraimidis-Spirakis keys (inclusion probability
+    proportional to n_chars), deterministic via the shared md5-u60
+    hash. Top-n is TakeOrderedAndProject, never a global sort; the
+    oracle recomputes the identical keys from the shared
+    es_key_sql spelling."""
+    from esri_dump_spark.operators.sample import weighted_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 50, "n_chars", "doc_id", seed="ws")
+    return out.select("doc_id", "n_chars")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-then-chunk): per source, walk docs in
+    deterministic (hash, id) order and cut 2048-char bins; each doc
+    gets (bin_id, bin_offset) where its first char lands. All-integer
+    over the shared hash order — the twin is exact by construction."""
+    from esri_dump_spark.operators.sample import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, 2048, "n_chars", "doc_id",
+                         seed="pk", by="source")
+    return out.select("doc_id", "source", "bin_id", "bin_offset")
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew: explicit two-phase salted aggregation — identical result
     to a plain groupBy, no single reducer owns a hot key."""
@@ -1542,6 +1567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_cluster_dedup": q_audio_cluster_dedup,  # new this round
         "bm25_topk": q_bm25_topk,                      # new this round
         "hybrid_retrieval": q_hybrid_retrieval,        # new this round
+        "weighted_sample": q_weighted_sample,          # new this round
+        "pack_sequences": q_pack_sequences,            # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1552,8 +1579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (3) one canary per §2 family (driver-proven r01-r04) ----
         "extract_ids": q_extract_ids,
         "topfeatures_extract": q_topfeatures_extract,
-        "discovery": q_discovery,
-        "schema_doc": q_schema_doc,
         "tilejson_doc": q_tilejson_doc,        # exercises the CRS chain
         "image_decode_stats": q_image_decode_stats,
         "image_quality": q_image_quality,
@@ -1585,13 +1610,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         # ---------------- slot 50 boundary ----------------
         # ---- driver-proven r01-r04, local parity gate only ----
-        # audio_near_dup and minhash_pairs_hashkey yielded their slots
-        # to bm25_topk + hybrid_retrieval (new): the audio family stays
-        # windowed via audio_stats + audio_cluster_dedup, the minhash
-        # family via minhash_pairs (same twin as the hashkey mode),
-        # and both evictees passed r04.
+        # audio_near_dup, minhash_pairs_hashkey, discovery and
+        # schema_doc yielded their slots to the four round-5 newcomers
+        # (bm25_topk, hybrid_retrieval, weighted_sample,
+        # pack_sequences): audio stays windowed via audio_stats +
+        # audio_cluster_dedup, minhash via minhash_pairs (same twin as
+        # the hashkey mode), the doc family via tilejson_doc +
+        # renderer_compile — all four evictees passed r04 (discovery/
+        # schema_doc are frozen golden literals).
         "audio_near_dup": q_audio_near_dup,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
+        "discovery": q_discovery,
+        "schema_doc": q_schema_doc,
         "stylejson_doc": q_stylejson_doc,
         "pip_rect_dist": q_pip_rect_dist,
         "interval_attrib": q_interval_attrib,
@@ -1992,6 +2022,39 @@ def oracle_sql() -> dict[str, str]:
                    round(p.value, 2) AS value_r
             FROM p JOIN s ON p.user_id = s.user_id
                          AND p.ts >= s.w_start AND p.ts <= s.w_end""",
+        # shared es_key_sql spelling over the shared hash — the same
+        # key expression Spark plans, so the only cross-engine wobble
+        # is ln() (sub-ulp; 60-bit key gaps dwarf a double ulp)
+        "weighted_sample": f"""
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY
+                       {SM.es_key_sql(
+                           SM.hash_u60_sql("CAST(doc_id AS VARCHAR)",
+                                           "ws"), "n_chars")} DESC,
+                       doc_id ASC) AS _rn
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0)
+            WHERE _rn <= 50""",
+        # all-integer: running sum over the shared hash order, then
+        # integer division (DuckDB spells it //, Spark DIV — identical
+        # nonnegative semantics); sum CAST to BIGINT per the HUGEINT
+        # invariant; explicit ROWS frame (RANGE is the SQL default)
+        "pack_sequences": f"""
+            SELECT doc_id, source,
+                   CAST(_before // 2048 AS BIGINT) AS bin_id,
+                   CAST(_before % 2048 AS BIGINT) AS bin_offset
+            FROM (
+              SELECT doc_id, source,
+                     CAST(sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY {SM.hash_u60_sql(
+                           "CAST(doc_id AS VARCHAR)", "pk")} ASC,
+                                doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - n_chars
+                          AS BIGINT) AS _before
+              FROM documents)""",
         # recomputes the md5 low-60-bit split hash and the label CASE
         # via the ONE shared SQL spelling (sample.hash_u60_sql /
         # split_case_sql — CLAUDE.md invariant; 90/5/5, seed 'v1').

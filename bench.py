@@ -109,6 +109,8 @@ def run_headline(spark) -> dict[str, float]:
         "video_cluster_dedup", "audio_cluster_dedup", "line_dedup",
         # retrieval family (round 5): lexical BM25 + sparse/dense RRF
         "bm25_topk", "hybrid_retrieval",
+        # sampling additions (round 5): E-S weighted draw + packing
+        "weighted_sample", "pack_sequences",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_u60", "fraction_threshold", "split_assign",
            "sample_fraction", "stratified_sample", "mix_sources",
-           "take_token_budget", "leakage_safe_split", "top_percent"]
+           "take_token_budget", "leakage_safe_split", "top_percent",
+           "weighted_sample", "pack_sequences", "es_key_sql"]
 
 _U60 = 1 << 60
 
@@ -210,6 +211,88 @@ def take_token_budget(df: DataFrame, budget: int, size_col: str,
     started = F.sum(F.col(size_col)).over(win) - F.col(size_col)
     return (df.withColumn("_before", started)
             .filter(F.col("_before") < F.lit(int(budget)))
+            .drop("_before"))
+
+
+def es_key_sql(hash_expr: str, weight_expr: str) -> str:
+    """THE spelling of the Efraimidis-Spirakis sampling key over a
+    60-bit hash expression and a positive weight expression:
+    ``ln(u) / w`` with ``u = (hash + 1) / 2^60`` in (0, 1] — the
+    log of the classic ``u^(1/w)`` key, same ordering, and larger is
+    better. All constants are CAST AS DOUBLE (bare decimal literals
+    would make Spark do non-IEEE decimal arithmetic — CLAUDE.md
+    invariant); shared verbatim by the Spark plan and DuckDB twins so
+    the only cross-engine wobble is ``ln`` itself (sub-ulp; key gaps
+    between 60-bit draws dwarf a double ulp)."""
+    u = (f"(CAST({hash_expr} + 1 AS DOUBLE) "
+         f"/ CAST({_U60} AS DOUBLE))")
+    return f"(ln({u}) / CAST({weight_expr} AS DOUBLE))"
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str, seed: str = "") -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the n rows
+    with the largest Efraimidis-Spirakis keys (inclusion probability
+    proportional to ``weight_col``; Inf. Proc. Lett. 97(5), 2006 —
+    public method). Rows with NULL or non-positive weight are never
+    drawn. Same rows on every rerun and at every parallelism, and
+    samples NEST: the top-n1 is a subset of the top-n2 for n1 <= n2
+    (keys do not depend on n), so scaling-law subset chains stay
+    consistent with the importance weighting.
+
+    Scale shape: the key is one map-side expression; top-n is
+    ``orderBy().limit(n)`` = TakeOrderedAndProject (per-partition
+    n-row heaps, driver merges), never a global sort. ``id_col`` must
+    be non-null (NULL ORDER BY placement is engine-dependent)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    # the hash rides in as a materialized column (`_h` from the
+    # shared Column form) so this expr never re-spells the derivation
+    key = es_key_sql("_h", weight_col)
+    return (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+            .withColumn("_h", hash_u60(id_col, seed))
+            .withColumn("_wkey", F.expr(key))
+            .orderBy(F.desc("_wkey"), F.asc(id_col)).limit(int(n))
+            .drop("_h", "_wkey"))
+
+
+def pack_sequences(df: DataFrame, budget: int, size_col: str,
+                   id_col: str, seed: str = "",
+                   by: str | list[str] | None = None) -> DataFrame:
+    """Sequence packing, concat-then-chunk style: walk rows in
+    (hash, id) order, concatenate their sizes, and cut fixed
+    ``budget``-sized bins — each row gets the bin where its first
+    unit lands (``bin_id``) and its offset inside that bin
+    (``bin_offset``); rows may straddle a boundary, exactly like
+    GPT-style context packing of a shuffled corpus. ALL-INTEGER
+    arithmetic over the deterministic hash order, so the SQL twin is
+    exact by construction. ``by`` scopes packing per group (e.g. per
+    source shard); the global form single-partitions the running sum
+    like any SQL total-order cumsum — scope with ``by`` at scale.
+    ``size_col`` must be positive and non-null; ``id_col`` non-null.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    for c in ("_before", "bin_id", "bin_offset"):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
+    keys = ([] if by is None else
+            ([by] if isinstance(by, str) else list(by)))
+    win = (Window.partitionBy(*keys)
+           .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    started = (F.sum(F.col(size_col).cast("long")).over(win)
+               - F.col(size_col).cast("long"))
+    b = F.lit(int(budget)).cast("long")
+    # integer division, never float (/ on longs is DOUBLE division in
+    # Spark and loses exactness past 2^53). Spark spells it DIV,
+    # DuckDB spells it // — different keywords, identical nonnegative
+    # integer semantics (twins state this next to the expression).
+    return (df.withColumn("_before", started)
+            .withColumn("bin_id",
+                        F.expr(f"_before DIV {int(budget)}"))
+            .withColumn("bin_offset", F.col("_before") % b)
             .drop("_before"))
 
 

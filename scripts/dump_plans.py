@@ -84,6 +84,14 @@ QUERIES = [
      "tiny lists (AQE-broadcast); the fused score is a fixed-order "
      "sum of CAST(1 AS DOUBLE)/(c+rank) weights — integer-rank-only, "
      "no corpus-sized work after the two channel top-ks"),
+    ("weighted_sample", "importance-weighted draw — the E-S key is "
+     "one map-side expression over the shared md5-u60 hash; "
+     "selection is TakeOrderedAndProject (per-partition n-row heaps, "
+     "never a global sort); zero wide exchanges"),
+    ("pack_sequences", "sequence packing — one keyed window running "
+     "sum over the deterministic (hash, id) order yields all-integer "
+     "(bin_id, bin_offset); a single exchange on the `by` shard key, "
+     "everything else codegen map work"),
 ]
 
 

@@ -169,6 +169,23 @@ def test_split_and_sample_are_map_only(spark, sf_dir):
         assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_weighted_sample_and_packing_plan_shape(spark, sf_dir):
+    """weighted_sample is a map-side key + TakeOrderedAndProject
+    (per-partition n-row heaps — never a global sort of the corpus);
+    pack_sequences is ONE keyed window exchange. Both JVM-only."""
+    from esri_dump_spark.operators.sample import (pack_sequences,
+                                                  weighted_sample)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pw = _physical(weighted_sample(docs, 50, "n_chars", "doc_id"))
+    assert "TakeOrderedAndProject" in pw
+    assert "Exchange" not in pw, pw
+    pp = _physical(pack_sequences(docs, 2048, "n_chars", "doc_id",
+                                  by="source"))
+    assert pp.count("Exchange") == 1, pp
+    for p in (pw, pp):
+        assert "EvalPython" not in p and "MapInPandas" not in p
+
+
 def test_minhash_band_exchange_is_slim(spark, sf_dir):
     """The exploded band self-join must shuffle only (id, band_idx,
     band_hash) — the 64-long signature array rides an exchange 2 x
