@@ -203,15 +203,25 @@ def take_token_budget(df: DataFrame, budget: int, size_col: str,
         raise ValueError("budget must be non-negative")
     if "_before" in df.columns:
         raise ValueError("`_before` column would collide — rename it")
+    return (df.withColumn("_before",
+                          _before_sum(size_col, id_col, seed, by))
+            .filter(F.col("_before") < F.lit(int(budget)))
+            .drop("_before"))
+
+
+def _before_sum(size_col: str, id_col: str, seed: str,
+                by: str | list[str] | None):
+    """THE running-sum-before-this-row column over the deterministic
+    (hash, id) walk — shared by take_token_budget and pack_sequences
+    so the ordering, frame, and NULL handling can never drift apart.
+    Long-typed so the twins' CAST(sum(...) AS BIGINT) matches."""
     keys = ([] if by is None else
             ([by] if isinstance(by, str) else list(by)))
     win = (Window.partitionBy(*keys)
            .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc())
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    started = F.sum(F.col(size_col)).over(win) - F.col(size_col)
-    return (df.withColumn("_before", started)
-            .filter(F.col("_before") < F.lit(int(budget)))
-            .drop("_before"))
+    return (F.sum(F.col(size_col).cast("long")).over(win)
+            - F.col(size_col).cast("long"))
 
 
 def es_key_sql(hash_expr: str, weight_expr: str) -> str:
@@ -226,7 +236,13 @@ def es_key_sql(hash_expr: str, weight_expr: str) -> str:
     between 60-bit draws dwarf a double ulp)."""
     u = (f"(CAST({hash_expr} + 1 AS DOUBLE) "
          f"/ CAST({_U60} AS DOUBLE))")
-    return f"(ln({u}) / CAST({weight_expr} AS DOUBLE))"
+    # ORDER BY the ROUNDED key (+ 0.0 kills DuckDB's -0.0 — the key
+    # is <= 0, squarely in the signed-zero class), ties by id: large
+    # weights compress raw key gaps by 1/w, so ordering on the raw
+    # ln output would expose the top-n boundary to cross-engine
+    # sub-ulp ln wobble — the same defense bm25_topk uses
+    return (f"(round(ln({u}) / CAST({weight_expr} AS DOUBLE), 12)"
+            f" + 0.0)")
 
 
 def weighted_sample(df: DataFrame, n: int, weight_col: str,
@@ -240,12 +256,23 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     (keys do not depend on n), so scaling-law subset chains stay
     consistent with the importance weighting.
 
+    Selection orders by the ROUNDED key (12 dp, then id): heavy
+    weights compress raw key gaps by 1/w, so the raw ln output would
+    expose the top-n boundary to cross-engine sub-ulp ln() wobble —
+    the rounding defense bm25_topk established.
+
     Scale shape: the key is one map-side expression; top-n is
     ``orderBy().limit(n)`` = TakeOrderedAndProject (per-partition
-    n-row heaps, driver merges), never a global sort. ``id_col`` must
+    n-row heaps, driver merges) for n up to Spark's
+    ``spark.sql.execution.topKSortFallbackThreshold`` (default
+    10000) — beyond it Spark falls back to a single-partition global
+    sort, so raise that conf alongside n at scale. ``id_col`` must
     be non-null (NULL ORDER BY placement is engine-dependent)."""
     if n <= 0:
         raise ValueError("n must be positive")
+    for c in ("_h", "_wkey"):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
     # the hash rides in as a materialized column (`_h` from the
     # shared Column form) so this expr never re-spells the derivation
     key = es_key_sql("_h", weight_col)

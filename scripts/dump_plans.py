@@ -85,9 +85,11 @@ QUERIES = [
      "sum of CAST(1 AS DOUBLE)/(c+rank) weights — integer-rank-only, "
      "no corpus-sized work after the two channel top-ks"),
     ("weighted_sample", "importance-weighted draw — the E-S key is "
-     "one map-side expression over the shared md5-u60 hash; "
-     "selection is TakeOrderedAndProject (per-partition n-row heaps, "
-     "never a global sort); zero wide exchanges"),
+     "one map-side expression over the shared md5-u60 hash (ordering "
+     "on the 12-dp rounded key, ln-ulp-proof); selection is "
+     "TakeOrderedAndProject (per-partition n-row heaps; holds to "
+     "topKSortFallbackThreshold — raise it alongside n at scale); "
+     "zero wide exchanges"),
     ("pack_sequences", "sequence packing — one keyed window running "
      "sum over the deterministic (hash, id) order yields all-integer "
      "(bin_id, bin_offset); a single exchange on the `by` shard key, "

@@ -19,7 +19,9 @@ def _h60(v, seed=""):
 
 
 def _es_key(v, w, seed=""):
-    return math.log((_h60(v, seed) + 1) / _U60) / w
+    # the operator orders by the 12-dp ROUNDED key (ties by id) —
+    # the bm25-style defense against cross-engine ln() ulp wobble
+    return round(math.log((_h60(v, seed) + 1) / _U60) / w, 12)
 
 
 _ROWS = [  # (doc_id, weight) — includes zero, NULL, heavy and tiny
@@ -74,6 +76,10 @@ def test_weighted_sample_seed_changes_draw(spark):
 def test_weighted_sample_validation(spark):
     with pytest.raises(ValueError, match="positive"):
         weighted_sample(_docs(spark), 0, "w", "doc_id")
+    df = _docs(spark)
+    bad = df.withColumn("_wkey", df.w)
+    with pytest.raises(ValueError, match="collide"):
+        weighted_sample(bad, 3, "w", "doc_id")
 
 
 def _brute_pack(rows, budget, seed="", key=None):
