@@ -1258,6 +1258,32 @@ def q_ivf_ann(spark, sf_dir):
     return A.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=8)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 embedding quantization (4x storage at rest): per-vector
+    rollup (scale_r, q_sum, q_norm) over the quantized table. The
+    derivation is floor-based and the sums are integer-valued, so the
+    twin is exact by construction (floor is IEEE-exact in both
+    engines; sqrt never enters)."""
+    qt = A.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return qt.select(
+        "vec_id",
+        F.expr("round(scale, 6)").alias("scale_r"),
+        F.expr("CAST(aggregate(qvec, 0L, (acc, x) -> acc"
+               " + CAST(x AS BIGINT)) AS BIGINT)").alias("q_sum"),
+        F.expr("CAST(aggregate(qvec, 0L, (acc, x) -> acc"
+               " + CAST(x AS BIGINT) * x) AS BIGINT)").alias("q_norm"))
+
+
+def q_quant_ann(spark, sf_dir):
+    """Exact cosine top-10 over the int8-quantized table for one
+    query vector: integer dot products (every partial sum exact),
+    one double division and one IEEE-correctly-rounded sqrt — the raw
+    ordering is bit-identical across engines, no ln-style defense
+    needed."""
+    qt = A.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return A.quantized_cosine_topk(qt, k=10, query_vec_id=3)
+
+
 def q_minhash_pairs_hashkey(spark, sf_dir):
     """MinHash LSH, production band-key mode: 4-byte murmur band keys
     (half the exchange width of the exact-string oracle mode; identical
@@ -1569,6 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,        # new this round
         "weighted_sample": q_weighted_sample,          # new this round
         "pack_sequences": q_pack_sequences,            # new this round
+        "quantize_embeddings": q_quantize_embeddings,  # new this round
+        "quant_ann": q_quant_ann,                      # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1577,11 +1605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "phash_near_dup": q_phash_near_dup,
         # ---- (3) one canary per §2 family (driver-proven r01-r04) ----
-        "extract_ids": q_extract_ids,
         "topfeatures_extract": q_topfeatures_extract,
         "tilejson_doc": q_tilejson_doc,        # exercises the CRS chain
         "image_decode_stats": q_image_decode_stats,
-        "image_quality": q_image_quality,
         "emb_cluster_dedup": q_emb_cluster_dedup,  # new this round
         "where_pushdown": q_where_pushdown,
         "pip_rect": q_pip_rect,
@@ -1610,18 +1636,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         # ---------------- slot 50 boundary ----------------
         # ---- driver-proven r01-r04, local parity gate only ----
-        # audio_near_dup, minhash_pairs_hashkey, discovery and
-        # schema_doc yielded their slots to the four round-5 newcomers
-        # (bm25_topk, hybrid_retrieval, weighted_sample,
-        # pack_sequences): audio stays windowed via audio_stats +
-        # audio_cluster_dedup, minhash via minhash_pairs (same twin as
-        # the hashkey mode), the doc family via tilejson_doc +
-        # renderer_compile — all four evictees passed r04 (discovery/
-        # schema_doc are frozen golden literals).
+        # six r04-proven canaries yielded their slots to the six
+        # round-5 newcomers (bm25_topk, hybrid_retrieval,
+        # weighted_sample, pack_sequences, quantize_embeddings,
+        # quant_ann): audio stays windowed via audio_stats +
+        # audio_cluster_dedup, minhash via minhash_pairs (same twin
+        # as the hashkey mode), the doc family via tilejson_doc +
+        # renderer_compile (discovery/schema_doc are frozen golden
+        # literals), extract via extract_synthetic + extract_bbox +
+        # topfeatures_extract, image via image_decode_stats +
+        # verify_images + resize_images + phash_near_dup.
         "audio_near_dup": q_audio_near_dup,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "discovery": q_discovery,
         "schema_doc": q_schema_doc,
+        "extract_ids": q_extract_ids,
+        "image_quality": q_image_quality,
         "stylejson_doc": q_stylejson_doc,
         "pip_rect_dist": q_pip_rect_dist,
         "interval_attrib": q_interval_attrib,
@@ -1982,6 +2012,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id,
                    CAST(round(c, 6) AS DOUBLE) AS cosine, rank
             FROM scored WHERE rank <= 5""",
+        # int8 quantization twins: the scalar lambda body is THE
+        # shared spelling (ann.QUANT_LAMBDA_SQL — floor-based, never
+        # round()); array HOFs differ per engine (transform vs
+        # list_transform), the per-element math is identical. Sums
+        # are integer-valued << 2^53 (exact whatever the fold order)
+        # and CAST AS BIGINT per the HUGEINT invariant.
+        "quantize_embeddings": f"""
+            WITH _q AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS _vd,
+                     list_max(list_transform(CAST(embedding AS
+                       DOUBLE[]), x -> abs(x))) AS _mx
+              FROM embeddings),
+            _qz AS (
+              SELECT vec_id,
+                     CASE WHEN _mx = CAST(0 AS DOUBLE)
+                          THEN list_transform(_vd, x -> 0)
+                          ELSE list_transform(_vd,
+                                 x -> {A.QUANT_LAMBDA_SQL}) END
+                     AS qvec,
+                     _mx / CAST(127 AS DOUBLE) AS scale
+              FROM _q)
+            SELECT vec_id, round(scale, 6) AS scale_r,
+                   CAST(list_sum(list_transform(qvec,
+                     x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(qvec,
+                     x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_norm
+            FROM _qz""",
+        "quant_ann": f"""
+            WITH _q AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS _vd,
+                     list_max(list_transform(CAST(embedding AS
+                       DOUBLE[]), x -> abs(x))) AS _mx
+              FROM embeddings),
+            _qz AS (
+              SELECT vec_id,
+                     CASE WHEN _mx = CAST(0 AS DOUBLE)
+                          THEN list_transform(_vd, x -> 0)
+                          ELSE list_transform(_vd,
+                                 x -> {A.QUANT_LAMBDA_SQL}) END
+                     AS qvec
+              FROM _q),
+            _n AS (
+              SELECT vec_id, qvec,
+                     CAST(list_sum(list_transform(qvec,
+                       x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS _pn
+              FROM _qz WHERE qvec IS NOT NULL),
+            _qr AS (SELECT qvec AS _qq, _pn AS _qn FROM _n
+                    WHERE vec_id = 3),
+            _sc AS (
+              SELECT n.vec_id,
+                     CAST(list_sum(list_transform(
+                            list_zip(q._qq, n.qvec),
+                            s -> CAST(s[1] AS BIGINT) * s[2]))
+                          AS DOUBLE)
+                     / sqrt(CAST(q._qn AS DOUBLE)
+                            * CAST(n._pn AS DOUBLE)) AS _cos
+              FROM _n n CROSS JOIN _qr q
+              WHERE n._pn > 0 AND q._qn > 0),
+            _sel AS (
+              SELECT vec_id, round(_cos, 6) + 0.0 AS cosq_r
+              FROM _sc ORDER BY _cos DESC, vec_id ASC LIMIT 10)
+            SELECT vec_id, cosq_r,
+                   row_number() OVER (ORDER BY cosq_r DESC,
+                                      vec_id ASC) AS rank
+            FROM _sel""",
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_aggregate(

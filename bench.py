@@ -111,6 +111,8 @@ def run_headline(spark) -> dict[str, float]:
         "bm25_topk", "hybrid_retrieval",
         # sampling additions (round 5): E-S weighted draw + packing
         "weighted_sample", "pack_sequences",
+        # int8 embedding path (round 5): quantize + quantized cosine
+        "quantize_embeddings", "quant_ann",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -18,6 +18,18 @@ Two paths:
                            full scan: compute drops by ~ncells/nprobe.
 
 Distances are cosine; embeddings need not be normalized.
+
+Plus the storage path: ``quantize_embeddings`` compresses float
+vectors to symmetric per-vector int8 (4x smaller at rest and on the
+wire; integer dot products downstream) and ``quantized_cosine_topk``
+runs exact cosine top-k over the quantized table. The quantized twin
+is airtight cross-engine: quantization is ``floor(x*127/mx + 0.5)``
+(floor is IEEE-exact in both engines — never ``round()``, which is
+BigDecimal in Spark and IEEE in DuckDB), dot products and norms are
+integer-valued (<= 127^2 * dim, far below 2^53, so every partial sum
+is exact whatever the fold order), and the only irrational step is
+``sqrt`` — correctly rounded by IEEE 754 in both engines, unlike
+``ln``.
 """
 
 from __future__ import annotations
@@ -29,7 +41,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["cosine_topk", "fit_centroids", "assign_centroid", "ivf_topk"]
+__all__ = ["cosine_topk", "fit_centroids", "assign_centroid",
+           "ivf_topk", "quantize_embeddings", "quantized_cosine_topk",
+           "QUANT_LAMBDA_SQL"]
+
+# THE scalar int8-quantization body (CLAUDE.md one-spelling rule),
+# shared by the Spark transform(...) and the DuckDB list_transform(...)
+# wrappers — the array HOFs are spelled differently per engine, the
+# per-element math identically. floor(x + 0.5) is round-half-up with
+# IEEE-exact floor; constants are CAST AS DOUBLE (bare decimal
+# literals would trigger Spark's non-IEEE decimal arithmetic).
+QUANT_LAMBDA_SQL = ("CAST(floor(x * CAST(127 AS DOUBLE) / _mx"
+                    " + CAST(0.5 AS DOUBLE)) AS INT)")
 
 
 def _cos_side(df: DataFrame, vec_col: str, out: str) -> DataFrame:
@@ -166,3 +189,65 @@ def ivf_topk(queries: DataFrame, vectors: DataFrame, k: int,
             .filter(F.col("rank") <= k)
             .select(query_id, vec_id,
                     F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_q: str = "qvec",
+                        out_scale: str = "scale") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = floor(v*127/mx
+    + 0.5)`` with ``mx = max(|v|)``, dequant factor ``scale = mx/127``
+    (so ``v ~ q * scale``). q is always in [-127, 127]. An all-zero
+    vector quantizes to zeros with scale 0.0 — documented, not NULL. Map-only (zero exchanges); at rest the int8 column is
+    ~4x smaller than the float32 array and downstream dot products
+    become exact integer folds. NULL vectors pass through as NULL
+    qvec/scale."""
+    vd = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    mx = f"array_max(transform({vd}, x -> abs(x)))"
+    q = (f"CASE WHEN _mx = CAST(0 AS DOUBLE) "
+         f"THEN transform({vd}, x -> 0) "
+         f"ELSE transform({vd}, x -> {QUANT_LAMBDA_SQL}) END")
+    return (df.withColumn("_mx", F.expr(mx))
+            .withColumn(out_q, F.expr(q))
+            .withColumn(out_scale,
+                        F.expr("_mx / CAST(127 AS DOUBLE)"))
+            .drop("_mx"))
+
+
+_QNORM = ("aggregate({q}, 0L, (acc, x) -> acc + CAST(x AS BIGINT) * x)")
+_QDOT = ("aggregate(zip_with(_qq, _pq, (x, y) -> "
+         "CAST(x AS BIGINT) * y), 0L, (acc, v) -> acc + v)")
+
+
+def quantized_cosine_topk(quantized: DataFrame, k: int,
+                          query_vec_id: int, vec_id: str = "vec_id",
+                          q_col: str = "qvec") -> DataFrame:
+    """Exact cosine top-k over the int8-quantized table for one query
+    id: integer dot products and norms (every partial sum exact —
+    values are integer-valued and <= 127^2 * dim << 2^53), one double
+    division and one IEEE-correctly-rounded sqrt at the end, so the
+    raw ordering is bit-identical across engines (no ln-style ulp
+    defense needed). Returns (vec_id, cosq_r, rank); zero-norm rows
+    never score. The query row broadcasts; scoring is map-only;
+    top-k is TakeOrderedAndProject."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    base = (quantized
+            .filter(F.col(q_col).isNotNull())
+            .select(F.col(vec_id), F.col(q_col).alias("_pq"))
+            .withColumn("_pn", F.expr(_QNORM.format(q="_pq"))))
+    qrow = (base.filter(F.col(vec_id) == int(query_vec_id))
+            .select(F.col("_pq").alias("_qq"),
+                    F.col("_pn").alias("_qn")))
+    scored = (base.crossJoin(F.broadcast(qrow))
+              .filter((F.col("_pn") > 0) & (F.col("_qn") > 0))
+              .withColumn("_cos", F.expr(
+                  f"CAST({_QDOT} AS DOUBLE) / "
+                  f"sqrt(CAST(_qn AS DOUBLE) * CAST(_pn AS DOUBLE))")))
+    top = (scored.orderBy(F.desc("_cos"), F.asc(vec_id)).limit(int(k))
+           # cosine can be negative: round + 0.0 per the signed-zero
+           # invariant (ordering uses the raw _cos — sqrt/div are
+           # deterministic, only the OUTPUT needs normalizing)
+           .select(vec_id,
+                   F.expr("round(_cos, 6) + 0.0").alias("cosq_r")))
+    w = Window.orderBy(F.desc("cosq_r"), F.asc(vec_id))
+    return top.withColumn("rank", F.row_number().over(w))

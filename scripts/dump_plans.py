@@ -94,6 +94,15 @@ QUERIES = [
      "sum over the deterministic (hash, id) order yields all-integer "
      "(bin_id, bin_offset); a single exchange on the `by` shard key, "
      "everything else codegen map work"),
+    ("quantize_embeddings", "int8 quantization — pure map (zero "
+     "exchanges): per-vector max-abs + floor-based int8 transform in "
+     "codegen; the stored column is 4x smaller than float32, so every "
+     "downstream scan/shuffle of embeddings pays a quarter of the "
+     "bytes"),
+    ("quant_ann", "quantized cosine top-k — the 1-row query "
+     "broadcasts, integer dot products fold map-side (exact: all "
+     "partial sums below 2^53), TakeOrderedAndProject; raw ordering "
+     "is bit-identical cross-engine (IEEE sqrt, no ln)"),
 ]
 
 
