@@ -27,6 +27,7 @@ from esri_dump_spark.operators import text as X
 from esri_dump_spark.operators import dedup as D
 from esri_dump_spark.operators import ann as A
 from esri_dump_spark.operators import sample as SM
+from esri_dump_spark.operators.lm import bigram_lm_score_oracle_sql
 from esri_dump_spark.operators.search import (bm25_topk_oracle_sql,
                                               rrf_weight_sql)
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
@@ -540,6 +541,24 @@ def q_bm25_topk(spark, sf_dir):
     sort, no text past the scan."""
     from esri_dump_spark.operators.search import bm25_topk
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=12)
+
+
+_LM_MIN_COUNT = 20   # documents' bigram counts span 1..~50; 20 makes
+#                      rare_bigrams discriminative instead of all-zero
+
+
+def q_lm_typicality(spark, sf_dir):
+    """Corpus bigram-LM typicality scoring (the CCNet-style quality
+    filter's driver-gradeable face): per-document integer bigram
+    statistics over md5-u60 hashed gram keys (fixed-width shuffles,
+    twin recomputes identical keys) plus ONE ints-below-2^53 IEEE
+    division — bit-exact cross-engine with no rounding defense, the
+    quantized-cosine construction. True add-one perplexity lives in
+    operators/lm.py:bigram_perplexity (pytest-pinned, deliberately
+    un-twinned — ln sums are not bit-stable)."""
+    from esri_dump_spark.operators.lm import bigram_lm_score
+    return bigram_lm_score(_t(spark, sf_dir, "documents"),
+                           min_count=_LM_MIN_COUNT)
 
 
 _HYBRID_QVEC = 7     # query embedding = vec_id 7 (doc_id-aligned ids)
@@ -1568,8 +1587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the poly_intersect_anti NOT-EXISTS rewrite, frame_sample's
     columnar ok-path emission (video_near_dup consumes it), and the
     operators NEW this round (video/audio_cluster_dedup —
-    deterministic analytic golden twins — and bm25_topk, the lexical
-    half of the similarity family); (2) the
+    deterministic analytic golden twins — bm25_topk, the lexical
+    half of the similarity family, and lm_typicality, the corpus
+    bigram-LM quality filter); (2) the
     six queries whose only driver rows were rows-only from r01 even
     though golden oracles exist today; (3) one regression canary per
     §2 family. Everything beyond slot 50 is driver-proven in r01-r04
@@ -1597,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,            # new this round
         "quantize_embeddings": q_quantize_embeddings,  # new this round
         "quant_ann": q_quant_ann,                      # new this round
+        "lm_typicality": q_lm_typicality,              # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1622,7 +1643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,            # new this round
         "renderer_compile": q_renderer_compile,
         "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
+        # simhash_pairs yielded its slot to lm_typicality (r04-proven;
+        # text-dedup keeps minhash_pairs + line_dedup +
+        # ngram_jaccard_capped in-window)
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "emb_near_dup_lsh_golden": q_emb_near_dup_lsh_golden,
         "ivf_ann": q_ivf_ann,
@@ -1647,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "audio_near_dup": q_audio_near_dup,
+        "simhash_pairs": q_simhash_pairs,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
         "discovery": q_discovery,
         "schema_doc": q_schema_doc,
@@ -1884,6 +1908,10 @@ def oracle_sql() -> dict[str, str]:
                      + (q.qlat - p.lat) * (q.qlat - p.lat)) <= 2.0""",
         "token_count": f"SELECT doc_id, {X.token_count_sql('text')} AS n_tokens FROM documents",
         "bm25_topk": bm25_topk_oracle_sql(_BM25_TERMS, k=12),
+        # all-integer until one ints-below-2^53 division (shared
+        # typicality_sql spelling) — bit-exact, no rounding defense
+        "lm_typicality": bigram_lm_score_oracle_sql(
+            min_count=_LM_MIN_COUNT),
         # rrf depends ONLY on integer ranks (shared rrf_weight_sql
         # spelling, fixed-order sum) — float-wobble-free twin; the
         # dense CTE repeats ann_cosine's proven rank spelling

@@ -113,6 +113,8 @@ def run_headline(spark) -> dict[str, float]:
         "weighted_sample", "pack_sequences",
         # int8 embedding path (round 5): quantize + quantized cosine
         "quantize_embeddings", "quant_ann",
+        # corpus bigram-LM scoring (round 5): CCNet-style typicality
+        "lm_typicality",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

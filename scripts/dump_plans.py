@@ -103,6 +103,15 @@ QUERIES = [
      "broadcasts, integer dot products fold map-side (exact: all "
      "partial sums below 2^53), TakeOrderedAndProject; raw ordering "
      "is bit-identical cross-engine (IEEE sqrt, no ln)"),
+    ("lm_typicality", "corpus bigram-LM scoring — tokenize + bigram "
+     "transform + md5-u60 gram keys all map-side (text dies at the "
+     "first projection; every exchange after the explode carries "
+     "fixed-width longs), per-doc gram pre-aggregation PERSISTED "
+     "(fixed-width InMemoryTableScan feeds both the corpus-count "
+     "aggregate and the scoring join — the tokenize+explode stage "
+     "runs once), AQE broadcasts the pruned counts side, final "
+     "doc-keyed aggregate ends in ONE IEEE division — no Python "
+     "anywhere"),
 ]
 
 
