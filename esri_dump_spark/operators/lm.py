@@ -133,7 +133,11 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
     # counts and the scoring join, and without the persist Catalyst
     # plans the tokenize+explode subtree twice (the corpus-scale
     # stage). What is cached is (id, long, long) — fixed width, never
-    # text; the ContextCleaner reclaims it with the result DataFrame.
+    # text. The entry lives in the SQL CacheManager until evicted
+    # under storage-memory pressure or cleared explicitly
+    # (spark.catalog.clearCache()) — persist() on a DataFrame is NOT
+    # reclaimed when the result goes unreachable; callers scoring
+    # many corpora in one session should clear between runs.
     docgrams = _docgram_counts(docs, id_col, text_col).persist()
     counts = docgrams.groupBy("_g").agg(F.sum("n_occ").alias("_c"))
     per_doc = (docgrams.join(counts, "_g")
@@ -209,14 +213,16 @@ def bigram_perplexity(docs: DataFrame, id_col: str = "doc_id",
     base = (docs.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col),
                     F.expr(_toks_expr(text_col)).alias("_t")))
-    # both persists hold only fixed-width longs (never token text) and
-    # exist because each feeds two consumers — without them the
-    # tokenize+explode subtrees are planned twice (see bigram_lm_score)
+    # persisted tables hold only fixed-width longs (never token text)
+    # and only at VOCAB cardinality, never corpus-occurrence
+    # cardinality: uni_counts (one row per distinct token) feeds both
+    # the history join and V — deriving V as its row count saves a
+    # second corpus-scale pass over the token occurrences
     unis = (base.select(F.explode("_t").alias("_w"))
-            .select(hash_u60("_w").alias("_w1"))).persist()
+            .select(hash_u60("_w").alias("_w1")))
     uni_counts = unis.groupBy("_w1").agg(
-        F.count(F.lit(1)).alias("_c1"))
-    vocab = unis.agg(F.countDistinct("_w1").alias("_V"))
+        F.count(F.lit(1)).alias("_c1")).persist()
+    vocab = uni_counts.agg(F.count(F.lit(1)).alias("_V"))
 
     pairs = (base.select(id_col, F.explode(F.expr(_GRAMS_EXPR))
                          .alias("_gram"))
@@ -228,8 +234,12 @@ def bigram_perplexity(docs: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_occ")).persist()
     gram_counts = docgrams.groupBy("_g").agg(
         F.sum("n_occ").alias("_c12"))
+    # no broadcast hint on uni_counts: the unigram vocabulary is
+    # unbounded (a forced broadcast would OOM on a web-scale corpus);
+    # AQE picks broadcast itself whenever the table fits. vocab is a
+    # single row — always broadcastable.
     scored = (docgrams.join(gram_counts, "_g")
-              .join(F.broadcast(uni_counts), "_w1")
+              .join(uni_counts, "_w1")
               .crossJoin(F.broadcast(vocab))
               .withColumn("_lp", F.col("n_occ") *
                           F.log((F.col("_c12") + F.lit(1)).cast("double") /

@@ -143,11 +143,13 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     the scoring stage, so they are persisted (MEMORY_AND_DISK): the
     tokenization fold runs ONCE over the corpus, and what is cached is
     only (id, dl, tf...) — fixed-width integers, never text. Each
-    call builds its own cache; the ContextCleaner reclaims it when
-    the returned DataFrame goes unreachable (callers issuing many
-    BM25 queries over ONE corpus should persist the stats once and
-    reuse — the per-call cache is deliberate for the one-shot driver
-    pattern)."""
+    call builds its own cache, which lives in the SQL CacheManager
+    until evicted under storage-memory pressure or cleared explicitly
+    (spark.catalog.clearCache()) — persist() is NOT reclaimed when
+    the result merely goes unreachable. Callers issuing many BM25
+    queries over ONE corpus should persist the stats once and reuse;
+    the per-call cache is deliberate for the one-shot driver
+    pattern."""
     _check_terms(terms)
     fold = _stats_fold_sql(text_col, terms)
     tf_cols = [f"_tf{j}" for j in range(len(terms))]

@@ -109,7 +109,7 @@ QUERIES = [
      "fixed-width longs), per-doc gram pre-aggregation PERSISTED "
      "(fixed-width InMemoryTableScan feeds both the corpus-count "
      "aggregate and the scoring join — the tokenize+explode stage "
-     "runs once), AQE broadcasts the pruned counts side, final "
+     "runs once), AQE broadcasts the counts side when it fits, final "
      "doc-keyed aggregate ends in ONE IEEE division — no Python "
      "anywhere"),
 ]
