@@ -561,6 +561,40 @@ def q_lm_typicality(spark, sf_dir):
                            min_count=_LM_MIN_COUNT)
 
 
+_BPE_MERGES = 20     # merge-table size for the BPE queries
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE vocabulary induction (Sennrich ACL'16) over the documents
+    corpus: the learned merge table (rank, left, right, pair_count).
+    ROWS-ONLY BY DESIGN: merge k's argmax depends on the table merges
+    1..k-1 produced — the repo's canonical iterative algorithm, the
+    class CLAUDE.md exempts from DuckDB twinning. Its exact oracle is
+    the pure-Python reference BPE in tests/test_bpe.py (argmax ties
+    broken by count DESC, left ASC, right ASC — a total order, so the
+    table is layout-invariant, also pytest-pinned). The corpus is
+    touched ONCE (word-count aggregate); every merge round is
+    vocab-sized."""
+    from esri_dump_spark.operators.bpe import bpe_merges_df, bpe_train
+    merges = bpe_train(_t(spark, sf_dir, "documents"),
+                       num_merges=_BPE_MERGES)
+    return bpe_merges_df(spark, merges)
+
+
+def q_bpe_stats(spark, sf_dir):
+    """Per-document piece statistics under the learned BPE merge
+    table (n_words, n_pieces, pieces_per_word). ROWS-ONLY BY DESIGN
+    for the same reason as bpe_merges (the merge table it applies is
+    the iterative artifact); encode correctness is pytest-pinned
+    against the reference encoder. Python touches ONLY the distinct
+    word table (one vocab-sized mapInPandas, plan-asserted); the
+    corpus meets the result through one join + rollup."""
+    from esri_dump_spark.operators.bpe import bpe_piece_counts, bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=_BPE_MERGES)
+    return bpe_piece_counts(docs, merges)
+
+
 _HYBRID_QVEC = 7     # query embedding = vec_id 7 (doc_id-aligned ids)
 _HYBRID_K_EACH = 20  # per-channel candidate depth before fusion
 
@@ -1683,6 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_cluster_dedup": q_phash_cluster_dedup,
         "image_clean": q_image_clean,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,   # rows-only by design
+        "bpe_merges": q_bpe_merges,               # rows-only by design
+        "bpe_stats": q_bpe_stats,                 # rows-only by design
         "minhash_cluster_dedup": q_minhash_cluster_dedup,
         "corpus_clean": q_corpus_clean,
         "dedup_first_event": q_dedup_first_event,

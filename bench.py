@@ -125,6 +125,10 @@ def run_headline(spark) -> dict[str, float]:
         "quantize_embeddings", "quant_ann",
         # corpus bigram-LM scoring (round 5): CCNet-style typicality
         "lm_typicality",
+        # BPE vocabulary induction + encode (round 5): the corpus is
+        # scanned once, merge rounds are vocab-sized, encode joins a
+        # vocab-sized Python-encoded word table back to the corpus
+        "bpe_stats",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

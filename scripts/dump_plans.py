@@ -112,6 +112,12 @@ QUERIES = [
      "runs once), AQE broadcasts the counts side when it fits, final "
      "doc-keyed aggregate ends in ONE IEEE division — no Python "
      "anywhere"),
+    ("bpe_stats", "BPE encode at corpus scale — the learned merge "
+     "list is applied to the DISTINCT word table in ONE vocab-sized "
+     "MapInPandas (the only Python node in the plan); the corpus "
+     "explode joins that small encoded table (AQE broadcast) and "
+     "rolls up per doc — training's merge rounds ran before this "
+     "plan exists, each vocab-sized with a 1-row driver argmax"),
 ]
 
 
