@@ -42,8 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .search import _BM25_TOKEN_RE, _lower_sql
-from .text import _spark_re
+from .search import toks_expr
 
 __all__ = ["bpe_train", "bpe_encode_words", "bpe_piece_counts",
            "END_MARK"]
@@ -54,12 +53,11 @@ END_MARK = "</w>"
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
-    """(word, count): the ONLY corpus-scale stage. bm25 tokenizer
-    spelling (ASCII translate fold)."""
-    toks = (f"filter(regexp_extract_all({_lower_sql(text_col)}, "
-            f"'{_spark_re(_BM25_TOKEN_RE)}', 0), x -> x != '')")
+    """(word, count): the ONLY corpus-scale stage. Tokenizes with the
+    shared bm25 spelling (`search.toks_expr`) so the BPE word
+    universe can never drift from the lm/bm25 operators'."""
     return (docs.filter(F.col(text_col).isNotNull())
-            .select(F.explode(F.expr(toks)).alias("word"))
+            .select(F.explode(F.expr(toks_expr(text_col))).alias("word"))
             .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
 
 
@@ -150,13 +148,11 @@ def bpe_encode_words(words: DataFrame,
             for w in pdf[word_col]:
                 syms = list(w) + [END_MARK]
                 while len(syms) >= 2:
-                    cands = [(ranks[p], j) for j, p in
-                             enumerate(zip(syms, syms[1:]))
+                    cands = [ranks[p] for p in zip(syms, syms[1:])
                              if p in ranks]
                     if not cands:
                         break
-                    rank = min(c[0] for c in cands)
-                    l, r, _ = merges[rank]
+                    l, r, _ = merges[min(cands)]
                     merged, j = [], 0
                     while j < len(syms):
                         if (j + 1 < len(syms) and syms[j] == l
@@ -186,12 +182,17 @@ def bpe_piece_counts(docs: DataFrame,
     (id, n_words, n_pieces, pieces_per_word). The corpus-scale work
     is one explode + one join against the vocab-sized encoded word
     table (AQE broadcasts it when it fits) + one rollup; Python only
-    ever sees distinct words."""
-    toks = (f"filter(regexp_extract_all({_lower_sql(text_col)}, "
-            f"'{_spark_re(_BM25_TOKEN_RE)}', 0), x -> x != '')")
+    ever sees distinct words.
+
+    Returns one row per document with >= 1 token: NULL texts and
+    texts that tokenize to nothing (e.g. whitespace-only) carry no
+    word evidence and are DROPPED, the same contract as
+    ``lm.bigram_lm_score`` — join back to the documents table if full
+    coverage is needed."""
     occurrences = (docs.filter(F.col(text_col).isNotNull())
                    .select(F.col(id_col),
-                           F.explode(F.expr(toks)).alias("word")))
+                           F.explode(F.expr(toks_expr(text_col)))
+                           .alias("word")))
     encoded = bpe_encode_words(
         occurrences.select("word").distinct(), merges)
     per_doc = (occurrences.join(encoded.select("word", "n_pieces"),

@@ -26,7 +26,7 @@ is part of the training-data extension family). Two operators:
 
 Spark-first shape (and why it scales):
 
-- Tokenization reuses the bm25 spelling (`search._BM25_TOKEN_RE` +
+- Tokenization reuses the bm25 spelling (`search.toks_expr` —
   ASCII ``translate`` fold — never locale ``lower()``): one
   ``regexp_extract_all`` per document, bigrams from one
   ``transform(sequence(...))`` over the token array; the text column
@@ -56,8 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sample import hash_u60, hash_u60_sql
-from .search import _BM25_TOKEN_RE, _lower_sql
-from .text import _spark_re
+from .search import toks_duck_sql, toks_expr
 
 __all__ = ["bigram_lm_score", "bigram_lm_score_oracle_sql",
            "bigram_perplexity", "typicality_sql"]
@@ -72,11 +71,9 @@ def typicality_sql() -> str:
     return "CAST(sum_freq AS DOUBLE) / CAST(n_bigrams AS DOUBLE)"
 
 
-def _toks_expr(text_col: str) -> str:
-    """Token array, bm25 spelling: ASCII-folded letter runs / digit
-    runs / symbols (Spark filters the engine's empty matches)."""
-    return (f"filter(regexp_extract_all({_lower_sql(text_col)}, "
-            f"'{_spark_re(_BM25_TOKEN_RE)}', 0), x -> x != '')")
+# token arrays use search.toks_expr / search.toks_duck_sql — THE
+# shared bm25 tokenizer spelling (one place, so the lm/bpe/bm25 word
+# universes can never drift)
 
 
 # Bigram array over a token-array column `_t` (1-based element_at,
@@ -97,7 +94,7 @@ def _docgram_counts(docs: DataFrame, id_col: str,
     fixed-width."""
     grams = (docs.filter(F.col(text_col).isNotNull())
              .select(F.col(id_col),
-                     F.expr(_toks_expr(text_col)).alias("_t"))
+                     F.expr(toks_expr(text_col)).alias("_t"))
              .select(id_col, F.explode(F.expr(_GRAMS_EXPR)).alias("_gram"))
              .select(id_col, hash_u60("_gram").alias("_g")))
     return grams.groupBy(id_col, "_g").agg(
@@ -159,8 +156,7 @@ def bigram_lm_score_oracle_sql(id_col: str = "doc_id",
     invariant), integer aggregates CAST to BIGINT (the HUGEINT /
     float64 representation trap), and the shared ``typicality_sql``
     division."""
-    toks = (f"regexp_extract_all({_lower_sql(text_col)}, "
-            f"'{_BM25_TOKEN_RE}')")
+    toks = toks_duck_sql(text_col)
     gram = "t[i-1] || ' ' || t[i]"
     return f"""
         WITH _tok AS (
@@ -212,7 +208,7 @@ def bigram_perplexity(docs: DataFrame, id_col: str = "doc_id",
     """
     base = (docs.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col),
-                    F.expr(_toks_expr(text_col)).alias("_t")))
+                    F.expr(toks_expr(text_col)).alias("_t")))
     # persisted tables hold only fixed-width longs (never token text)
     # and only at VOCAB cardinality, never corpus-occurrence
     # cardinality: uni_counts (one row per distinct token) feeds both

@@ -101,11 +101,28 @@ def _lit(x: float) -> str:
     return f"CAST({repr(float(x))} AS DOUBLE)"
 
 
+def toks_expr(text_col: str) -> str:
+    """THE Spark spelling of the bm25 token array (ASCII-folded
+    letter runs / digit runs / symbols; Spark filters the engine's
+    empty matches) — shared by bm25, the corpus bigram LM
+    (operators/lm.py) and BPE (operators/bpe.py) so their word
+    universes can never drift apart."""
+    return (f"filter(regexp_extract_all({_lower_sql(text_col)}, "
+            f"'{_spark_re(_BM25_TOKEN_RE)}', 0), x -> x != '')")
+
+
+def toks_duck_sql(text_col: str) -> str:
+    """The DuckDB twin of ``toks_expr`` (DuckDB never emits empty
+    matches, so no filter; backslashes are not unescaped in its
+    string literals, so the raw regex embeds directly)."""
+    return (f"regexp_extract_all({_lower_sql(text_col)}, "
+            f"'{_BM25_TOKEN_RE}')")
+
+
 def _stats_fold_sql(text_col: str, terms: list[str]) -> str:
     """One pass over the token array -> struct(dl, tf0, tf1, ...):
     document length and one term frequency per query term."""
-    toks = (f"filter(regexp_extract_all({_lower_sql(text_col)}, "
-            f"'{_spark_re(_BM25_TOKEN_RE)}', 0), x -> x != '')")
+    toks = toks_expr(text_col)
     zero = ", ".join(["'dl', 0L"] +
                      [f"'tf{j}', 0L" for j in range(len(terms))])
     step = ", ".join(
@@ -234,8 +251,7 @@ def bm25_topk_oracle_sql(terms: list[str], k: int = 10,
     case fold, same score spelling via ``_bm25_score_sql``, same
     rounded-score ordering."""
     _check_terms(terms)
-    toks = (f"regexp_extract_all({_lower_sql(text_col)}, "
-            f"'{_BM25_TOKEN_RE}')")
+    toks = toks_duck_sql(text_col)
     tf_sel = ", ".join(
         f"len(list_filter({toks}, x -> x = '{t}')) AS _tf{j}"
         for j, t in enumerate(terms))

@@ -144,10 +144,12 @@ def test_encode_words_matches_reference(spark):
 
 def test_piece_counts_brute(spark):
     merges = bpe_train(_df(spark, _ROWS), 10)
+    rows = _ROWS + [(9, "   ")]   # whitespace-only: zero tokens
     got = {r["doc_id"]: (r["n_words"], r["n_pieces"],
                          r["pieces_per_word"])
-           for r in bpe_piece_counts(_df(spark, _ROWS), merges)
+           for r in bpe_piece_counts(_df(spark, rows), merges)
            .collect()}
+    assert 9 not in got           # documented zero-token drop
     for i, t in _ROWS:
         if t is None:
             assert i not in got
