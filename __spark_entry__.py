@@ -899,6 +899,56 @@ def q_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "source", "bin_id", "bin_offset")
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier gate: flag documents whose n_chars deviates
+    from the per-language median by > 1 MAD (k=1, tight enough that
+    BOTH flag states occur in the fixture corpus — k=4 flags nothing
+    at sf0.01 and a constant column is a weak oracle). Bit-exact
+    WITHOUT rounding: integer inputs make the interpolated median an
+    exact dyadic double (integer or x.5), deviations multiples of
+    0.5, the MAD a multiple of 0.25, and k dyadic — so the > cut
+    lands identically in both engines on every row, boundary hits
+    included. The flag is CAST to INT so both engines emit int32."""
+    from esri_dump_spark.operators.sample import mad_outliers
+    docs = _t(spark, sf_dir, "documents")
+    out = mad_outliers(docs, "n_chars", by="lang", k=1)
+    return out.select("doc_id", "lang", "med", "mad",
+                      F.col("is_outlier").cast("int").alias("outlier"))
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled LANGUAGE mixing at alpha=0.5 (the mBERT
+    multilingual sampling rule): proportions ∝ floor(sqrt(n_i)),
+    realized as the exact integer quota w_i * min(n_i div w_i) over
+    the deterministic (hash, id) order. Keyed on `lang` — the skewed
+    column (en dominates), so the quota genuinely subsamples; the
+    uniform `source` column would make the op a pass-through. sqrt
+    is IEEE correctly rounded in both engines, so the floored
+    weights — and hence every quota — are engine-identical; the twin
+    shares the temp_weight_sql spelling verbatim."""
+    from esri_dump_spark.operators.sample import temperature_mix
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "lang", "doc_id", alpha=0.5,
+                          seed="tm")
+    return out.select("doc_id", "lang")
+
+
+def q_shard_plan(spark, sf_dir):
+    """Training-shard sink plan: the deterministic (split, shard)
+    assignment write_training_shards lays on disk — split by the
+    shared integer-threshold CASE, shard = hash_u60 mod 8 — rolled up
+    to per-directory row and char totals (each future leaf file's
+    manifest row). All integers; sums CAST to BIGINT on both sides."""
+    from esri_dump_spark.operators.sample import split_assign
+    from esri_dump_spark.operators.sinks import shard_assign
+    docs = split_assign(_t(spark, sf_dir, "documents"), "doc_id",
+                        seed="shp")
+    out = shard_assign(docs, "doc_id", 8, seed="shs")
+    return (out.groupBy("split", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew: explicit two-phase salted aggregation — identical result
     to a plain groupBy, no single reducer owns a hot key."""
@@ -1652,6 +1702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,  # new this round
         "quant_ann": q_quant_ann,                      # new this round
         "lm_typicality": q_lm_typicality,              # new this round
+        "mad_outliers": q_mad_outliers,                # new this round
+        "temperature_mix": q_temperature_mix,          # new this round
+        "shard_plan": q_shard_plan,                    # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1669,7 +1722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_intersect_join": q_poly_intersect_join,
         "polygon_stats": q_polygon_stats,      # r03 red cell stays green
         "knn_geo": q_knn_geo,
-        "radius_geo": q_radius_geo,
+        # radius_geo yielded its slot to mad_outliers (r04-proven; the
+        # geo family keeps knn_geo/pip_rect/poly_intersect_join/
+        # polygon_stats in-window)
         # tile family canary is tile_pyramid (its leaf level IS
         # assign_tiles); tile_assign stays past the boundary
         "tile_pyramid": q_tile_pyramid,
@@ -1680,11 +1735,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash_pairs yielded its slot to lm_typicality (r04-proven;
         # text-dedup keeps minhash_pairs + line_dedup +
         # ngram_jaccard_capped in-window)
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        # ngram_jaccard_capped yielded its slot to temperature_mix
+        # (r04-proven; text-dedup keeps minhash_pairs + line_dedup)
         "emb_near_dup_lsh_golden": q_emb_near_dup_lsh_golden,
         "ivf_ann": q_ivf_ann,
         "crossmodal_near_dup": q_crossmodal_near_dup,
-        "token_count": q_token_count,
+        # token_count yielded its slot to shard_plan (r04-proven; the
+        # text family keeps line_dedup/lm_typicality/govern_corpus)
         "govern_corpus": q_govern_corpus,
         "stream_windowed": q_stream_windowed,
         "asof_events": q_asof_events,
@@ -1693,16 +1750,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         # ---------------- slot 50 boundary ----------------
         # ---- driver-proven r01-r04, local parity gate only ----
-        # six r04-proven canaries yielded their slots to the six
+        # nine r04-proven canaries yielded their slots to the nine
         # round-5 newcomers (bm25_topk, hybrid_retrieval,
         # weighted_sample, pack_sequences, quantize_embeddings,
-        # quant_ann): audio stays windowed via audio_stats +
+        # quant_ann, mad_outliers, temperature_mix, shard_plan):
+        # audio stays windowed via audio_stats +
         # audio_cluster_dedup, minhash via minhash_pairs (same twin
         # as the hashkey mode), the doc family via tilejson_doc +
         # renderer_compile (discovery/schema_doc are frozen golden
         # literals), extract via extract_synthetic + extract_bbox +
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
+        "radius_geo": q_radius_geo,
+        "token_count": q_token_count,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "audio_near_dup": q_audio_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
@@ -2261,6 +2322,50 @@ def oracle_sql() -> dict[str, str]:
                     SELECT source, count(*) AS n
                     FROM k GROUP BY 1) t USING (source))
             SELECT doc_id, source FROM k, m WHERE rn <= wt * mm""",
+        # median/MAD are exact dyadic doubles over integral inputs
+        # (median of ints = int or x.5; MAD = multiple of 0.25), and
+        # k=4 is dyadic — the > cut is engine-identical with NO
+        # rounding; flag CAST to INT so both engines emit int32
+        "mad_outliers": """
+            WITH m1 AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                        FROM documents GROUP BY lang),
+            d AS (SELECT doc_id, dd.lang, med,
+                         abs(CAST(n_chars AS DOUBLE) - med) AS dev
+                  FROM documents dd JOIN m1 USING (lang)),
+            m2 AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+                   FROM d GROUP BY lang)
+            SELECT doc_id, d.lang, med, mad,
+                   CAST(dev > CAST(1 AS DOUBLE) * mad AS INT) AS outlier
+            FROM d JOIN m2 USING (lang)""",
+        # weights derive from the data via the shared temp_weight_sql
+        # spelling (sqrt-only powers: IEEE correctly rounded in both
+        # engines, so floor lands on the identical integer); quota
+        # math is the same all-integer contract as mix_sources
+        "temperature_mix": f"""
+            WITH c AS (SELECT lang, count(*) AS n
+                       FROM documents GROUP BY lang),
+            w AS (SELECT lang, n,
+                         {SM.temp_weight_sql("n", 0.5)} AS wt FROM c),
+            m AS (SELECT min(n // wt) AS mm FROM w),
+            k AS (SELECT doc_id, d.lang, wt,
+                         row_number() OVER (
+                             PARTITION BY d.lang
+                             ORDER BY {SM.hash_u60_sql(
+                                 "CAST(d.doc_id AS VARCHAR)", "tm")} ASC,
+                                 d.doc_id ASC) AS rn
+                  FROM documents d JOIN w USING (lang))
+            SELECT doc_id, lang FROM k, m WHERE rn <= wt * mm""",
+        # the training-shard sink's directory plan: split CASE +
+        # hash mod 8 (hash is non-negative, so % agrees); sums CAST
+        # to BIGINT (DuckDB HUGEINT would land as float64)
+        "shard_plan": f"""
+            SELECT {SM.split_case_sql(SM.hash_u60_sql(
+                        "CAST(doc_id AS VARCHAR)", "shp"))} AS split,
+                   {SM.hash_u60_sql("CAST(doc_id AS VARCHAR)", "shs")}
+                       % 8 AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1, 2""",
         # greedy prefix under a per-group running sum: keep rows that
         # START under the budget (exceed by at most one row)
         "token_budget": f"""

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 __all__ = ["hash_u60", "fraction_threshold", "split_assign",
            "sample_fraction", "stratified_sample", "mix_sources",
            "take_token_budget", "leakage_safe_split", "top_percent",
-           "weighted_sample", "pack_sequences", "es_key_sql"]
+           "weighted_sample", "pack_sequences", "es_key_sql",
+           "mad_outliers", "temperature_mix", "temp_weight_sql"]
 
 _U60 = 1 << 60
 
@@ -405,6 +406,154 @@ def top_percent(df: DataFrame, score_col: str, percent: int,
             .filter(F.col("_tp_rank") * 100
                     <= F.lit(int(percent)) * F.col("_tp_n"))
             .drop("_tp_rank", "_tp_n"))
+
+
+_INTEGRAL = ("byte", "short", "int", "integer", "long", "bigint")
+
+
+def mad_outliers(df: DataFrame, value_col: str,
+                 by: str | list[str] | None = None, k: float = 4.0,
+                 med_col: str = "med", mad_col: str = "mad",
+                 flag_col: str = "is_outlier") -> DataFrame:
+    """Robust outlier gate: flag rows whose ``value_col`` deviates
+    from its group median by more than ``k`` times the median absolute
+    deviation (MAD) — the heavy-tail-safe sibling of a z-score filter
+    (mean/stddev move with the outliers they are meant to catch; the
+    median/MAD pair does not). The standard "drop absurdly long/short
+    documents per language" pass of a pretraining pipeline.
+
+    Bit-exact-by-construction across engines, WITHOUT rounding, by
+    restricting the inputs instead of the arithmetic:
+
+    * ``value_col`` must be INTEGRAL (enforced): every value is an
+      exact double below 2^53.
+    * the exact interpolated median of integers is an integer or a
+      midpoint ``x.5`` — exactly representable; Spark ``percentile``
+      and DuckDB ``quantile_cont`` both produce it exactly (the
+      ``value_quantiles`` query established the parity; at the 0.5
+      quantile the interpolation factor is exactly 0.5, so
+      ``lo + (hi-lo)*0.5`` and ``(lo+hi)/2`` are the SAME real
+      number and round identically).
+    * deviations are multiples of 0.5; their median (the MAD) is a
+      multiple of 0.25 — still exact.
+    * ``k`` must be DYADIC (k*4 integral — enforced): ``k * mad`` is
+      an exact product and the ``>`` cut is engine-identical on every
+      row, including exact boundary hits (never outliers, both
+      sides).
+
+    NULL values get NULL med-deviation and a NULL flag (comparisons
+    propagate NULL in both engines); they never shift the median
+    (both engines' quantile aggregates skip NULLs).
+
+    Plan shape at scale: two keyed aggregations over ``by`` (median,
+    then MAD of deviations) and two joins of per-group 1-row stats
+    back to the rows — AQE broadcasts the stats tables while the
+    group count fits, so the rows themselves shuffle ZERO times; the
+    base relation is scanned by the agg branch and the join branch
+    (cache upstream if the scan is the bottleneck).
+    """
+    if not (isinstance(k, (int, float)) and not isinstance(k, bool)
+            and k > 0 and float(k * 4).is_integer()):
+        raise ValueError(
+            f"k must be a positive multiple of 0.25 (got {k!r}) — "
+            "dyadic k is what keeps the cut engine-exact")
+    vt = df.schema[value_col].dataType.simpleString()
+    if vt not in _INTEGRAL:
+        raise ValueError(
+            f"`{value_col}` must be integral (got {vt}) — integer "
+            "inputs are what make median/MAD exact doubles")
+    for c in (med_col, mad_col, flag_col, "_mo_dev"):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
+    keys = ([] if by is None else
+            ([by] if isinstance(by, str) else list(by)))
+
+    def _join(left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(right, keys) if keys else left.crossJoin(right)
+
+    med = (df.groupBy(*keys)
+           .agg(F.expr(f"percentile({value_col}, 0.5)").alias(med_col)))
+    devs = _join(df, med).withColumn(
+        "_mo_dev",
+        F.abs(F.col(value_col).cast("double") - F.col(med_col)))
+    mad = (devs.groupBy(*keys)
+           .agg(F.expr("percentile(_mo_dev, 0.5)").alias(mad_col)))
+    return (_join(devs, mad)
+            .withColumn(flag_col,
+                        F.col("_mo_dev")
+                        > F.lit(float(k)) * F.col(mad_col))
+            .drop("_mo_dev"))
+
+
+def temp_weight_sql(n_expr: str, alpha: float) -> str:
+    """THE spelling of the temperature-sampling weight
+    ``max(1, floor(n^alpha))`` over a positive integer count
+    expression, for alpha in {0, 0.25, 0.5, 0.75, 1} — the dyadic
+    quarters cover the published multilingual-sampling settings
+    (alpha=0.5 mBERT, alpha=0.75 is 0.75 in XLM-R; Conneau et al.
+    2020, public). Powers are composed from ``sqrt`` ONLY — IEEE
+    correctly-rounded in both engines, so the floor lands on the
+    identical integer — never ``pow`` (not correctly rounded; the
+    engines could disagree by one at perfect-power boundaries).
+    Shared verbatim by the Spark plan and the DuckDB twins."""
+    d = f"CAST({n_expr} AS DOUBLE)"
+    if alpha == 0:
+        return "CAST(1 AS BIGINT)"
+    if alpha == 1:
+        return f"CAST({n_expr} AS BIGINT)"
+    if alpha == 0.25:
+        body = f"sqrt(sqrt({d}))"
+    elif alpha == 0.5:
+        body = f"sqrt({d})"
+    elif alpha == 0.75:
+        # n^(3/4) = sqrt(n * sqrt(n)): one rounded product between two
+        # correctly-rounded sqrts — identical in both engines
+        body = f"sqrt({d} * sqrt({d}))"
+    else:
+        raise ValueError(
+            f"alpha must be one of 0, 0.25, 0.5, 0.75, 1 (got "
+            f"{alpha!r}) — dyadic quarters compose from exact sqrt")
+    return (f"greatest(CAST(1 AS BIGINT), "
+            f"CAST(floor({body}) AS BIGINT))")
+
+
+def temperature_mix(df: DataFrame, source_col: str, id_col: str,
+                    alpha: float = 0.5, seed: str = "") -> DataFrame:
+    """Temperature-scaled source mixing: rebalance a multi-source
+    corpus toward proportions ``∝ n_i^alpha`` — the multilingual
+    up/down-sampling rule (alpha=1 keeps natural proportions, alpha=0
+    levels every source to the minimum count, 0.5/0.75 are the
+    published middle grounds). Unlike ``mix_sources`` the weights are
+    DERIVED FROM THE DATA (``w_i = max(1, floor(n_i^alpha))``, the
+    shared ``temp_weight_sql`` spelling), then the same exact-integer
+    quota applies: keep ``w_i * M`` rows of source i where
+    ``M = min_i(n_i div w_i)`` — the largest total every source can
+    satisfy, so the op subsamples only (never repeats rows). With
+    alpha=1, ``w_i = n_i`` gives M=1 and the corpus passes through
+    unchanged. Rows are drawn by the deterministic (hash, id) order —
+    rerun-, resume- and parallelism-stable, and nested in alpha's
+    quota sense.
+
+    Plan: one count aggregate, the weight expression over that tiny
+    per-source table (joined back plain — AQE broadcasts it while the
+    source count fits; never force-broadcast an unbounded-cardinality
+    side), a 1-row broadcast of M, and the per-source row_number
+    window (one keyed exchange). No driver collect.
+    """
+    for c in ("_w", "_n", "_m", "_rn"):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
+    cnt = (df.groupBy(source_col)
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .withColumn("_w", F.expr(temp_weight_sql("_n", alpha))))
+    m = cnt.agg(F.min(F.expr("_n div _w")).alias("_m"))
+    win = (Window.partitionBy(source_col)
+           .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc()))
+    return (df.join(cnt.select(source_col, "_w"), source_col)
+            .withColumn("_rn", F.row_number().over(win))
+            .join(F.broadcast(m))
+            .filter(F.col("_rn") <= F.col("_w") * F.col("_m"))
+            .drop("_rn", "_w", "_m"))
 
 
 def _sql_quote(s: str) -> str:

@@ -125,3 +125,157 @@ def test_pack_sequences_validation(spark):
     with pytest.raises(ValueError, match="collide"):
         pack_sequences(bad.withColumn("n_tok", bad.bin_id),
                        128, "n_tok", "doc_id")
+
+
+# ---------------------------------------------------------------- MAD
+
+
+def _brute_mad(vals, k):
+    import statistics
+    present = [v for v in vals if v is not None]
+    med = float(statistics.median(present))
+    mad = float(statistics.median([abs(v - med) for v in present]))
+    return med, mad, [None if v is None else abs(v - med) > k * mad
+                      for v in vals]
+
+
+def test_mad_outliers_matches_brute_force(spark):
+    from esri_dump_spark.operators.sample import mad_outliers
+    rows = [("a", 1, 10), ("a", 2, 12), ("a", 3, 11), ("a", 4, 500),
+            ("a", 5, 13), ("b", 6, 7), ("b", 7, 7), ("b", 8, 7),
+            ("b", 9, 900), ("a", 10, None)]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v INT")
+    out = {r.id: (r.med, r.mad, r.is_outlier)
+           for r in mad_outliers(df, "v", by="g", k=4).collect()}
+    for g in ("a", "b"):
+        grp = [(i, v) for gg, i, v in rows if gg == g]
+        med, mad, flags = _brute_mad([v for _, v in grp], 4)
+        for (i, _), fl in zip(grp, flags):
+            assert out[i] == (med, mad, fl), f"id={i}"
+    assert out[4][2] is True and out[9][2] is True
+    assert out[10][2] is None  # NULL value -> NULL flag
+
+
+def test_mad_outliers_global_and_boundary(spark):
+    from esri_dump_spark.operators.sample import mad_outliers
+    # med=4, devs {3,1,0,1,3} -> mad=1; k=3 puts 1 and 7 EXACTLY on
+    # the cut (dev == k*mad) — boundary hits are never outliers
+    df = spark.createDataFrame([(i, v) for i, v in
+                                enumerate([1, 3, 4, 5, 7])],
+                               "id INT, v INT")
+    got = mad_outliers(df, "v", k=3).collect()
+    assert all(r.is_outlier is False for r in got)
+    assert all(r.med == 4.0 and r.mad == 1.0 for r in got)
+
+
+def test_mad_outliers_validation(spark):
+    from esri_dump_spark.operators.sample import mad_outliers
+    df = spark.createDataFrame([(1, 1.5)], "id INT, v DOUBLE")
+    with pytest.raises(ValueError, match="integral"):
+        mad_outliers(df, "v")
+    idf = spark.createDataFrame([(1, 2)], "id INT, v INT")
+    with pytest.raises(ValueError, match="0.25"):
+        mad_outliers(idf, "v", k=0.3)
+    with pytest.raises(ValueError, match="0.25"):
+        mad_outliers(idf, "v", k=0)
+    with pytest.raises(ValueError, match="collide"):
+        mad_outliers(idf.withColumnRenamed("id", "mad"), "v")
+
+
+# -------------------------------------------------- temperature mix
+
+
+def _tm_docs(spark, counts):
+    rows = [(f"{s}_{i}", s) for s, n in counts.items()
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id STRING, source STRING")
+
+
+def test_temperature_mix_alpha_one_is_passthrough(spark):
+    from esri_dump_spark.operators.sample import temperature_mix
+    df = _tm_docs(spark, {"w": 40, "b": 9, "c": 3})
+    assert temperature_mix(df, "source", "doc_id", alpha=1).count() == 52
+
+
+def test_temperature_mix_alpha_zero_levels_to_min(spark):
+    from esri_dump_spark.operators.sample import temperature_mix
+    df = _tm_docs(spark, {"w": 40, "b": 9, "c": 3})
+    out = temperature_mix(df, "source", "doc_id", alpha=0)
+    cnt = {r.source: r.n for r in
+           out.groupBy("source").count().withColumnRenamed(
+               "count", "n").collect()}
+    assert cnt == {"w": 3, "b": 3, "c": 3}
+
+
+def test_temperature_mix_sqrt_quotas_and_membership(spark):
+    from esri_dump_spark.operators.sample import temperature_mix
+    counts = {"w": 40, "b": 9, "c": 3}
+    df = _tm_docs(spark, counts)
+    out = temperature_mix(df, "source", "doc_id", alpha=0.5, seed="t")
+    # w_i = floor(sqrt(n)): w->6, b->3, c->1; M = min(40//6,9//3,3//1)=3
+    want_quota = {"w": 18, "b": 9, "c": 3}
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.source, []).append(r.doc_id)
+    assert {s: len(v) for s, v in got.items()} == want_quota
+    for s, q in want_quota.items():  # exact membership: hash-order prefix
+        ids = sorted((f"{s}_{i}" for i in range(counts[s])),
+                     key=lambda d: (_h60(d, "t"), d))
+        assert sorted(got[s]) == sorted(ids[:q])
+
+
+def test_temperature_mix_validation(spark):
+    from esri_dump_spark.operators.sample import temperature_mix, \
+        temp_weight_sql
+    df = _tm_docs(spark, {"w": 2})
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "source", "doc_id", alpha=0.6)
+    with pytest.raises(ValueError, match="collide"):
+        temperature_mix(df.withColumn("_n", df.doc_id), "source",
+                        "doc_id")
+    assert temp_weight_sql("n", 0) == "CAST(1 AS BIGINT)"
+    assert "sqrt" not in temp_weight_sql("n", 1)
+
+
+# ------------------------------------------------- training shards
+
+
+def test_training_shards_roundtrip_and_layout(spark, tmp_path):
+    import os
+    from esri_dump_spark.operators.sample import split_assign
+    from esri_dump_spark.operators.sinks import (
+        read_training_shards, shard_assign, write_training_shards)
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(200)],
+                               "doc_id INT, text STRING")
+    src = split_assign(df, "doc_id", seed="s")
+    out_dir = str(tmp_path / "shards")
+    write_training_shards(src, out_dir, "doc_id", 4,
+                          split_col="split", seed="sh")
+    back = read_training_shards(spark, out_dir)
+    # content roundtrip (shard column re-derivable from doc_id)
+    want = {(r.doc_id, r.text, r.split, _h60(r.doc_id, "sh") % 4)
+            for r in src.collect()}
+    got = {(r.doc_id, r.text, r.split, int(r.shard))
+           for r in back.collect()}
+    assert got == want
+    # one parquet file per leaf directory — no small-file explosion
+    for split_dir in os.listdir(out_dir):
+        if not split_dir.startswith("split="):
+            continue
+        for shard_dir in os.listdir(os.path.join(out_dir, split_dir)):
+            leaf = os.path.join(out_dir, split_dir, shard_dir)
+            files = [f for f in os.listdir(leaf)
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, leaf
+    # determinism: a second write produces identical shard membership
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(src.repartition(7), out2, "doc_id", 4,
+                          split_col="split", seed="sh")
+    got2 = {(r.doc_id, r.text, r.split, int(r.shard))
+            for r in read_training_shards(spark, out2).collect()}
+    assert got2 == got
+    # validation
+    with pytest.raises(ValueError, match="num_shards"):
+        shard_assign(df, "doc_id", 0)
+    with pytest.raises(ValueError, match="already exists"):
+        shard_assign(df.withColumn("shard", df.doc_id), "doc_id", 2)
