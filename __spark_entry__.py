@@ -2324,8 +2324,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM k, m WHERE rn <= wt * mm""",
         # median/MAD are exact dyadic doubles over integral inputs
         # (median of ints = int or x.5; MAD = multiple of 0.25), and
-        # k=4 is dyadic — the > cut is engine-identical with NO
-        # rounding; flag CAST to INT so both engines emit int32
+        # k=1 (dyadic; tight enough that both flag states occur at
+        # sf0.01) — the > cut is engine-identical with NO rounding;
+        # flag CAST to INT so both engines emit int32
         "mad_outliers": """
             WITH m1 AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
                         FROM documents GROUP BY lang),
@@ -2359,13 +2360,17 @@ def oracle_sql() -> dict[str, str]:
         # hash mod 8 (hash is non-negative, so % agrees); sums CAST
         # to BIGINT (DuckDB HUGEINT would land as float64)
         "shard_plan": f"""
-            SELECT {SM.split_case_sql(SM.hash_u60_sql(
-                        "CAST(doc_id AS VARCHAR)", "shp"))} AS split,
-                   {SM.hash_u60_sql("CAST(doc_id AS VARCHAR)", "shs")}
-                       % 8 AS shard,
+            WITH h AS (
+                SELECT n_chars,
+                       {SM.hash_u60_sql("CAST(doc_id AS VARCHAR)",
+                                        "shp")} AS hv,
+                       {SM.hash_u60_sql("CAST(doc_id AS VARCHAR)",
+                                        "shs")} % 8 AS shard
+                FROM documents)
+            SELECT {SM.split_case_sql("hv")} AS split, shard,
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
-            FROM documents GROUP BY 1, 2""",
+            FROM h GROUP BY 1, 2""",
         # greedy prefix under a per-group running sum: keep rows that
         # START under the budget (exceed by at most one row)
         "token_budget": f"""

@@ -408,7 +408,6 @@ def top_percent(df: DataFrame, score_col: str, percent: int,
             .drop("_tp_rank", "_tp_n"))
 
 
-_INTEGRAL = ("byte", "short", "int", "integer", "long", "bigint")
 
 
 def mad_outliers(df: DataFrame, value_col: str,
@@ -425,8 +424,11 @@ def mad_outliers(df: DataFrame, value_col: str,
     Bit-exact-by-construction across engines, WITHOUT rounding, by
     restricting the inputs instead of the arithmetic:
 
-    * ``value_col`` must be INTEGRAL (enforced): every value is an
-      exact double below 2^53.
+    * ``value_col`` must be INTEGRAL (enforced), and the caller must
+      keep magnitudes below 2^52 for the guarantee to hold — tinyint/
+      smallint/int always qualify; a BIGINT column qualifies only if
+      its domain is bounded (above 2^53 a long is not an exact double
+      and the engines' interpolation spellings can round apart).
     * the exact interpolated median of integers is an integer or a
       midpoint ``x.5`` — exactly representable; Spark ``percentile``
       and DuckDB ``quantile_cont`` both produce it exactly (the
@@ -443,7 +445,13 @@ def mad_outliers(df: DataFrame, value_col: str,
 
     NULL values get NULL med-deviation and a NULL flag (comparisons
     propagate NULL in both engines); they never shift the median
-    (both engines' quantile aggregates skip NULLs).
+    (both engines' quantile aggregates skip NULLs). NULL GROUP KEYS
+    form their own group, exactly like ``groupBy`` — the stats joins
+    are null-safe, so NULL-keyed rows are classified against their
+    own median rather than silently dropped (a plain equi-join would
+    lose them). A SQL twin over NULL-keyed data must join with
+    ``IS NOT DISTINCT FROM`` to match; the fixture twins join USING
+    because their key columns are never NULL.
 
     Plan shape at scale: two keyed aggregations over ``by`` (median,
     then MAD of deviations) and two joins of per-group 1-row stats
@@ -457,19 +465,34 @@ def mad_outliers(df: DataFrame, value_col: str,
         raise ValueError(
             f"k must be a positive multiple of 0.25 (got {k!r}) — "
             "dyadic k is what keeps the cut engine-exact")
-    vt = df.schema[value_col].dataType.simpleString()
-    if vt not in _INTEGRAL:
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+    vt = df.schema[value_col].dataType
+    if not isinstance(vt, (ByteType, ShortType, IntegerType, LongType)):
         raise ValueError(
-            f"`{value_col}` must be integral (got {vt}) — integer "
-            "inputs are what make median/MAD exact doubles")
-    for c in (med_col, mad_col, flag_col, "_mo_dev"):
-        if c in df.columns:
-            raise ValueError(f"`{c}` column would collide — rename it")
+            f"`{value_col}` must be integral (got {vt.simpleString()})"
+            " — integer inputs are what make median/MAD exact doubles")
     keys = ([] if by is None else
             ([by] if isinstance(by, str) else list(by)))
+    for c in (med_col, mad_col, flag_col, "_mo_dev",
+              *(f"_mo_{k}" for k in keys)):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
 
     def _join(left: DataFrame, right: DataFrame) -> DataFrame:
-        return left.join(right, keys) if keys else left.crossJoin(right)
+        # null-safe on the keys: a NULL group (which groupBy DOES
+        # produce) must rejoin its own stats, not vanish. The stats
+        # side's keys are RENAMED before the condition — both sides
+        # descend from the same scan, so name-identical columns would
+        # make Spark resolve the predicate against one lineage
+        if not keys:
+            return left.crossJoin(right)
+        ren, cond = right, None
+        for kcol in keys:
+            ren = ren.withColumnRenamed(kcol, f"_mo_{kcol}")
+            c = left[kcol].eqNullSafe(F.col(f"_mo_{kcol}"))
+            cond = c if cond is None else cond & c
+        return left.join(ren, cond).drop(*[f"_mo_{k}" for k in keys])
 
     med = (df.groupBy(*keys)
            .agg(F.expr(f"percentile({value_col}, 0.5)").alias(med_col)))
@@ -538,18 +561,26 @@ def temperature_mix(df: DataFrame, source_col: str, id_col: str,
     per-source table (joined back plain — AQE broadcasts it while the
     source count fits; never force-broadcast an unbounded-cardinality
     side), a 1-row broadcast of M, and the per-source row_number
-    window (one keyed exchange). No driver collect.
+    window (one keyed exchange). No driver collect. NULL-source rows
+    are dropped up front — and excluded from the counts, so they can
+    never constrain M.
     """
     for c in ("_w", "_n", "_m", "_rn"):
         if c in df.columns:
             raise ValueError(f"`{c}` column would collide — rename it")
-    cnt = (df.groupBy(source_col)
+    # drop NULL sources BEFORE counting: they could never survive the
+    # equi-join below, but their count would still constrain M — two
+    # NULL-source rows would collapse a million-row source's quota to
+    # w_i * 2 (mix_sources avoids the same trap by counting over
+    # `kept`)
+    kept = df.filter(F.col(source_col).isNotNull())
+    cnt = (kept.groupBy(source_col)
            .agg(F.count(F.lit(1)).alias("_n"))
            .withColumn("_w", F.expr(temp_weight_sql("_n", alpha))))
     m = cnt.agg(F.min(F.expr("_n div _w")).alias("_m"))
     win = (Window.partitionBy(source_col)
            .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc()))
-    return (df.join(cnt.select(source_col, "_w"), source_col)
+    return (kept.join(cnt.select(source_col, "_w"), source_col)
             .withColumn("_rn", F.row_number().over(win))
             .join(F.broadcast(m))
             .filter(F.col("_rn") <= F.col("_w") * F.col("_m"))

@@ -279,3 +279,40 @@ def test_training_shards_roundtrip_and_layout(spark, tmp_path):
         shard_assign(df, "doc_id", 0)
     with pytest.raises(ValueError, match="already exists"):
         shard_assign(df.withColumn("shard", df.doc_id), "doc_id", 2)
+
+
+def test_mad_outliers_null_group_key_forms_own_group(spark):
+    # groupBy produces a NULL group; the null-safe stats joins must
+    # classify those rows instead of silently dropping them
+    from esri_dump_spark.operators.sample import mad_outliers
+    rows = [("a", 1, 10), ("a", 2, 12), (None, 3, 5), (None, 4, 7),
+            (None, 5, 6)]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v INT")
+    out = {r.id: (r.g, r.med, r.is_outlier)
+           for r in mad_outliers(df, "v", by="g", k=2).collect()}
+    assert len(out) == 5
+    assert out[4] == (None, 6.0, False)  # NULL group med over {5,6,7}
+
+
+def test_mad_outliers_accepts_small_integral_types(spark):
+    from esri_dump_spark.operators.sample import mad_outliers
+    df = spark.createDataFrame([(1, 3), (2, 5), (3, 9)],
+                               "id INT, v INT").selectExpr(
+        "id", "CAST(v AS SMALLINT) AS v")
+    got = mad_outliers(df, "v", k=1).collect()
+    assert {r.med for r in got} == {5.0}
+
+
+def test_temperature_mix_null_source_cannot_poison_quota(spark):
+    # two NULL-source rows must neither appear in the output nor
+    # constrain M (min over n_i div w_i) for the real sources
+    from esri_dump_spark.operators.sample import temperature_mix
+    df = _tm_docs(spark, {"w": 40, "b": 9}).union(
+        spark.createDataFrame([("x1", None), ("x2", None)],
+                              "doc_id STRING, source STRING"))
+    out = temperature_mix(df, "source", "doc_id", alpha=0.5)
+    cnt = {r.source: r.n for r in
+           out.groupBy("source").count().withColumnRenamed(
+               "count", "n").collect()}
+    # w->6, b->3; M = min(40//6, 9//3) = 3 -> quotas 18 / 9
+    assert cnt == {"w": 18, "b": 9}
