@@ -118,6 +118,22 @@ QUERIES = [
      "explode joins that small encoded table (AQE broadcast) and "
      "rolls up per doc — training's merge rounds ran before this "
      "plan exists, each vocab-sized with a 1-row driver argmax"),
+    ("mad_outliers", "robust outlier gate — two keyed HashAggregates "
+     "(median, then MAD of deviations) over (group, value) partials; "
+     "both per-group stat tables come back through broadcast joins, "
+     "so the data rows themselves never enter an exchange and the "
+     "k*MAD cut is a codegen map comparison — no Python, no rounding "
+     "(the dyadic-input construction makes it bit-exact)"),
+    ("temperature_mix", "temperature-scaled mixing — one count "
+     "aggregate yields the per-source weight table (sqrt-composed "
+     "codegen expression), M is a 1-row broadcast, and the data rows "
+     "pay exactly one exchange (the per-source row_number window); "
+     "quota filter is an integer comparison in codegen"),
+    ("shard_plan", "training-shard sink manifest — split CASE and "
+     "hash-mod-shard are map-side codegen over the scan (the sink "
+     "itself adds one repartition on (split, shard) so each leaf "
+     "directory is written by exactly one task); the rollup is one "
+     "partial/final HashAggregate pair"),
 ]
 
 
