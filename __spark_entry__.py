@@ -899,6 +899,19 @@ def q_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "source", "bin_id", "bin_offset")
 
 
+def q_dataset_profile(spark, sf_dir):
+    """Dataset-card profile of the documents table: per-column row /
+    null / distinct counts and value ranges — the audit rollup a
+    pipeline publishes before and after each cleaning stage. Exact by
+    construction: counts are integers, min/max cast to string AFTER
+    aggregation (numeric order, engine-identical int64 rendering),
+    string comparisons are binary in both engines."""
+    from esri_dump_spark.operators.profile import profile_columns
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source",
+                                  "n_chars"])
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust outlier gate: flag documents whose n_chars deviates
     from the per-language median by > 1 MAD (k=1, tight enough that
@@ -1705,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,                # new this round
         "temperature_mix": q_temperature_mix,          # new this round
         "shard_plan": q_shard_plan,                    # new this round
+        "dataset_profile": q_dataset_profile,          # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1717,7 +1731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tilejson_doc": q_tilejson_doc,        # exercises the CRS chain
         "image_decode_stats": q_image_decode_stats,
         "emb_cluster_dedup": q_emb_cluster_dedup,  # new this round
-        "where_pushdown": q_where_pushdown,
+        # where_pushdown yielded its slot to dataset_profile
+        # (r04-proven + plan-asserted in tests/test_physical_plans.py;
+        # extract keeps topfeatures/extract_synthetic/extract_bbox)
         "pip_rect": q_pip_rect,
         "poly_intersect_join": q_poly_intersect_join,
         "polygon_stats": q_polygon_stats,      # r03 red cell stays green
@@ -1750,11 +1766,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         # ---------------- slot 50 boundary ----------------
         # ---- driver-proven r01-r04, local parity gate only ----
-        # nine r04-proven canaries yielded their slots to the nine
+        # ten r04-proven canaries yielded their slots to the ten
         # round-5 newcomers (bm25_topk, hybrid_retrieval,
         # weighted_sample, pack_sequences, quantize_embeddings,
-        # quant_ann, mad_outliers, temperature_mix, shard_plan):
-        # audio stays windowed via audio_stats +
+        # quant_ann, mad_outliers, temperature_mix, shard_plan,
+        # dataset_profile): audio stays windowed via audio_stats +
         # audio_cluster_dedup, minhash via minhash_pairs (same twin
         # as the hashkey mode), the doc family via tilejson_doc +
         # renderer_compile (discovery/schema_doc are frozen golden
@@ -1764,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_geo": q_radius_geo,
         "token_count": q_token_count,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "where_pushdown": q_where_pushdown,
         "audio_near_dup": q_audio_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
@@ -2322,6 +2339,35 @@ def oracle_sql() -> dict[str, str]:
                     SELECT source, count(*) AS n
                     FROM k GROUP BY 1) t USING (source))
             SELECT doc_id, source FROM k, m WHERE rn <= wt * mm""",
+        # per-column data-card rollup: counts are BIGINT in both
+        # engines (count never goes HUGEINT), min/max cast to VARCHAR
+        # AFTER aggregation (numeric order, identical int rendering),
+        # string min/max compare in binary/UTF-8 order in both
+        "dataset_profile": """
+            SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_null,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_s,
+                   CAST(max(doc_id) AS VARCHAR) AS max_s
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang),
+                   CAST(min(lang) AS VARCHAR),
+                   CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source),
+                   CAST(min(source) AS VARCHAR),
+                   CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR)
+            FROM documents""",
         # median/MAD are exact dyadic doubles over integral inputs
         # (median of ints = int or x.5; MAD = multiple of 0.25), and
         # k=1 (dyadic; tight enough that both flag states occur at

@@ -129,8 +129,10 @@ def run_headline(spark) -> dict[str, float]:
         # scanned once, merge rounds are vocab-sized, encode joins a
         # vocab-sized Python-encoded word table back to the corpus
         "bpe_stats",
-        # robust gate + temperature mixing + shard sink plan (round 5)
+        # robust gate + temperature mixing + shard sink plan +
+        # data-card profile (round 5)
         "mad_outliers", "temperature_mix", "shard_plan",
+        "dataset_profile",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -129,6 +129,11 @@ QUERIES = [
      "codegen expression), M is a 1-row broadcast, and the data rows "
      "pay exactly one exchange (the per-source row_number window); "
      "quota filter is an integer comparison in codegen"),
+    ("dataset_profile", "data-card rollup — ONE aggregate over the "
+     "pruned column set: Expand replicates each (projected) row once "
+     "per DISTINCT column, partial/final HashAggregate pairs carry "
+     "the counts, the 1-row pivot to long format is trivial; no "
+     "Python, no join, column pruning reaches the scan"),
     ("shard_plan", "training-shard sink manifest — split CASE and "
      "hash-mod-shard are map-side codegen over the scan (the sink "
      "itself adds one repartition on (split, shard) so each leaf "
