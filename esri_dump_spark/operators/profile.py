@@ -54,20 +54,29 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
                 f"`{c}` must be integral or string (got "
                 f"{t.simpleString()}) — float renderings are "
                 "engine-dependent; profile floats via rounded stats")
+    # index-based internal aliases and backtick-quoted resolution
+    # (never bare F.col(c)/df[c], which parse '.' as struct nesting):
+    # column names may legally contain spaces, dots, quotes — they
+    # must not reach the parser as identifiers, and the stack label
+    # literal is quote-escaped
+    def _c(name):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("_pc_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"_pc_nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"_pc_nd_{c}"),
+            F.count(_c(c)).alias(f"_pc_nn_{i}"),
+            F.countDistinct(_c(c)).alias(f"_pc_nd_{i}"),
             # cast AFTER the aggregate: min of stringified ints would
             # be lexicographic ('10' < '9'), min-then-cast is numeric
-            F.min(F.col(c)).cast("string").alias(f"_pc_mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_pc_mx_{c}"),
+            F.min(_c(c)).cast("string").alias(f"_pc_mn_{i}"),
+            F.max(_c(c)).cast("string").alias(f"_pc_mx_{i}"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _pc_nn_{c}, _pc_nd_{c}, _pc_mn_{c}, _pc_mx_{c}"
-        for c in cols)
+        "'{}', _pc_nn_{i}, _pc_nd_{i}, _pc_mn_{i}, _pc_mx_{i}".format(
+            c.replace("'", "''"), i=i)
+        for i, c in enumerate(cols))
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, _pc_nn, n_distinct, min_s, max_s)",

@@ -57,10 +57,24 @@ def test_jvm_only_operators_have_no_python_node(spark, sf_dir):
                  "embedding_norms", "salted_agg", "salted_join",
                  "mix_sources", "token_budget", "decontaminate",
                  "repetition", "redact_pii", "chunk_text",
-                 "top_quality", "line_dedup"):
+                 "top_quality", "line_dedup", "mad_outliers",
+                 "temperature_mix", "shard_plan", "dataset_profile"):
         plan = _physical(E.queries()[name](spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "MapInPandas" not in plan, f"{name} has a Python stage"
+
+
+def test_dataset_profile_plan_shape(spark, sf_dir):
+    """Data-card contract: one Expand-based multi-DISTINCT aggregate,
+    no joins, and pruning keeps the unprofiled wide `text` column out
+    of the scan."""
+    df = E.queries()["dataset_profile"](spark, sf_dir)
+    qe = _full(df)
+    plan = _physical(df)
+    assert "Expand" in plan
+    assert "Join" not in plan
+    read = qe.split("ReadSchema:")[-1].splitlines()[0]
+    assert "n_chars" in read and "text" not in read
 
 
 def test_bm25_plan_shape(spark, sf_dir):

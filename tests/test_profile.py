@@ -58,3 +58,15 @@ def test_profile_validation(spark):
         profile_columns(df, [])
     with pytest.raises(ValueError, match="distinct"):
         profile_columns(df, ["id", "id"])
+
+
+def test_profile_hostile_column_names(spark):
+    # spaces, dots and quotes are legal column names — they must be
+    # resolved as data (df[c]), never parsed as SQL identifiers
+    df = _df(spark).selectExpr(
+        "id AS `a b`", "lang AS `o'brien`", "v AS `x.y`")
+    out = {r.col_name: r for r in
+           profile_columns(df, ["a b", "o'brien", "x.y"]).collect()}
+    assert set(out) == {"a b", "o'brien", "x.y"}
+    assert (out["a b"].min_s, out["a b"].max_s) == ("1", "5")
+    assert out["x.y"].n_distinct == 4
