@@ -899,6 +899,36 @@ def q_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "source", "bin_id", "bin_offset")
 
 
+# deterministic normalization junk, ONE spelling for both engines
+# (chr() + || only — no backslash literals to dialect-diverge): a C0
+# control, CRLF, tabs, space runs, a 4-newline run, vertical-tab on
+# even ids, trailing spaces
+_NORM_JUNK = ("chr(1) || ' ' || text || chr(13) || chr(10) || 'tail'"
+              " || chr(9) || chr(9) || 'x  y'"
+              " || chr(10) || chr(10) || chr(10) || chr(10) || 'p'"
+              " || CASE WHEN doc_id % 2 = 0 THEN chr(11) ELSE '' END"
+              " || '  '")
+
+
+def q_normalize_text(spark, sf_dir):
+    """Text normalization (C4/RefinedWeb cleaning pass): the fixture
+    corpus is already clean, so deterministic junk — controls, CRLF,
+    tab runs, space runs, newline runs, edge whitespace — is injected
+    from the shared _NORM_JUNK spelling first (identically in both
+    engines), then normalized. Per-stage counts prove every planted
+    artifact was seen; the md5 + length of the normalized text pin
+    the rewrite byte-for-byte."""
+    from esri_dump_spark.operators.text import normalize_text
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_JUNK).alias("text"))
+    out = normalize_text(docs)
+    return out.select(
+        "doc_id", "n_ctrl", "n_cr", "n_tab", "n_spaces", "n_newlines",
+        "n_edge",
+        F.md5("text_norm").alias("norm_md5"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"))
+
+
 def q_dataset_profile(spark, sf_dir):
     """Dataset-card profile of the documents table: per-column row /
     null / distinct counts and value ranges — the audit rollup a
@@ -1719,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,          # new this round
         "shard_plan": q_shard_plan,                    # new this round
         "dataset_profile": q_dataset_profile,          # new this round
+        "normalize_text": q_normalize_text,            # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1734,7 +1765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # where_pushdown yielded its slot to dataset_profile
         # (r04-proven + plan-asserted in tests/test_physical_plans.py;
         # extract keeps topfeatures/extract_synthetic/extract_bbox)
-        "pip_rect": q_pip_rect,
+        # pip_rect yielded its slot to normalize_text (r04-proven;
+        # geo keeps poly_intersect_join/anti, polygon_stats, knn_geo,
+        # pip_fixture_polygons in-window)
         "poly_intersect_join": q_poly_intersect_join,
         "polygon_stats": q_polygon_stats,      # r03 red cell stays green
         "knn_geo": q_knn_geo,
@@ -1781,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "where_pushdown": q_where_pushdown,
+        "pip_rect": q_pip_rect,
         "audio_near_dup": q_audio_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
@@ -2339,6 +2373,25 @@ def oracle_sql() -> dict[str, str]:
                     SELECT source, count(*) AS n
                     FROM k GROUP BY 1) t USING (source))
             SELECT doc_id, source FROM k, m WHERE rn <= wt * mm""",
+        # the normalization twin nests the identical staged
+        # replacements (same pattern literals, 'g' flag = Spark's
+        # always-global replace, chr(10) for newline replacements)
+        # over the SAME _NORM_JUNK injection; counts via
+        # regexp_extract_all mirror regexp_count per stage
+        "normalize_text": (lambda NT: f"""
+            WITH j AS (SELECT doc_id, {_NORM_JUNK} AS text
+                       FROM documents)
+            SELECT doc_id,
+                   {NT['n_ctrl']} AS n_ctrl,
+                   {NT['n_cr']} AS n_cr,
+                   {NT['n_tab']} AS n_tab,
+                   {NT['n_spaces']} AS n_spaces,
+                   {NT['n_newlines']} AS n_newlines,
+                   {NT['n_edge']} AS n_edge,
+                   md5({NT['text_norm']}) AS norm_md5,
+                   CAST(length({NT['text_norm']}) AS BIGINT)
+                       AS n_chars_norm
+            FROM j""")(X.normalize_text_sql("text")),
         # per-column data-card rollup: counts are BIGINT in both
         # engines (count never goes HUGEINT), min/max cast to VARCHAR
         # AFTER aggregation (numeric order, identical int rendering),

@@ -16,9 +16,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_count", "quality_score", "language_id", "fingerprint",
     "repetition_signals", "redact_pii", "chunk_text", "line_dedup",
+    "normalize_text",
     "token_count_sql", "quality_score_sql", "language_id_sql",
     "fingerprint_sql", "repetition_signals_sql", "redact_pii_sql",
-    "chunk_text_sql", "line_dedup_sql",
+    "chunk_text_sql", "line_dedup_sql", "normalize_text_sql",
 ]
 
 # ---------------------------------------------------------------- tokens
@@ -277,6 +278,76 @@ def repetition_signals_sql(text_col: str = "text") -> dict[str, str]:
         "top_word_frac": (f"CASE WHEN len({words}) > 0 THEN round("
                           f"{top} / len({words}), 6) END"),
     }
+
+
+# -------------------------------------------------------- normalization
+
+# C4/RefinedWeb-style text normalization, staged so each pass has one
+# job and one count. Patterns use the shared Java-regex / RE2 subset
+# (explicit classes and \xNN escapes only — both dialects read them
+# identically); passed to BOTH engines as literal backslash sequences.
+# Order matters: controls out first (so a stray \x0c can't survive as
+# "whitespace"), CR/CRLF unified to LF before newline-run collapsing,
+# tabs to spaces before space-run collapsing, edge trim last (by then
+# the only whitespace left is ' ' and '\n').
+_NORM_ORDER = [
+    # C0 controls + DEL, keeping \t \n \r for the later stages
+    ("ctrl", "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+    ("cr", "\\r\\n?", "\n"),          # CR and CRLF -> LF
+    ("tab", "\\t", " "),
+    ("spaces", "  +", " "),           # runs of 2+ spaces -> one
+    ("newlines", "\\n\\n\\n+", "\n\n"),  # 3+ newlines -> paragraph
+    ("edge", "^[ \\n]+|[ \\n]+$", ""),   # trim (anchors = string ends
+                                         # in both engines: no
+                                         # MULTILINE flag anywhere)
+]
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out: str = "text_norm") -> DataFrame:
+    """Normalize a text column the way C4/RefinedWeb-style cleaning
+    passes do before any scoring or dedup: strip C0 control chars and
+    DEL, unify CR/CRLF to LF, tabs to spaces, collapse space runs,
+    collapse 3+ newlines to a paragraph break, trim the ends. Adds
+    ``out`` plus one match count per stage (``n_ctrl``, ``n_cr``,
+    ``n_tab``, ``n_spaces``, ``n_newlines``, ``n_edge``) — each count
+    taken on the text AS THAT STAGE SAW IT, so the counts are also
+    the stage's audit record (all zeros == already normalized; the op
+    is idempotent). NULL text stays NULL everywhere. Pure regexp
+    expressions in whole-stage codegen; the SQL twin nests the
+    identical replacements byte-for-byte (same pattern literals,
+    counts via ``regexp_extract_all``)."""
+    cur = F.col(text_col)
+    d = df
+    for name, pat, _rep in _NORM_ORDER:
+        cname = f"n_{name}"
+        if cname in df.columns or out in df.columns:
+            raise ValueError(f"`{cname}`/`{out}` column would "
+                             "collide — rename it")
+        d = d.withColumn(cname,
+                         F.regexp_count(cur, F.lit(pat)).cast("long"))
+        cur = F.regexp_replace(cur, pat, _rep)
+    return d.withColumn(out, cur)
+
+
+def normalize_text_sql(text_col: str = "text",
+                       out: str = "text_norm") -> dict[str, str]:
+    """DuckDB twins: per-stage counts over the progressively
+    normalized text and the final expression, nested exactly like the
+    engine. Newline replacements are spelled ``chr(10)`` — a raw
+    newline inside a SQL literal is the line_dedup lesson — and the
+    'g' flag mirrors Spark's always-global regexp_replace."""
+    cur = text_col
+    cols: dict[str, str] = {}
+    for name, pat, rep in _NORM_ORDER:
+        cols[f"n_{name}"] = (f"CAST(len(regexp_extract_all({cur},"
+                             f" '{pat}')) AS BIGINT)")
+        rep_sql = ("chr(10)" if rep == "\n"
+                   else "(chr(10) || chr(10))" if rep == "\n\n"
+                   else f"'{rep}'")
+        cur = f"regexp_replace({cur}, '{pat}', {rep_sql}, 'g')"
+    cols[out] = cur
+    return cols
 
 
 # ------------------------------------------------------------------ PII

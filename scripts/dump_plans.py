@@ -129,6 +129,10 @@ QUERIES = [
      "codegen expression), M is a 1-row broadcast, and the data rows "
      "pay exactly one exchange (the per-source row_number window); "
      "quota filter is an integer comparison in codegen"),
+    ("normalize_text", "staged text normalization — six nested "
+     "regexp_replace stages plus their regexp_count audits, all in "
+     "ONE whole-stage-codegen projection over the scan: zero "
+     "shuffles, zero Python, column pruning intact"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "

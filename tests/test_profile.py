@@ -70,3 +70,50 @@ def test_profile_hostile_column_names(spark):
     assert set(out) == {"a b", "o'brien", "x.y"}
     assert (out["a b"].min_s, out["a b"].max_s) == ("1", "5")
     assert out["x.y"].n_distinct == 4
+
+
+# ------------------------------------------------- normalize_text
+# (lives here with the other stage-boundary hygiene ops)
+
+
+def test_normalize_text_stages_and_counts(spark):
+    from esri_dump_spark.operators.text import normalize_text
+    raw = "\x01 hi\r\nthere\tnow  ok\n\n\n\nend  "
+    df = spark.createDataFrame([(1, raw), (2, None), (3, "clean")],
+                               "id INT, text STRING")
+    out = {r.id: r for r in normalize_text(df).collect()}
+    r = out[1]
+    # \x01 stripped, CRLF->LF, tab->space, double-space collapsed,
+    # 4 newlines -> 2, leading space (from \x01 strip order: ctrl
+    # runs FIRST so '\x01 ' leaves a leading space) + trailing trimmed
+    assert r.text_norm == "hi\nthere now ok\n\nend"
+    # n_spaces = 2 runs: 'now  ok' and the trailing '  '
+    assert (r.n_ctrl, r.n_cr, r.n_tab, r.n_spaces, r.n_newlines,
+            r.n_edge) == (1, 1, 1, 2, 1, 2)
+    # NULL propagates; clean text is a fixpoint with all-zero counts
+    assert out[2].text_norm is None and out[2].n_ctrl is None
+    c = out[3]
+    assert c.text_norm == "clean"
+    assert (c.n_ctrl, c.n_cr, c.n_tab, c.n_spaces, c.n_newlines,
+            c.n_edge) == (0, 0, 0, 0, 0, 0)
+
+
+def test_normalize_text_idempotent(spark):
+    from esri_dump_spark.operators.text import normalize_text
+    raw = " a\rb\x7f\t\tc   d\n\n\n\n\ne "
+    df = spark.createDataFrame([(1, raw)], "id INT, text STRING")
+    once = normalize_text(df).select("id", "text_norm")
+    twice = normalize_text(once, "text_norm", out="text_norm2")
+    row = twice.collect()[0]
+    assert row.text_norm2 == row.text_norm
+    assert row.text_norm == "a\nb c d\n\ne"
+
+
+def test_normalize_text_all_whitespace_and_collisions(spark):
+    from esri_dump_spark.operators.text import normalize_text
+    import pytest as _pt
+    df = spark.createDataFrame([(1, " \t \r\n ")], "id INT, text STRING")
+    assert normalize_text(df).collect()[0].text_norm == ""
+    bad = df.selectExpr("*", "1 AS n_ctrl")
+    with _pt.raises(ValueError, match="collide"):
+        normalize_text(bad)
