@@ -280,6 +280,53 @@ def repetition_signals_sql(text_col: str = "text") -> dict[str, str]:
     }
 
 
+# --------------------------------------- staged count-then-replace
+
+# THE engine/twin pair for every staged regexp pipeline in this
+# module (normalize_text, redact_pii): each stage counts its matches
+# on the text AS THAT STAGE SAW IT, then rewrites. One machinery so a
+# dialect fix or an escaping rule can never land on one pipeline only.
+
+
+def _staged_regexp(df: DataFrame, stages, text_col: str,
+                   out: str) -> DataFrame:
+    names = [f"n_{n}" for n, _, _ in stages]
+    if out in names:
+        raise ValueError(f"`{out}` collides with a stage count "
+                         "column — pick another out name")
+    for c in (*names, out):
+        if c in df.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
+    cur = F.col(text_col)
+    d = df
+    for (name, pat, rep), cname in zip(stages, names):
+        d = d.withColumn(cname,
+                         F.regexp_count(cur, F.lit(pat)).cast("long"))
+        cur = F.regexp_replace(cur, pat, rep)
+    return d.withColumn(out, cur)
+
+
+def _staged_regexp_sql(stages, text_col: str,
+                       out: str) -> dict[str, str]:
+    """DuckDB twin of ``_staged_regexp``: per-stage counts over the
+    progressively rewritten text and the final expression, nested
+    exactly like the engine. Newline replacements are spelled
+    ``chr(10)`` — a raw newline inside a SQL literal is the
+    line_dedup lesson — and the 'g' flag mirrors Spark's
+    always-global regexp_replace."""
+    cur = text_col
+    cols: dict[str, str] = {}
+    for name, pat, rep in stages:
+        cols[f"n_{name}"] = (f"CAST(len(regexp_extract_all({cur},"
+                             f" '{pat}')) AS BIGINT)")
+        rep_sql = ("chr(10)" if rep == "\n"
+                   else "(chr(10) || chr(10))" if rep == "\n\n"
+                   else f"'{rep}'")
+        cur = f"regexp_replace({cur}, '{pat}', {rep_sql}, 'g')"
+    cols[out] = cur
+    return cols
+
+
 # -------------------------------------------------------- normalization
 
 # C4/RefinedWeb-style text normalization, staged so each pass has one
@@ -297,9 +344,13 @@ _NORM_ORDER = [
     ("tab", "\\t", " "),
     ("spaces", "  +", " "),           # runs of 2+ spaces -> one
     ("newlines", "\\n\\n\\n+", "\n\n"),  # 3+ newlines -> paragraph
-    ("edge", "^[ \\n]+|[ \\n]+$", ""),   # trim (anchors = string ends
-                                         # in both engines: no
-                                         # MULTILINE flag anywhere)
+    # trim: \z (TRUE end of input in BOTH dialects), NEVER $ --
+    # Java's un-flagged $ is \Z-semantics (matches before a
+    # trailing line terminator: \n, \r, U+0085, U+2028, U+2029)
+    # while RE2's $ is \z, so text ending in whitespace + U+2028
+    # would trim in Spark but not in DuckDB. ^ is safe: both
+    # dialects read it as \A without MULTILINE
+    ("edge", "^[ \\n]+|[ \\n]+\\z", ""),
 ]
 
 
@@ -317,37 +368,14 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     expressions in whole-stage codegen; the SQL twin nests the
     identical replacements byte-for-byte (same pattern literals,
     counts via ``regexp_extract_all``)."""
-    cur = F.col(text_col)
-    d = df
-    for name, pat, _rep in _NORM_ORDER:
-        cname = f"n_{name}"
-        if cname in df.columns or out in df.columns:
-            raise ValueError(f"`{cname}`/`{out}` column would "
-                             "collide — rename it")
-        d = d.withColumn(cname,
-                         F.regexp_count(cur, F.lit(pat)).cast("long"))
-        cur = F.regexp_replace(cur, pat, _rep)
-    return d.withColumn(out, cur)
+    return _staged_regexp(df, _NORM_ORDER, text_col, out)
 
 
 def normalize_text_sql(text_col: str = "text",
                        out: str = "text_norm") -> dict[str, str]:
-    """DuckDB twins: per-stage counts over the progressively
-    normalized text and the final expression, nested exactly like the
-    engine. Newline replacements are spelled ``chr(10)`` — a raw
-    newline inside a SQL literal is the line_dedup lesson — and the
-    'g' flag mirrors Spark's always-global regexp_replace."""
-    cur = text_col
-    cols: dict[str, str] = {}
-    for name, pat, rep in _NORM_ORDER:
-        cols[f"n_{name}"] = (f"CAST(len(regexp_extract_all({cur},"
-                             f" '{pat}')) AS BIGINT)")
-        rep_sql = ("chr(10)" if rep == "\n"
-                   else "(chr(10) || chr(10))" if rep == "\n\n"
-                   else f"'{rep}'")
-        cur = f"regexp_replace({cur}, '{pat}', {rep_sql}, 'g')"
-    cols[out] = cur
-    return cols
+    """DuckDB twins of ``normalize_text`` (see ``_staged_regexp_sql``
+    for the shared spelling rules)."""
+    return _staged_regexp_sql(_NORM_ORDER, text_col, out)
 
 
 # ------------------------------------------------------------------ PII
@@ -379,26 +407,14 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     NULL text stays NULL everywhere. Pure regexp expressions in
     whole-stage codegen; the SQL twin nests the identical
     replacements, so both engines redact byte-for-byte."""
-    cur = F.col(text_col)
-    d = df
-    for name, pat, token in _PII_ORDER:
-        d = d.withColumn(f"n_{name}",
-                         F.regexp_count(cur, F.lit(pat)).cast("long"))
-        cur = F.regexp_replace(cur, pat, token)
-    return d.withColumn(out, cur)
+    return _staged_regexp(df, _PII_ORDER, text_col, out)
 
 
 def redact_pii_sql(text_col: str = "text") -> dict[str, str]:
     """DuckDB twins: counts over the progressively-redacted text and
-    the final redacted expression, nested exactly like the engine."""
-    cur = text_col
-    cols: dict[str, str] = {}
-    for name, pat, token in _PII_ORDER:
-        cols[f"n_{name}"] = (f"CAST(len(regexp_extract_all({cur},"
-                             f" '{pat}')) AS BIGINT)")
-        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
-    cols["redacted"] = cur
-    return cols
+    the final redacted expression, nested exactly like the engine
+    (the shared ``_staged_regexp_sql`` machinery)."""
+    return _staged_regexp_sql(_PII_ORDER, text_col, "redacted")
 
 
 # ------------------------------------------------------------- chunking

@@ -117,3 +117,38 @@ def test_normalize_text_all_whitespace_and_collisions(spark):
     bad = df.selectExpr("*", "1 AS n_ctrl")
     with _pt.raises(ValueError, match="collide"):
         normalize_text(bad)
+
+
+def test_normalize_text_z_anchor_cross_engine(spark):
+    # Java's un-flagged $ matches BEFORE a trailing line terminator
+    # (LF, CR, U+0085, U+2028, U+2029); RE2's $ is true end-of-text.
+    # The edge stage uses \z so text ending whitespace+separator must
+    # normalize IDENTICALLY in both engines (the separators are not in
+    # the ctrl class, so they survive and block the trim on BOTH sides)
+    import duckdb
+    from esri_dump_spark.operators.text import (normalize_text,
+                                                normalize_text_sql)
+    nasty = ["a " + chr(0x2028), "b " + chr(0x85), "c " + chr(0x2029),
+             "d \n", "e "]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(nasty)],
+                               "id INT, text STRING")
+    got = {r.id: (r.text_norm, r.n_edge)
+           for r in normalize_text(df).collect()}
+    nt = normalize_text_sql("text")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    list(enumerate(nasty)))
+    want = {i: (tn, ne) for i, tn, ne in con.execute(
+        f"SELECT id, {nt['text_norm']}, {nt['n_edge']} FROM t"
+    ).fetchall()}
+    assert got == want
+    assert got[0] == ("a " + chr(0x2028), 0)  # separator blocks trim
+    assert got[3] == ("d", 1) and got[4] == ("e", 1)
+
+
+def test_normalize_text_out_collision_guard(spark):
+    from esri_dump_spark.operators.text import normalize_text
+    df = spark.createDataFrame([(1, "x")], "id INT, text STRING")
+    with pytest.raises(ValueError, match="stage count"):
+        normalize_text(df, out="n_tab")
