@@ -1772,8 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,      # r03 red cell stays green
         "knn_geo": q_knn_geo,
         # radius_geo yielded its slot to mad_outliers (r04-proven; the
-        # geo family keeps knn_geo/pip_rect/poly_intersect_join/
-        # polygon_stats in-window)
+        # geo family keeps knn_geo/poly_intersect_join/polygon_stats/
+        # pip_fixture_polygons in-window — pip_rect later yielded too)
         # tile family canary is tile_pyramid (its leaf level IS
         # assign_tiles); tile_assign stays past the boundary
         "tile_pyramid": q_tile_pyramid,
@@ -2441,9 +2441,14 @@ def oracle_sql() -> dict[str, str]:
         # spelling (sqrt-only powers: IEEE correctly rounded in both
         # engines, so floor lands on the identical integer); quota
         # math is the same all-integer contract as mix_sources
+        # WHERE lang IS NOT NULL mirrors the engine's NULL-source
+        # contract (dropped BEFORE counting, so a NULL group can
+        # never constrain M) — the fixture has no NULL langs, but a
+        # copied twin over a nullable key must keep this clause
         "temperature_mix": f"""
             WITH c AS (SELECT lang, count(*) AS n
-                       FROM documents GROUP BY lang),
+                       FROM documents WHERE lang IS NOT NULL
+                       GROUP BY lang),
             w AS (SELECT lang, n,
                          {SM.temp_weight_sql("n", 0.5)} AS wt FROM c),
             m AS (SELECT min(n // wt) AS mm FROM w),

@@ -73,9 +73,12 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max(_c(c)).cast("string").alias(f"_pc_mx_{i}"),
         ]
     one = df.agg(*aggs)
+    # Spark unescapes backslash sequences inside '...' literals, so
+    # backslashes must double BEFORE quote doubling or 'a\b' comes
+    # back as a backspace char in the published col_name
     stack_args = ", ".join(
         "'{}', _pc_nn_{i}, _pc_nd_{i}, _pc_mn_{i}, _pc_mx_{i}".format(
-            c.replace("'", "''"), i=i)
+            c.replace("\\", "\\\\").replace("'", "''"), i=i)
         for i, c in enumerate(cols))
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "

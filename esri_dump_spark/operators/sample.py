@@ -38,6 +38,19 @@ __all__ = ["hash_u60", "fraction_threshold", "split_assign",
 _U60 = 1 << 60
 
 
+def _qcol(name: str):
+    """Resolve a column name LITERALLY (backtick-quoted): bare
+    ``F.col(name)`` / ``df[name]`` parse ``.`` as struct nesting, so
+    legal names with dots/spaces/quotes would misresolve or crash."""
+    return F.col("`" + str(name).replace("`", "``") + "`")
+
+
+def _qident(name: str) -> str:
+    """The same literal resolution for names embedded in ``F.expr``
+    SQL strings."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 def hash_u60(col, seed: str = ""):
     """Uniform 60-bit hash of a column value: low 60 bits of
     ``md5(value || ':' || seed)`` (first 15 hex chars), as a non-
@@ -490,21 +503,23 @@ def mad_outliers(df: DataFrame, value_col: str,
         ren, cond = right, None
         for kcol in keys:
             ren = ren.withColumnRenamed(kcol, f"_mo_{kcol}")
-            c = left[kcol].eqNullSafe(F.col(f"_mo_{kcol}"))
+            c = _qcol(kcol).eqNullSafe(_qcol(f"_mo_{kcol}"))
             cond = c if cond is None else cond & c
         return left.join(ren, cond).drop(*[f"_mo_{k}" for k in keys])
 
-    med = (df.groupBy(*keys)
-           .agg(F.expr(f"percentile({value_col}, 0.5)").alias(med_col)))
+    gkeys = [_qcol(k) for k in keys]
+    med = (df.groupBy(*gkeys)
+           .agg(F.expr(f"percentile({_qident(value_col)}, 0.5)")
+                .alias(med_col)))
     devs = _join(df, med).withColumn(
         "_mo_dev",
-        F.abs(F.col(value_col).cast("double") - F.col(med_col)))
-    mad = (devs.groupBy(*keys)
+        F.abs(_qcol(value_col).cast("double") - _qcol(med_col)))
+    mad = (devs.groupBy(*gkeys)
            .agg(F.expr("percentile(_mo_dev, 0.5)").alias(mad_col)))
     return (_join(devs, mad)
             .withColumn(flag_col,
                         F.col("_mo_dev")
-                        > F.lit(float(k)) * F.col(mad_col))
+                        > F.lit(float(k)) * _qcol(mad_col))
             .drop("_mo_dev"))
 
 
@@ -573,14 +588,15 @@ def temperature_mix(df: DataFrame, source_col: str, id_col: str,
     # NULL-source rows would collapse a million-row source's quota to
     # w_i * 2 (mix_sources avoids the same trap by counting over
     # `kept`)
-    kept = df.filter(F.col(source_col).isNotNull())
-    cnt = (kept.groupBy(source_col)
+    kept = df.filter(_qcol(source_col).isNotNull())
+    cnt = (kept.groupBy(_qcol(source_col))
            .agg(F.count(F.lit(1)).alias("_n"))
            .withColumn("_w", F.expr(temp_weight_sql("_n", alpha))))
     m = cnt.agg(F.min(F.expr("_n div _w")).alias("_m"))
-    win = (Window.partitionBy(source_col)
-           .orderBy(hash_u60(id_col, seed).asc(), F.col(id_col).asc()))
-    return (kept.join(cnt.select(source_col, "_w"), source_col)
+    win = (Window.partitionBy(_qcol(source_col))
+           .orderBy(hash_u60(_qcol(id_col), seed).asc(),
+                    _qcol(id_col).asc()))
+    return (kept.join(cnt.select(_qcol(source_col), "_w"), source_col)
             .withColumn("_rn", F.row_number().over(win))
             .join(F.broadcast(m))
             .filter(F.col("_rn") <= F.col("_w") * F.col("_m"))

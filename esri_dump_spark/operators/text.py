@@ -288,9 +288,21 @@ def repetition_signals_sql(text_col: str = "text") -> dict[str, str]:
 # dialect fix or an escaping rule can never land on one pipeline only.
 
 
+def _check_stage_replacement(rep: str) -> None:
+    # '$' and '\' are group-reference metacharacters in Java's
+    # replacement string (and '\' in RE2's) — a stage using them
+    # would silently dialect-diverge; no current stage needs them
+    if "$" in rep or "\\" in rep:
+        raise ValueError(
+            f"stage replacement {rep!r} contains $ or \\ — both are "
+            "replacement metacharacters that diverge across engines")
+
+
 def _staged_regexp(df: DataFrame, stages, text_col: str,
                    out: str) -> DataFrame:
     names = [f"n_{n}" for n, _, _ in stages]
+    for _, _, rep in stages:
+        _check_stage_replacement(rep)
     if out in names:
         raise ValueError(f"`{out}` collides with a stage count "
                          "column — pick another out name")
@@ -317,14 +329,39 @@ def _staged_regexp_sql(stages, text_col: str,
     cur = text_col
     cols: dict[str, str] = {}
     for name, pat, rep in stages:
+        _check_stage_replacement(rep)
+        # DuckDB '...' literals keep backslashes verbatim (RE2 sees
+        # the pattern as written) but single quotes must double
+        pat_sql = pat.replace("'", "''")
         cols[f"n_{name}"] = (f"CAST(len(regexp_extract_all({cur},"
-                             f" '{pat}')) AS BIGINT)")
-        rep_sql = ("chr(10)" if rep == "\n"
-                   else "(chr(10) || chr(10))" if rep == "\n\n"
-                   else f"'{rep}'")
-        cur = f"regexp_replace({cur}, '{pat}', {rep_sql}, 'g')"
+                             f" '{pat_sql}')) AS BIGINT)")
+        cur = (f"regexp_replace({cur}, '{pat_sql}',"
+               f" {_rep_sql(rep)}, 'g')")
     cols[out] = cur
     return cols
+
+
+def _rep_sql(rep: str) -> str:
+    """A stage replacement as a DuckDB expression: printable-ASCII
+    runs stay quoted literals (quotes doubled), anything else —
+    newlines, tabs, any control or non-ASCII char — is composed with
+    ``chr()`` so no raw control byte ever lands inside a SQL literal
+    (the line_dedup lesson, generalized)."""
+    if rep == "":
+        return "''"
+    parts: list[str] = []
+    buf = ""
+    for ch in rep:
+        if " " <= ch <= "~":
+            buf += ch if ch != "'" else "''"
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return parts[0] if len(parts) == 1 else "(" + " || ".join(parts) + ")"
 
 
 # -------------------------------------------------------- normalization

@@ -58,7 +58,8 @@ def test_jvm_only_operators_have_no_python_node(spark, sf_dir):
                  "mix_sources", "token_budget", "decontaminate",
                  "repetition", "redact_pii", "chunk_text",
                  "top_quality", "line_dedup", "mad_outliers",
-                 "temperature_mix", "shard_plan", "dataset_profile"):
+                 "temperature_mix", "shard_plan", "dataset_profile",
+                 "normalize_text"):
         plan = _physical(E.queries()[name](spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "MapInPandas" not in plan, f"{name} has a Python stage"

@@ -152,3 +152,23 @@ def test_normalize_text_out_collision_guard(spark):
     df = spark.createDataFrame([(1, "x")], "id INT, text STRING")
     with pytest.raises(ValueError, match="stage count"):
         normalize_text(df, out="n_tab")
+
+
+def test_profile_backslash_column_name(spark):
+    # Spark unescapes backslashes in '...' literals — the stack label
+    # must survive round-trip for names containing backslashes
+    df = _df(spark).withColumnRenamed("id", "a\\b")
+    out = {r.col_name for r in
+           profile_columns(df, ["a\\b", "v"]).collect()}
+    assert out == {"a\\b", "v"}
+
+
+def test_staged_regexp_rejects_metachar_replacements(spark):
+    from esri_dump_spark.operators.text import (_staged_regexp,
+                                                _staged_regexp_sql)
+    df = spark.createDataFrame([(1, "x")], "id INT, text STRING")
+    bad = [("s", "x", "$1")]
+    with pytest.raises(ValueError, match="metacharacters"):
+        _staged_regexp(df, bad, "text", "o")
+    with pytest.raises(ValueError, match="metacharacters"):
+        _staged_regexp_sql([("s", "x", "a\\b")], "text", "o")

@@ -316,3 +316,22 @@ def test_temperature_mix_null_source_cannot_poison_quota(spark):
                "count", "n").collect()}
     # w->6, b->3; M = min(40//6, 9//3) = 3 -> quotas 18 / 9
     assert cnt == {"w": 18, "b": 9}
+
+
+def test_mad_and_temperature_hostile_column_names(spark):
+    # dots/spaces in legal column names must resolve literally
+    from esri_dump_spark.operators.sample import (mad_outliers,
+                                                  temperature_mix)
+    rows = [("a", 1, 10), ("a", 2, 12), ("a", 3, 500), ("b", 4, 7),
+            ("b", 5, 9)]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v INT") \
+        .selectExpr("g AS `g.k`", "id AS `the id`", "v AS `v.x`")
+    mo = {r["the id"]: r.is_outlier
+          for r in mad_outliers(df, "v.x", by="g.k", k=2).collect()}
+    assert mo[3] is True and mo[1] is False and len(mo) == 5
+    tm = temperature_mix(df, "g.k", "the id", alpha=0.5)
+    # w: a->1 (floor sqrt 3), b->1; M = min(3//1, 2//1) = 2
+    cnt = {r["g.k"]: r.n for r in
+           tm.groupBy("`g.k`").count().withColumnRenamed(
+               "count", "n").collect()}
+    assert cnt == {"a": 2, "b": 2}
