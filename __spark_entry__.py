@@ -476,6 +476,16 @@ def q_chunk_text(spark, sf_dir):
     return X.chunk_text(docs, "doc_id", "text", chunk_chars=120)
 
 
+def q_chunk_overlap(spark, sf_dir):
+    """Text: RAG-style OVERLAPPING windows (120 chars, stride 80 —
+    consecutive chunks share 40 chars); window count is the minimal
+    set whose last window reaches the end, all integer arithmetic,
+    map-side explode only."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.chunk_text(docs, "doc_id", "text", chunk_chars=120,
+                        stride=80)
+
+
 def q_line_dedup(spark, sf_dir):
     """Text: cross-document boilerplate line scrub (the RefinedWeb /
     CCNet exact line-dedup pass) over a deterministically
@@ -1848,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
         "chunk_text": q_chunk_text,
+        "chunk_overlap": q_chunk_overlap,
         "top_quality": q_top_quality,
         "dedup_report": q_dedup_report,
         "lang_id": q_lang_id,
@@ -2141,6 +2152,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents) t""",
         "chunk_text": X.chunk_text_sql("doc_id", "text", 120,
                                        "documents"),
+        "chunk_overlap": X.chunk_text_sql("doc_id", "text", 120,
+                                          "documents", stride=80),
         "line_dedup": f"""
             SELECT doc_id, md5(text_dedup) AS dedup_md5,
                    n_lines, n_removed

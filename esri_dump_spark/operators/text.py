@@ -457,26 +457,45 @@ def redact_pii_sql(text_col: str = "text") -> dict[str, str]:
 # ------------------------------------------------------------- chunking
 
 def chunk_text(df: DataFrame, id_col: str, text_col: str = "text",
-               chunk_chars: int = 512) -> DataFrame:
+               chunk_chars: int = 512,
+               stride: int | None = None) -> DataFrame:
     """Explode each document into fixed-width character windows —
     the training-prep "split long docs into examples" op. Emits
     ``(id_col, chunk_idx, chunk_text)`` with 1-based ``chunk_idx``;
     the last chunk is short, empty/NULL texts emit NO rows (the
     CASE guard keeps Spark's descending ``sequence(1, 0)`` surprise
-    out of the plan). Map-side explode, zero shuffle, deterministic
-    — chunk boundaries are a pure function of the text, so reruns
-    and engines agree. The SQL twin is generate_series + substr."""
+    out of the plan). ``stride`` (default = ``chunk_chars``, i.e.
+    non-overlapping tiles) sets how far each window advances: a
+    stride BELOW chunk_chars gives RAG-style overlapping windows
+    (consecutive chunks share ``chunk_chars - stride`` chars, and
+    every char is covered); a stride above samples spaced windows.
+    Window i starts at ``(i-1)*stride + 1``; the window count is
+    ``1 + ceil(max(len - chunk_chars, 0) / stride)`` — the minimal
+    set whose last window reaches the end. Map-side explode, zero
+    shuffle, deterministic — chunk boundaries are a pure function of
+    the text, so reruns and engines agree. The SQL twin is
+    generate_series + substr."""
     if chunk_chars <= 0:
         raise ValueError("chunk_chars must be positive")
+    s = chunk_chars if stride is None else int(stride)
+    if s <= 0:
+        raise ValueError("stride must be positive")
+    if s == chunk_chars:
+        # keep the original (equivalent) count spelling so existing
+        # twins and plans stay byte-identical
+        n_expr = (f"CAST(ceil(length({text_col}) / {chunk_chars}.0)"
+                  f" AS INT)")
+    else:
+        n_expr = (f"1 + CAST(ceil(greatest(length({text_col})"
+                  f" - {chunk_chars}, 0) / {s}.0) AS INT)")
     n_chunks = F.expr(
         f"CASE WHEN length({text_col}) > 0 THEN "
-        f"sequence(1, CAST(ceil(length({text_col}) / {chunk_chars}.0)"
-        f" AS INT)) ELSE array() END")
+        f"sequence(1, {n_expr}) ELSE array() END")
     return (df.select(F.col(id_col), F.col(text_col),
                       F.explode(n_chunks).alias("chunk_idx"))
             .select(F.col(id_col), F.col("chunk_idx").cast("long"),
                     F.expr(f"substring({text_col},"
-                           f" (chunk_idx - 1) * {chunk_chars} + 1,"
+                           f" (chunk_idx - 1) * {s} + 1,"
                            f" {chunk_chars})").alias("chunk_text")))
 
 
@@ -586,13 +605,21 @@ def line_dedup_sql(id_col: str, text_col: str = "text",
 
 def chunk_text_sql(id_col: str, text_col: str = "text",
                    chunk_chars: int = 512,
-                   table: str = "documents") -> str:
-    """DuckDB twin of ``chunk_text`` (same 1-based substr windows)."""
+                   table: str = "documents",
+                   stride: int | None = None) -> str:
+    """DuckDB twin of ``chunk_text`` (same 1-based substr windows,
+    same count spelling per stride mode)."""
+    s = chunk_chars if stride is None else int(stride)
+    if s == chunk_chars:
+        n_expr = (f"CAST(ceil(length({text_col}) / {chunk_chars}.0)"
+                  f" AS INT)")
+    else:
+        n_expr = (f"1 + CAST(ceil(greatest(length({text_col})"
+                  f" - {chunk_chars}, 0) / {s}.0) AS INT)")
     return f"""
         SELECT {id_col}, CAST(i AS BIGINT) AS chunk_idx,
-               substr({text_col}, (i - 1) * {chunk_chars} + 1,
+               substr({text_col}, (i - 1) * {s} + 1,
                       {chunk_chars}) AS chunk_text
-        FROM {table}, UNNEST(generate_series(1,
-             CAST(ceil(length({text_col}) / {chunk_chars}.0) AS INT)))
+        FROM {table}, UNNEST(generate_series(1, {n_expr}))
              AS _ci(i)
         WHERE length({text_col}) > 0"""

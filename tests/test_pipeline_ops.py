@@ -1493,3 +1493,44 @@ def test_interval_join_fanout_guard_and_collision(spark):
     with pytest.raises(ValueError, match="collide"):
         interval_join(e, iv2, by="user_id", start_col="w_start",
                       end_col="w_end")
+
+
+def test_chunk_text_overlapping_stride(spark):
+    """stride < chunk_chars = RAG-style overlap: consecutive windows
+    share (chunk - stride) chars, every char covered, the window
+    count is minimal, and the DuckDB twin matches row-for-row."""
+    rows = [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, None),
+            (5, "abcdefg")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = X.chunk_text(df, "doc_id", "text", chunk_chars=4, stride=2)
+    got = sorted((r.doc_id, r.chunk_idx, r.chunk_text)
+                 for r in out.collect())
+    # len 10: 1 + ceil(6/2) = 4 windows at 1,3,5,7
+    assert got == [(1, 1, "abcd"), (1, 2, "cdef"), (1, 3, "efgh"),
+                   (1, 4, "ghij"),
+                   (2, 1, "abc"),
+                   (5, 1, "abcd"), (5, 2, "cdef"), (5, 3, "efg")]
+    # coverage: union of windows reconstructs the text
+    for d, text in [(1, "abcdefghij"), (5, "abcdefg")]:
+        covered = [""] * len(text)
+        for dd, i, c in got:
+            if dd == d:
+                for j, ch in enumerate(c):
+                    covered[(i - 1) * 2 + j] = ch
+        assert "".join(covered) == text
+    # stride == chunk_chars is byte-identical to the default
+    a = sorted(map(tuple, X.chunk_text(df, "doc_id", "text", 4)
+                   .collect()))
+    b = sorted(map(tuple, X.chunk_text(df, "doc_id", "text", 4,
+                                       stride=4).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="stride"):
+        X.chunk_text(df, "doc_id", "text", 4, stride=0)
+    # twin parity for the overlapping mode
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.sql(
+        X.chunk_text_sql("doc_id", "text", 4, "t", stride=2))
+        .fetchall()))
+    assert got == want
