@@ -59,9 +59,7 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     # column names may legally contain spaces, dots, quotes — they
     # must not reach the parser as identifiers, and the stack label
     # literal is quote-escaped
-    def _c(name):
-        return F.col("`" + name.replace("`", "``") + "`")
-
+    from .sample import _qcol as _c
     aggs = [F.count(F.lit(1)).alias("_pc_n")]
     for i, c in enumerate(cols):
         aggs += [

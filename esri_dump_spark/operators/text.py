@@ -480,23 +480,40 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str = "text",
     s = chunk_chars if stride is None else int(stride)
     if s <= 0:
         raise ValueError("stride must be positive")
-    if s == chunk_chars:
-        # keep the original (equivalent) count spelling so existing
-        # twins and plans stay byte-identical
-        n_expr = (f"CAST(ceil(length({text_col}) / {chunk_chars}.0)"
-                  f" AS INT)")
-    else:
-        n_expr = (f"1 + CAST(ceil(greatest(length({text_col})"
-                  f" - {chunk_chars}, 0) / {s}.0) AS INT)")
+    from .sample import _qcol, _qident
+    t = _qident(text_col)
+    n_expr = chunk_count_sql(t, chunk_chars, s, div="DIV")
     n_chunks = F.expr(
-        f"CASE WHEN length({text_col}) > 0 THEN "
+        f"CASE WHEN length({t}) > 0 THEN "
         f"sequence(1, {n_expr}) ELSE array() END")
-    return (df.select(F.col(id_col), F.col(text_col),
+    return (df.select(_qcol(id_col), _qcol(text_col),
                       F.explode(n_chunks).alias("chunk_idx"))
-            .select(F.col(id_col), F.col("chunk_idx").cast("long"),
-                    F.expr(f"substring({text_col},"
+            .select(_qcol(id_col), F.col("chunk_idx").cast("long"),
+                    F.expr(f"substring({t},"
                            f" (chunk_idx - 1) * {s} + 1,"
                            f" {chunk_chars})").alias("chunk_text")))
+
+
+def chunk_count_sql(text_expr: str, chunk_chars: int, stride: int,
+                    div: str) -> str:
+    """THE window-count spelling shared by the engine and the DuckDB
+    twin (``div`` is the only dialect split: Spark spells integer
+    division ``DIV``, DuckDB ``//`` — the pack_sequences precedent).
+    Non-default strides use ALL-INTEGER ceiling division (no decimal
+    literals — CLAUDE.md float-constant rule), capped so no window
+    ever starts past the end of the text: with stride > chunk_chars
+    the coverage count alone would emit a degenerate EMPTY trailing
+    chunk whenever the last start lands beyond the text."""
+    if stride == chunk_chars:
+        # the original spelling, kept byte-identical for existing
+        # twins and plans (driver-proven; ceil of this short-scale
+        # decimal quotient is exact in both engines)
+        return (f"CAST(ceil(length({text_expr}) / {chunk_chars}.0)"
+                f" AS INT)")
+    cover = (f"1 + (greatest(length({text_expr}) - {chunk_chars}, 0)"
+             f" + {stride - 1}) {div} {stride}")
+    in_text = f"1 + (length({text_expr}) - 1) {div} {stride}"
+    return f"CAST(least({cover}, {in_text}) AS INT)"
 
 
 def line_dedup(df: DataFrame, id_col: str, text_col: str = "text",
@@ -607,15 +624,10 @@ def chunk_text_sql(id_col: str, text_col: str = "text",
                    chunk_chars: int = 512,
                    table: str = "documents",
                    stride: int | None = None) -> str:
-    """DuckDB twin of ``chunk_text`` (same 1-based substr windows,
-    same count spelling per stride mode)."""
+    """DuckDB twin of ``chunk_text`` (the shared ``chunk_count_sql``
+    spelling; only the integer-division keyword differs)."""
     s = chunk_chars if stride is None else int(stride)
-    if s == chunk_chars:
-        n_expr = (f"CAST(ceil(length({text_col}) / {chunk_chars}.0)"
-                  f" AS INT)")
-    else:
-        n_expr = (f"1 + CAST(ceil(greatest(length({text_col})"
-                  f" - {chunk_chars}, 0) / {s}.0) AS INT)")
+    n_expr = chunk_count_sql(text_col, chunk_chars, s, div="//")
     return f"""
         SELECT {id_col}, CAST(i AS BIGINT) AS chunk_idx,
                substr({text_col}, (i - 1) * {s} + 1,

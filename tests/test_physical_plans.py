@@ -59,7 +59,7 @@ def test_jvm_only_operators_have_no_python_node(spark, sf_dir):
                  "repetition", "redact_pii", "chunk_text",
                  "top_quality", "line_dedup", "mad_outliers",
                  "temperature_mix", "shard_plan", "dataset_profile",
-                 "normalize_text"):
+                 "normalize_text", "chunk_overlap"):
         plan = _physical(E.queries()[name](spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} has a Python stage"
         assert "MapInPandas" not in plan, f"{name} has a Python stage"

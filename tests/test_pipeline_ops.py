@@ -1534,3 +1534,40 @@ def test_chunk_text_overlapping_stride(spark):
         X.chunk_text_sql("doc_id", "text", 4, "t", stride=2))
         .fetchall()))
     assert got == want
+
+
+def test_chunk_text_wide_stride_no_empty_chunks(spark):
+    """stride > chunk_chars samples spaced windows; the count is
+    capped so no window starts past the end — a bare coverage count
+    would emit a degenerate EMPTY trailing chunk (both engines agreed
+    on the bug, so only this direct assertion catches it)."""
+    rows = [(1, "abcdef"), (2, "abcdefghijklmno"), (3, "ab")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = X.chunk_text(df, "doc_id", "text", chunk_chars=4, stride=10)
+    got = sorted((r.doc_id, r.chunk_idx, r.chunk_text)
+                 for r in out.collect())
+    # len 6: window 2 would start at 11 > 6 -> exactly one window
+    # len 15: windows at 1 and 11 (chars 11-14; sampling mode leaves
+    # the tail uncovered by design, but never emits an empty chunk)
+    assert got == [(1, 1, "abcd"), (2, 1, "abcd"), (2, 2, "klmn"),
+                   (3, 1, "ab")]
+    assert all(c != "" for _, _, c in got)
+    # twin agrees on the capped count
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.sql(
+        X.chunk_text_sql("doc_id", "text", 4, "t", stride=10))
+        .fetchall()))
+    assert got == want
+
+
+def test_chunk_text_hostile_column_names(spark):
+    df = spark.createDataFrame([(1, "abcdef")],
+                               "doc_id int, text string") \
+        .withColumnRenamed("doc_id", "the id") \
+        .withColumnRenamed("text", "t.x")
+    out = X.chunk_text(df, "the id", "t.x", chunk_chars=4)
+    got = sorted((r["the id"], r.chunk_idx, r.chunk_text)
+                 for r in out.collect())
+    assert got == [(1, 1, "abcd"), (1, 2, "ef")]
