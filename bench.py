@@ -132,7 +132,7 @@ def run_headline(spark) -> dict[str, float]:
         # robust gate + temperature mixing + shard sink plan +
         # data-card profile (round 5)
         "mad_outliers", "temperature_mix", "shard_plan",
-        "dataset_profile", "normalize_text",
+        "dataset_profile", "normalize_text", "chunk_overlap",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not
