@@ -30,6 +30,7 @@ from esri_dump_spark.operators import sample as SM
 from esri_dump_spark.operators.lm import bigram_lm_score_oracle_sql
 from esri_dump_spark.operators.search import (bm25_topk_oracle_sql,
                                               rrf_weight_sql)
+from esri_dump_spark.operators.winnow import winnow_fingerprints_sql
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -939,6 +940,35 @@ def q_normalize_text(spark, sf_dir):
         F.length("text_norm").cast("long").alias("n_chars_norm"))
 
 
+def q_winnow_fps(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints, rolled up per doc:
+    count, distinct count, min/max and the order-free integer XOR of
+    the selected 60-bit gram hashes — a full signature of the exact
+    fingerprint multiset, all integers. k=16/w=8 because the
+    word-salad fixture texts collide massively at small k."""
+    from esri_dump_spark.operators.winnow import winnow_fingerprints
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", k=16, w=8)
+    return (fps.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fps"),
+                 F.countDistinct("fp").alias("n_distinct_fp"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp"),
+                 F.expr("bit_xor(fp)").alias("xor_fp")))
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Shared-passage detection: document pairs sharing >= 3 distinct
+    winnowing fingerprints after dropping corpus-hot ones (df > 10).
+    Catches contained quotes/boilerplate that whole-document MinHash
+    similarity dilutes below threshold; ids-only self-join (the
+    shared_hash_pairs engine)."""
+    from esri_dump_spark.operators.winnow import winnow_overlap_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, "doc_id", k=16, w=8,
+                                min_shared=3, max_df=10)
+
+
 def q_dataset_profile(spark, sf_dir):
     """Dataset-card profile of the documents table: per-column row /
     null / distinct counts and value ranges — the audit rollup a
@@ -1760,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,                    # new this round
         "dataset_profile": q_dataset_profile,          # new this round
         "normalize_text": q_normalize_text,            # new this round
+        "winnow_fps": q_winnow_fps,                    # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1770,7 +1801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (3) one canary per §2 family (driver-proven r01-r04) ----
         "topfeatures_extract": q_topfeatures_extract,
         "tilejson_doc": q_tilejson_doc,        # exercises the CRS chain
-        "image_decode_stats": q_image_decode_stats,
+        # image_decode_stats yielded its slot to winnow_fps
+        # (r04-proven golden literal; image keeps verify_images/
+        # resize_images/phash_near_dup in-window)
         "emb_cluster_dedup": q_emb_cluster_dedup,  # new this round
         # where_pushdown yielded its slot to dataset_profile
         # (r04-proven + plan-asserted in tests/test_physical_plans.py;
@@ -1825,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "where_pushdown": q_where_pushdown,
         "pip_rect": q_pip_rect,
+        "image_decode_stats": q_image_decode_stats,
+        "winnow_overlap": q_winnow_overlap,
         "audio_near_dup": q_audio_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "minhash_pairs_hashkey": q_minhash_pairs_hashkey,
@@ -2405,6 +2440,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length({NT['text_norm']}) AS BIGINT)
                        AS n_chars_norm
             FROM j""")(X.normalize_text_sql("text")),
+        # winnowing twins recompute the full selection via the
+        # explode-membership formulation (same md5-u60 hashes, same
+        # rightmost-tie minima); counts are BIGINT, bit_xor is
+        # order-free integer-exact in both engines
+        "winnow_fps": f"""
+            WITH fp AS ({winnow_fingerprints_sql("doc_id", "text",
+                                                 16, 8)})
+            SELECT doc_id, count(*) AS n_fps,
+                   count(DISTINCT fp) AS n_distinct_fp,
+                   min(fp) AS min_fp, max(fp) AS max_fp,
+                   bit_xor(fp) AS xor_fp
+            FROM fp GROUP BY doc_id""",
+        "winnow_overlap": f"""
+            WITH fp AS ({winnow_fingerprints_sql("doc_id", "text",
+                                                 16, 8)}),
+            d AS (SELECT DISTINCT doc_id, fp FROM fp),
+            ok AS (SELECT fp FROM d GROUP BY fp
+                   HAVING count(*) <= 10),
+            dd AS (SELECT doc_id, fp FROM d JOIN ok USING (fp))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   count(*) AS n_shared_fps
+            FROM dd a JOIN dd b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3""",
         # per-column data-card rollup: counts are BIGINT in both
         # engines (count never goes HUGEINT), min/max cast to VARCHAR
         # AFTER aggregation (numeric order, identical int rendering),

@@ -133,6 +133,7 @@ def run_headline(spark) -> dict[str, float]:
         # data-card profile (round 5)
         "mad_outliers", "temperature_mix", "shard_plan",
         "dataset_profile", "normalize_text", "chunk_overlap",
+        "winnow_fps",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -33,7 +33,8 @@ __all__ = ["hash_u60", "fraction_threshold", "split_assign",
            "sample_fraction", "stratified_sample", "mix_sources",
            "take_token_budget", "leakage_safe_split", "top_percent",
            "weighted_sample", "pack_sequences", "es_key_sql",
-           "mad_outliers", "temperature_mix", "temp_weight_sql"]
+           "mad_outliers", "temperature_mix", "temp_weight_sql",
+           "hash_u60_expr"]
 
 _U60 = 1 << 60
 
@@ -63,6 +64,16 @@ def hash_u60(col, seed: str = ""):
     # skip the NULL and hash the bare seed, a cross-engine divergence
     keyed = F.concat(c.cast("string"), F.lit(":" + str(seed)))
     return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+
+
+def hash_u60_expr(value_expr: str, seed: str = "") -> str:
+    """``hash_u60`` as a Spark-SQL expression string — for LAMBDA
+    positions (inside ``transform``/``aggregate``) where the Column
+    form cannot reach. Same derivation, adjacent on purpose; the
+    DuckDB spelling stays ``hash_u60_sql``."""
+    return (f"CAST(conv(substring(md5(concat(CAST({value_expr} AS "
+            f"STRING), ':{_sql_quote(seed)}')), 1, 15), 16, 10) "
+            f"AS BIGINT)")
 
 
 def _thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:

@@ -133,6 +133,11 @@ QUERIES = [
      "regexp_replace stages plus their regexp_count audits, all in "
      "ONE whole-stage-codegen projection over the scan: zero "
      "shuffles, zero Python, column pruning intact"),
+    ("winnow_fps", "winnowing fingerprints — gram hashing, window "
+     "minima and tie-breaks are all per-document array expressions "
+     "(transform/slice/array_min) in one codegen projection; the "
+     "only exchange is the rollup's — the fingerprint explode "
+     "itself is map-side"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "
