@@ -31,6 +31,8 @@ from esri_dump_spark.operators.lm import bigram_lm_score_oracle_sql
 from esri_dump_spark.operators.search import (bm25_topk_oracle_sql,
                                               rrf_weight_sql)
 from esri_dump_spark.operators.winnow import winnow_fingerprints_sql
+from esri_dump_spark.operators.sketch import (hll_events_oracle_sql,
+                                              cm_words_oracle_sql)
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -969,6 +971,50 @@ def q_winnow_overlap(spark, sf_dir):
                                 min_shared=3, max_df=10)
 
 
+_CM_DEPTH, _CM_WIDTH = 4, 1024
+_CM_MIN_EST = 100    # word tokens repeat ~900x at sf0.01 while digit/
+                     # symbol tokens are corpus-rare; 100 keeps the
+                     # heavy-hitter output at vocabulary size
+
+
+def q_hll_users(spark, sf_dir):
+    """Mergeable distinct-user sketch per event_type: the HLL
+    register pipeline (md5-u60 hash -> register max-rank) collapsed
+    to its all-integer observables (registers used, empty registers,
+    2^cap-scaled harmonic sum) plus the raw estimator — a bit-exact
+    double by the fixed-order IEEE construction — and the exact
+    distinct count for comparison. At 100 TB this replaces a
+    COUNT(DISTINCT) value shuffle with a <= m-row register exchange
+    that also folds across daily shards (hll_merge)."""
+    from esri_dump_spark.operators.sketch import (hll_estimate,
+                                                  hll_register_table)
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_register_table(ev, "user_id", ("event_type",), m=256)
+    est = hll_estimate(regs, ("event_type",), m=256)
+    tru = (ev.where(F.col("user_id").isNotNull())
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n_true")))
+    return est.join(tru, "event_type").orderBy("event_type")
+
+
+def q_cm_words(spark, sf_dir):
+    """Count-min heavy hitters over the shared bm25 token universe:
+    build the depth x width integer sketch, point-estimate every
+    distinct token, keep estimates >= threshold. Estimates never
+    underestimate; ALL-INTEGER so the twin is exact by construction.
+    At scale the sketch (<= depth*width cells) broadcasts into the
+    probe join and shards merge by cell-wise sum."""
+    from esri_dump_spark.operators.search import toks_expr
+    from esri_dump_spark.operators.sketch import cm_estimate, cm_sketch
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.where(F.col("text").isNotNull()).selectExpr(
+        f"explode({toks_expr('text')}) AS w")
+    cells = cm_sketch(words, "w", _CM_DEPTH, _CM_WIDTH)
+    est = cm_estimate(cells, words, "w", _CM_DEPTH, _CM_WIDTH)
+    return (est.where(F.col("est") >= _CM_MIN_EST)
+               .orderBy(F.desc("est"), "w"))
+
+
 def q_dataset_profile(spark, sf_dir):
     """Dataset-card profile of the documents table: per-column row /
     null / distinct counts and value ranges — the audit rollup a
@@ -1791,6 +1837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_profile": q_dataset_profile,          # new this round
         "normalize_text": q_normalize_text,            # new this round
         "winnow_fps": q_winnow_fps,                    # new this round
+        "hll_users": q_hll_users,                      # new this round
+        "cm_words": q_cm_words,                        # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1820,9 +1868,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tile family canary is tile_pyramid (its leaf level IS
         # assign_tiles); tile_assign stays past the boundary
         "tile_pyramid": q_tile_pyramid,
-        "cell_assign": q_cell_assign,
+        # cell_assign yielded its slot to hll_users (r04-proven; the
+        # cell/tile family keeps tile_pyramid in-window)
         "line_dedup": q_line_dedup,            # new this round
-        "renderer_compile": q_renderer_compile,
+        # renderer_compile yielded its slot to cm_words (r04-proven;
+        # the doc family keeps tilejson_doc in-window)
         "minhash_pairs": q_minhash_pairs,
         # simhash_pairs yielded its slot to lm_typicality (r04-proven;
         # text-dedup keeps minhash_pairs + line_dedup +
@@ -1854,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "cell_assign": q_cell_assign,
+        "renderer_compile": q_renderer_compile,
         "token_count": q_token_count,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "where_pushdown": q_where_pushdown,
@@ -2464,6 +2516,13 @@ def oracle_sql() -> dict[str, str]:
             FROM dd a JOIN dd b
                  ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 3""",
+        # sketch twins: registers/cells re-derived from the shared
+        # spellings (only the DIV-vs-// and shiftleft-vs-<< dialect
+        # split differs); est_raw is the fixed-order IEEE chain over
+        # an ALL-INTEGER harmonic sum — bit-exact without rounding
+        "hll_users": hll_events_oracle_sql(m=256),
+        "cm_words": cm_words_oracle_sql(_CM_DEPTH, _CM_WIDTH,
+                                        _CM_MIN_EST),
         # per-column data-card rollup: counts are BIGINT in both
         # engines (count never goes HUGEINT), min/max cast to VARCHAR
         # AFTER aggregation (numeric order, identical int rendering),

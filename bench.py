@@ -134,6 +134,9 @@ def run_headline(spark) -> dict[str, float]:
         "mad_outliers", "temperature_mix", "shard_plan",
         "dataset_profile", "normalize_text", "chunk_overlap",
         "winnow_fps",
+        # mergeable sketches (round 5): HLL distinct registers +
+        # count-min heavy hitters
+        "hll_users", "cm_words",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

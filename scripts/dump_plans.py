@@ -138,6 +138,17 @@ QUERIES = [
      "(transform/slice/array_min) in one codegen projection; the "
      "only exchange is the rollup's — the fingerprint explode "
      "itself is map-side"),
+    ("hll_users", "HLL distinct sketch — hash/register/rank are one "
+     "codegen projection over the scan; the register HashAggregate "
+     "partial-combines map-side to <= m rows per group before its "
+     "single exchange, the estimate collapses the register table "
+     "(tiny) and the exact-count branch joins back AQE-broadcast; "
+     "no Python, the estimator is one fixed-order IEEE chain"),
+    ("cm_words", "count-min heavy hitters — the depth bucket array "
+     "and posexplode are map-side codegen, the cell aggregate "
+     "partial-combines to <= depth*width rows before its exchange, "
+     "and the probe join broadcasts the sketch; estimates stay "
+     "ALL-INTEGER in codegen"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "
