@@ -20,9 +20,12 @@ Scale shape: the whole selection is PER-DOCUMENT array work —
 ``transform(sequence(...))`` gram hashing, windowed ``array_min``
 over ``slice``s (tie-break encoded as min over ``(h, -pos)`` structs,
 lexicographic in both engines) — one whole-stage-codegen projection,
-ZERO shuffles before the fingerprint explode. The gram array is bound
-to a column first so it is computed once per document, not once per
-window. Overlap detection then reuses the generic ids-only
+ZERO shuffles before the fingerprint explode. The gram array is
+LET-BOUND as a lambda variable (``transform(array(grams), _wg ->
+...)[0]``) so it is hashed once per document: binding it to a plain
+projected column is NOT safe — CollapseProject re-inlines the alias
+into every window reference and the hashing goes quadratic in
+document length. Overlap detection then reuses the generic ids-only
 ``shared_hash_pairs`` engine (the video/audio dedup machinery): the
 text never outlives its map stage, and every exchange after the
 explode carries fixed-width ``(id, int64)`` rows.
@@ -50,24 +53,33 @@ def winnow_fingerprints(df: DataFrame, id_col: str,
     gram. NULL text yields no rows."""
     if k <= 0 or w <= 0:
         raise ValueError("k and w must be positive")
-    for c in ("_wg", "_wf"):
-        if c in df.columns:
-            raise ValueError(f"`{c}` column would collide — rename it")
+    if "_wf" in df.columns:
+        raise ValueError("`_wf` column would collide — rename it")
     t = _qident(text_col)
     h = hash_u60_expr(f"substring({t}, i, {k})", seed)
     grams = (f"CASE WHEN length({t}) >= {k} THEN "
              f"transform(sequence(1, length({t}) - {k} + 1), "
              f"i -> named_struct('h', {h}, 'negpos', -i)) "
              f"ELSE array() END")
-    # bind the gram array to a column FIRST: referenced inside the
-    # window transform below, an inline expression would re-hash the
-    # whole document once per window
-    fps = (f"CASE WHEN size(_wg) > 0 THEN array_distinct("
+    # LET-BIND the gram array as a lambda variable: a plain projected
+    # column is NOT a safe binding — CollapseProject re-inlines it
+    # into every window reference and the md5 work goes quadratic in
+    # document length (measured 10x-suite regression at sf0.1). A
+    # lambda variable cannot be inlined, so the array is hashed ONCE
+    # per document and each window only pays its O(w) slice+min.
+    fps = (f"transform(array({grams}), _wg -> "
+           f"CASE WHEN size(_wg) > 0 THEN array_distinct("
            f"transform(sequence(1, greatest(size(_wg) - {w} + 1, 1)),"
-           f" j -> array_min(slice(_wg, j, {w})))) ELSE array() END")
-    return (df.withColumn("_wg", F.expr(grams))
-            .withColumn("_wf", F.expr(fps))
-            .select(_qcol(id_col), F.explode("_wf").alias("_s"))
+           f" j -> array_min(slice(_wg, j, {w})))) ELSE array() END"
+           f")[0]")
+    # explode_outer, then drop the NULL rows of empty arrays: a plain
+    # explode makes InferFiltersFromGenerate push a `size(...) > 0`
+    # filter BELOW the projection, re-evaluating the whole gram
+    # expression two extra times per document (measured 3x the md5
+    # work); the post-generate null filter is free
+    return (df.withColumn("_wf", F.expr(fps))
+            .select(_qcol(id_col), F.explode_outer("_wf").alias("_s"))
+            .where(F.col("_s").isNotNull())
             .select(_qcol(id_col),
                     (-F.col("_s.negpos")).cast("int").alias("pos"),
                     F.col("_s.h").alias("fp")))

@@ -105,9 +105,20 @@ def test_winnow_validation_and_plan(spark):
     with pytest.raises(ValueError, match="positive"):
         winnow_fingerprints(df, "doc_id", k=0)
     with pytest.raises(ValueError, match="collide"):
-        winnow_fingerprints(df.withColumn("_wg", df.doc_id), "doc_id")
+        winnow_fingerprints(df.withColumn("_wf", df.doc_id), "doc_id")
+    # `_wg` is a lambda variable now (the let-binding that keeps gram
+    # hashing linear) — a real `_wg` column is shadowed, not a clash
+    got = winnow_fingerprints(df.withColumn("_wg", df.doc_id),
+                              "doc_id", k=8, w=4)
+    ref = winnow_fingerprints(df, "doc_id", k=8, w=4)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
     # zero shuffles, zero Python before the explode
     plan = (winnow_fingerprints(df, "doc_id", k=8, w=4)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the gram md5 must appear at exactly ONE site: a second site
+    # means CollapseProject re-inlined the gram array into the window
+    # references and hashing went quadratic in document length again
+    assert plan.count("md5(") == 1, plan.count("md5(")
