@@ -32,7 +32,8 @@ from esri_dump_spark.operators.search import (bm25_topk_oracle_sql,
                                               rrf_weight_sql)
 from esri_dump_spark.operators.winnow import winnow_fingerprints_sql
 from esri_dump_spark.operators.sketch import (hll_events_oracle_sql,
-                                              cm_words_oracle_sql)
+                                              cm_words_oracle_sql,
+                                              bloom_decon_oracle_sql)
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -1015,6 +1016,49 @@ def q_cm_words(spark, sf_dir):
                .orderBy(F.desc("est"), "w"))
 
 
+_BF_M, _BF_K = 1 << 20, 4    # sized so the sf0.01 eval-gram load
+                             # keeps the filter sparse (fp visible
+                             # but rare); saturation only degrades
+                             # the fp rate, never parity
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered decontamination: build a Bloom filter of
+    the held-out slice's (doc_id % 7 == 0) distinct word-4-gram
+    hashes, membership-test every distinct training gram against it,
+    and report per-train-doc gram / flagged / exact-hit counts. The
+    flag never misses a real hit (n_flagged >= n_exact always; false
+    positives replicate identically in the twin because both engines
+    set and test the same bits). At 100 TB this is THE
+    decontamination shape: the benchmark-side filter is <= m/32
+    BIGINT words (broadcast), the corpus-side test is map-side, and
+    the exact join runs only on the flagged residual."""
+    from esri_dump_spark.operators.dedup import word_grams
+    from esri_dump_spark.operators.sample import hash_u60
+    from esri_dump_spark.operators.sketch import (bloom_bits_table,
+                                                  bloom_probe)
+    docs = _t(spark, sf_dir, "documents")
+    grams = (word_grams(docs, "doc_id", "text", 4)
+             .select("doc_id", hash_u60(F.col("gram")).alias("gh")))
+    eg = (grams.where(F.col("doc_id") % 7 == 0)
+               .select("gh").distinct())
+    tg = grams.where(F.col("doc_id") % 7 != 0)
+    bits = bloom_bits_table(eg, "gh", _BF_M, _BF_K)
+    flags = bloom_probe(bits, tg, "gh", _BF_M, _BF_K)
+    exact = eg.withColumn("_in_eval", F.lit(1))
+    return (tg.join(flags, "gh")
+              .join(exact, "gh", "left")
+              .groupBy("doc_id")
+              .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_grams"),
+                   F.expr("CAST(sum(maybe_hit) AS BIGINT)")
+                    .alias("n_flagged"),
+                   F.expr("CAST(sum(CASE WHEN _in_eval IS NOT NULL"
+                          " THEN 1 ELSE 0 END) AS BIGINT)")
+                    .alias("n_exact"))
+              .where(F.col("n_flagged") > 0)
+              .orderBy("doc_id"))
+
+
 def q_dataset_profile(spark, sf_dir):
     """Dataset-card profile of the documents table: per-column row /
     null / distinct counts and value ranges — the audit rollup a
@@ -1839,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,                    # new this round
         "hll_users": q_hll_users,                      # new this round
         "cm_words": q_cm_words,                        # new this round
+        "bloom_decontaminate": q_bloom_decontaminate,  # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1887,7 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "govern_corpus": q_govern_corpus,
         "stream_windowed": q_stream_windowed,
         "asof_events": q_asof_events,
-        "audio_stats": q_audio_stats,
+        # audio_stats yielded its slot to bloom_decontaminate
+        # (r04-proven; audio keeps audio_cluster_dedup in-window)
         "lineage_metrics": q_lineage_metrics,
         "salted_join": q_salted_join,
         # ---------------- slot 50 boundary ----------------
@@ -1904,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "audio_stats": q_audio_stats,
         "cell_assign": q_cell_assign,
         "renderer_compile": q_renderer_compile,
         "token_count": q_token_count,
@@ -2523,6 +2570,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": hll_events_oracle_sql(m=256),
         "cm_words": cm_words_oracle_sql(_CM_DEPTH, _CM_WIDTH,
                                         _CM_MIN_EST),
+        # bloom membership is ALL-INTEGER: both engines set and test
+        # the identical bits, so even false positives replicate
+        "bloom_decontaminate": bloom_decon_oracle_sql(4, _BF_M, _BF_K),
         # per-column data-card rollup: counts are BIGINT in both
         # engines (count never goes HUGEINT), min/max cast to VARCHAR
         # AFTER aggregation (numeric order, identical int rendering),

@@ -135,8 +135,8 @@ def run_headline(spark) -> dict[str, float]:
         "dataset_profile", "normalize_text", "chunk_overlap",
         "winnow_fps",
         # mergeable sketches (round 5): HLL distinct registers +
-        # count-min heavy hitters
-        "hll_users", "cm_words",
+        # count-min heavy hitters + bloom-prefiltered decontamination
+        "hll_users", "cm_words", "bloom_decontaminate",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -18,6 +18,17 @@ MERGEABLE sketches whose build step is an ordinary Spark aggregate:
   ``width`` integer counters; point estimates are the min across
   rows and NEVER underestimate. The build is one explode + sum agg
   (fixed ``depth x width`` cells); shards merge by cell-wise sum.
+- ``bloom_bits_table`` / ``bloom_probe`` — a Bloom filter (Bloom,
+  CACM 1970): ``k`` seed-suffixed hash positions over ``m`` bits,
+  packed 32 payload bits per BIGINT word. ``maybe_hit = 0`` is
+  DEFINITIVE (no false negatives); ``1`` may be a false positive at
+  the standard ``(1 - e^(-kn/m))^k`` rate. The bit table is at most
+  ``m/32`` rows — it broadcasts into probe joins, so membership
+  tests against a benchmark/blocklist set become a map-side AND
+  instead of a corpus-scale join; shard filters merge by ``bit_or``
+  (``bloom_merge``). The decontamination pattern: bloom-prefilter
+  the training corpus map-side, then run the exact join only on the
+  flagged residual.
 
 Why these are exactly oracle-able (most sketch libraries are not):
 every derivation is the repo's engine-portable md5 construction —
@@ -47,6 +58,13 @@ the raw estimator plus its all-integer observables.
 Reference parity: the reference engine (esri-dump) has no sketch
 layer — this extends the training-data surface the same way the
 dedup/sampling families do.
+
+Bloom membership is exactly oracle-able for the same reason the
+other two are: bit positions come from the seed-suffixed md5-u60
+family mod ``m``, words pack 32 payload bits per BIGINT (the largest
+mask is 2^31 — signed-overflow-free in both engines), and the probe
+folds per-position set-flags by integer ``min`` — so even FALSE
+POSITIVES replicate identically in the twin.
 """
 
 from __future__ import annotations
@@ -59,7 +77,9 @@ from .sample import _qcol, _qident, hash_u60_sql, _sql_quote
 __all__ = ["hll_register_table", "hll_estimate", "hll_merge",
            "hll_corrected", "cm_sketch", "cm_estimate",
            "hll_rho_sql", "hll_term_sql", "hll_estimate_sql",
-           "cm_bucket_sql", "SPARK", "DUCK"]
+           "cm_bucket_sql", "SPARK", "DUCK",
+           "bloom_bits_table", "bloom_merge", "bloom_probe",
+           "bloom_fill_stats", "bloom_pos_sql", "BLOOM_WORD_BITS"]
 
 # Dialect handles for the two generated-SQL targets. Spark consumes
 # its own dialect via selectExpr/expr, so the Spark operator and the
@@ -266,9 +286,13 @@ def cm_sketch(df: DataFrame, key_col: str, depth: int = 4,
         cm_bucket_sql(_qident(key_col), d, width, seed,
                       hash_u60_spark_sql)
         for d in range(depth))
+    # posexplode_outer: the plain generator makes Spark infer a
+    # `size(array(...)) > 0` filter that re-evaluates all `depth`
+    # hashes a second time per row (the array is never empty, so the
+    # filter is pure waste); the outer variant skips the inference
     ex = (df.where(_qcol(key_col).isNotNull())
             .selectExpr(f"array({buckets}) AS _bk", f"{w} AS _w")
-            .selectExpr("posexplode(_bk) AS (d, bucket)", "_w"))
+            .selectExpr("posexplode_outer(_bk) AS (d, bucket)", "_w"))
     return (ex.groupBy("d", "bucket")
               .agg(F.expr("CAST(sum(_w) AS BIGINT)").alias("cnt")))
 
@@ -296,11 +320,135 @@ def cm_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
                   .selectExpr(_qident(key_col),
                               f"array({buckets}) AS _bk")
                   .selectExpr(_qident(key_col),
-                              "posexplode(_bk) AS (d, bucket)"))
+                              "posexplode_outer(_bk) AS (d, bucket)"))
     joined = probes.join(sketch, ["d", "bucket"], "left")
     return (joined.groupBy(_qcol(key_col))
                   .agg(F.expr("CAST(min(coalesce(cnt, 0)) AS BIGINT)")
                         .alias(out)))
+
+
+# ------------------------------------------------------- bloom filter
+
+# 32 payload bits per BIGINT word: the largest single-bit mask is
+# 2^31, so masks and bit_or folds stay positive BIGINTs in BOTH
+# engines (a 64-bit payload would need 1 << 63 — signed-overflow UB
+# territory that Spark wraps and DuckDB rejects).
+BLOOM_WORD_BITS = 32
+
+
+def bloom_pos_sql(value_expr: str, j: int, m_bits: int,
+                  seed: str, hash_fn) -> str:
+    """THE bit-position spelling: hash ``j`` of ``k`` uses the seed
+    suffix ``:bf<j>`` of the shared md5-u60 family, reduced mod
+    ``m_bits``. ``hash_fn`` is ``hash_u60_spark_sql`` or
+    ``sample.hash_u60_sql`` so both engines set identical bits."""
+    return f"{hash_fn(value_expr, f'{seed}:bf{j}')} % {m_bits}"
+
+
+def _check_bloom(m_bits: int, k: int) -> None:
+    if m_bits % BLOOM_WORD_BITS != 0 or not (256 <= m_bits <= 1 << 26):
+        raise ValueError(f"m_bits must be a multiple of "
+                         f"{BLOOM_WORD_BITS} in [256, 2^26]")
+    if not (1 <= k <= 16):
+        raise ValueError("k must be in [1, 16]")
+
+
+def _bloom_word_mask(dialect) -> tuple[str, str]:
+    """THE word/mask split of a bit position ``pos``: word index =
+    ``pos DIV 32``, mask = ``1 << (pos % 32)``. Shared by build and
+    probe in both dialects."""
+    word = f"pos {dialect['div']} {BLOOM_WORD_BITS}"
+    mask = dialect["shl"]("CAST(1 AS BIGINT)",
+                          f"CAST(pos % {BLOOM_WORD_BITS} AS INT)")
+    return word, mask
+
+
+def bloom_bits_table(df: DataFrame, key_col: str,
+                     m_bits: int = 1 << 20, k: int = 4,
+                     seed: str = "") -> DataFrame:
+    """Build the Bloom bit table of ``key_col``: rows ``(word_idx,
+    bits)``, at most ``m_bits / 32`` of them. NULL keys set no bits.
+
+    Scale: the ``k`` positions are one codegen projection per input
+    row, the explode emits fixed-width ``(int64, int64)`` rows, and
+    the ``bit_or`` agg partial-combines map-side down to the word
+    count before its single exchange. The output is mergeable
+    sketch state: per-shard filters fold with ``bloom_merge``
+    (bit_or is idempotent, so reprocessing a shard is harmless)."""
+    _check_bloom(m_bits, k)
+    _no_clash({str(key_col)}, "_ps", "pos", "word_idx", "bits")
+    poss = ", ".join(
+        bloom_pos_sql(_qident(key_col), j, m_bits, seed,
+                      hash_u60_spark_sql)
+        for j in range(k))
+    word, mask = _bloom_word_mask(SPARK)
+    # explode_outer for the same reason as cm_sketch: the inferred
+    # size() filter would double the k hashes per row
+    ex = (df.where(_qcol(key_col).isNotNull())
+            .selectExpr(f"array({poss}) AS _ps")
+            .selectExpr("explode_outer(_ps) AS pos")
+            .selectExpr(f"{word} AS word_idx", f"{mask} AS bits"))
+    return (ex.groupBy("word_idx")
+              .agg(F.expr("bit_or(bits)").alias("bits")))
+
+
+def bloom_merge(*bit_tables: DataFrame) -> DataFrame:
+    """Union bit tables (same m_bits/k/seed) into one filter: words
+    combine by ``bit_or`` — ``bloom(A union B) ==
+    bloom_merge(bloom(A), bloom(B))`` exactly (pinned by test)."""
+    if not bit_tables:
+        raise ValueError("need at least one bit table")
+    out = bit_tables[0]
+    for t in bit_tables[1:]:
+        out = out.unionByName(t)
+    return (out.groupBy("word_idx")
+               .agg(F.expr("bit_or(bits)").alias("bits")))
+
+
+def bloom_probe(bits: DataFrame, keys: DataFrame, key_col: str,
+                m_bits: int = 1 << 20, k: int = 4, seed: str = "",
+                out: str = "maybe_hit") -> DataFrame:
+    """Membership-test each distinct key in ``keys`` against the
+    filter: ``out`` = 1 iff ALL ``k`` bits are set (possibly a false
+    positive), 0 is definitive absence. ALL-INTEGER (per-position
+    flags fold by ``min``), so twins are exact by construction.
+
+    Scale: the bit table is at most ``m_bits / 32`` rows — AQE
+    broadcasts it into the probe join; the probe side shuffles only
+    ``(key, pos)`` rows for its rollup. Duplicate positions (two of
+    the ``k`` hashes colliding for one key) are safe: the fold is
+    over per-row flags, not a count."""
+    _check_bloom(m_bits, k)
+    _no_clash({str(key_col)},
+              "_ps", "pos", "word_idx", "bits", "_mask", str(out))
+    poss = ", ".join(
+        bloom_pos_sql(_qident(key_col), j, m_bits, seed,
+                      hash_u60_spark_sql)
+        for j in range(k))
+    word, mask = _bloom_word_mask(SPARK)
+    probes = (keys.where(_qcol(key_col).isNotNull())
+                  .select(_qcol(key_col)).distinct()
+                  .selectExpr(_qident(key_col),
+                              f"array({poss}) AS _ps")
+                  .selectExpr(_qident(key_col),
+                              "explode_outer(_ps) AS pos")
+                  .selectExpr(_qident(key_col), f"{word} AS word_idx",
+                              f"{mask} AS _mask"))
+    joined = probes.join(bits, ["word_idx"], "left")
+    hit = "CASE WHEN (coalesce(bits, 0) & _mask) = _mask THEN 1 ELSE 0 END"
+    return (joined.groupBy(_qcol(key_col))
+                  .agg(F.expr(f"CAST(min({hit}) AS INT)").alias(out)))
+
+
+def bloom_fill_stats(bits: DataFrame, m_bits: int) -> DataFrame:
+    """One-row fill report ``(m_bits, words_used, bits_set)`` —
+    the operational gauge for whether a deployed filter is sized
+    right (saturation drives the false-positive rate toward 1).
+    ``bit_count`` is the engine-portable popcount."""
+    return bits.agg(
+        F.expr(f"CAST({int(m_bits)} AS BIGINT)").alias("m_bits"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("words_used"),
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("bits_set"))
 
 
 # ------------------------------------------------------------- twins
@@ -379,3 +527,55 @@ def cm_words_oracle_sql(depth: int, width: int, min_est: int,
           FROM pb LEFT JOIN cells USING (d, bucket) GROUP BY w)
         SELECT w, est FROM est WHERE est >= {int(min_est)}
         ORDER BY est DESC, w"""
+
+
+def bloom_decon_oracle_sql(n: int, m_bits: int, k: int,
+                           seed: str = "") -> str:
+    """DuckDB twin of the ``bloom_decontaminate`` entry query: the
+    identical word-gram md5-u60 hashes (decontaminate's spelling),
+    the identical Bloom bit table over the eval slice, and per-train-
+    doc gram / flagged / exact-hit counts — ALL-INTEGER, exact by
+    construction (false positives replicate identically because both
+    engines set and test the same bits)."""
+    from .sample import hash_u60_sql
+    _check_bloom(m_bits, k)
+    word, mask = _bloom_word_mask(DUCK)
+    build = "\n          UNION ALL ".join(
+        f"SELECT {bloom_pos_sql('CAST(gh AS VARCHAR)', j, m_bits, seed, hash_u60_sql)}"
+        f" AS pos FROM eg"
+        for j in range(k))
+    probe = "\n          UNION ALL ".join(
+        f"SELECT gh,"
+        f" {bloom_pos_sql('CAST(gh AS VARCHAR)', j, m_bits, seed, hash_u60_sql)}"
+        f" AS pos FROM pk"
+        for j in range(k))
+    hit = "CASE WHEN (coalesce(bits, 0) & _mask) = _mask THEN 1 ELSE 0 END"
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + {n - 1}), ' ')
+                         AS gram
+              FROM d, UNNEST(generate_series(1, greatest(len(w) - {n - 1},
+                   1))) AS t(i)),
+        h AS (SELECT doc_id, {hash_u60_sql('gram')} AS gh FROM g),
+        eg AS (SELECT DISTINCT gh FROM h WHERE doc_id % 7 = 0),
+        tg AS (SELECT doc_id, gh FROM h WHERE doc_id % 7 <> 0),
+        bp AS ({build}),
+        bw AS (SELECT {word} AS word_idx,
+                      CAST(bit_or({mask}) AS BIGINT) AS bits
+               FROM bp GROUP BY 1),
+        pk AS (SELECT DISTINCT gh FROM tg),
+        pp AS ({probe}),
+        pm AS (SELECT gh, {word} AS word_idx, {mask} AS _mask FROM pp),
+        pf AS (SELECT gh, CAST(min({hit}) AS INT) AS maybe_hit
+               FROM pm LEFT JOIN bw USING (word_idx) GROUP BY gh)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(f.maybe_hit) AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact
+        FROM tg t JOIN pf f USING (gh) LEFT JOIN eg e ON t.gh = e.gh
+        GROUP BY t.doc_id
+        HAVING CAST(sum(f.maybe_hit) AS BIGINT) > 0
+        ORDER BY t.doc_id"""

@@ -149,6 +149,11 @@ QUERIES = [
      "partial-combines to <= depth*width rows before its exchange, "
      "and the probe join broadcasts the sketch; estimates stay "
      "ALL-INTEGER in codegen"),
+    ("bloom_decontaminate", "bloom-prefiltered decontamination — the "
+     "eval side folds to <= m/32 bit-packed words (bit_or "
+     "partial-combines map-side), the membership test broadcasts "
+     "that table into the probe join, and the only corpus-scale "
+     "exchange is the per-doc rollup; no Python anywhere"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "

@@ -257,6 +257,118 @@ def test_hostile_name_guards(spark):
 
 
 # ---------------------------------------------------------------
+# bloom filter
+
+def py_bloom_positions(key, m_bits, k, seed=""):
+    return [py_hash_u60(key, f"{seed}:bf{j}") % m_bits
+            for j in range(k)]
+
+
+def py_bloom_words(keys, m_bits, k, seed=""):
+    words = {}
+    for key in keys:
+        if key is None:
+            continue
+        for pos in py_bloom_positions(key, m_bits, k, seed):
+            w = pos // 32
+            words[w] = words.get(w, 0) | (1 << (pos % 32))
+    return words
+
+
+def py_bloom_probe(words, key, m_bits, k, seed=""):
+    return int(all(
+        words.get(pos // 32, 0) & (1 << (pos % 32))
+        for pos in py_bloom_positions(key, m_bits, k, seed)))
+
+
+MEMBERS = [f"gram-{i}" for i in range(120)] + ["gram-7", None]
+OUTSIDERS = [f"other-{i}" for i in range(400)]
+
+
+def test_bloom_bits_match_python(spark):
+    df = spark.createDataFrame([(v,) for v in MEMBERS], "g string")
+    got = {r["word_idx"]: r["bits"] for r in
+           sk.bloom_bits_table(df, "g", 4096, 4).collect()}
+    assert got == py_bloom_words(MEMBERS, 4096, 4)
+    # layout invariance
+    got13 = {r["word_idx"]: r["bits"] for r in
+             sk.bloom_bits_table(df.repartition(13), "g",
+                                 4096, 4).collect()}
+    assert got13 == got
+
+
+def test_bloom_probe_no_false_negatives_and_matches_python(spark):
+    df = spark.createDataFrame([(v,) for v in MEMBERS], "g string")
+    bits = sk.bloom_bits_table(df, "g", 4096, 4)
+    words = py_bloom_words(MEMBERS, 4096, 4)
+    probes = spark.createDataFrame(
+        [(v,) for v in MEMBERS + OUTSIDERS], "g string")
+    flags = {r["g"]: r["maybe_hit"] for r in
+             sk.bloom_probe(bits, probes, "g", 4096, 4).collect()}
+    for v in MEMBERS:
+        if v is not None:
+            assert flags[v] == 1          # never a false negative
+    fps = 0
+    for v in OUTSIDERS:
+        assert flags[v] == py_bloom_probe(words, v, 4096, 4)
+        fps += flags[v]
+    # 4096 bits / ~121 keys * 4 hashes -> sparse; fp rate well under 5%
+    assert fps / len(OUTSIDERS) < 0.05
+
+
+def test_bloom_merge_equals_bloom_of_union(spark):
+    a = [f"a-{i}" for i in range(80)]
+    b = [f"b-{i}" for i in range(80)] + a[:10]
+    ta = sk.bloom_bits_table(
+        spark.createDataFrame([(v,) for v in a], "g string"),
+        "g", 2048, 3)
+    tb = sk.bloom_bits_table(
+        spark.createDataFrame([(v,) for v in b], "g string"),
+        "g", 2048, 3)
+    merged = {r["word_idx"]: r["bits"]
+              for r in sk.bloom_merge(ta, tb).collect()}
+    assert merged == py_bloom_words(a + b, 2048, 3)
+
+
+def test_bloom_fill_stats_and_bitcount_cross_engine(spark):
+    df = spark.createDataFrame([(v,) for v in MEMBERS], "g string")
+    bits = sk.bloom_bits_table(df, "g", 4096, 4)
+    row = sk.bloom_fill_stats(bits, 4096).collect()[0]
+    words = py_bloom_words(MEMBERS, 4096, 4)
+    assert row["m_bits"] == 4096
+    assert row["words_used"] == len(words)
+    assert row["bits_set"] == sum(bin(w).count("1")
+                                  for w in words.values())
+    # bit_count agrees between engines on adversarial word values
+    vals = [0, 1, (1 << 31), (1 << 32) - 1, (1 << 52) + 3]
+    s = (spark.createDataFrame([(v,) for v in vals], "x bigint")
+         .selectExpr("x", "bit_count(x) AS n").collect())
+    con = duckdb.connect()
+    for r in s:
+        assert con.execute(
+            f"SELECT bit_count(CAST({r['x']} AS BIGINT))"
+        ).fetchone()[0] == r["n"] == bin(r["x"]).count("1")
+
+
+def test_bloom_validation_and_guards(spark):
+    df = spark.createDataFrame([("a",)], "g string")
+    for m, k in ((100, 4), (128, 4), (1 << 27, 4),
+                 (4096, 0), (4096, 17)):
+        with pytest.raises(ValueError):
+            sk.bloom_bits_table(df, "g", m, k)
+    hostile = spark.createDataFrame([("a", 1)], "pos string, n int")
+    with pytest.raises(ValueError, match="collide"):
+        sk.bloom_bits_table(hostile, "pos", 4096, 4)
+    with pytest.raises(ValueError, match="collide"):
+        sk.bloom_probe(df, hostile, "pos", 4096, 4)
+    # dotted names resolve literally
+    odd = spark.createDataFrame([("k1",), ("k2",)], "`a.b` string")
+    bits = sk.bloom_bits_table(odd, "a.b", 4096, 4)
+    flags = sk.bloom_probe(bits, odd, "a.b", 4096, 4).collect()
+    assert all(r["maybe_hit"] == 1 for r in flags)
+
+
+# ---------------------------------------------------------------
 # plan shape
 
 def _plan(df):
@@ -270,10 +382,18 @@ def test_sketch_plans_stay_jvm(spark):
     regs = sk.hll_register_table(df, "uid", ("grp",), m=256)
     est = sk.hll_estimate(regs, ("grp",), m=256)
     cm = sk.cm_sketch(df, "uid", 4, 1024)
-    for d in (regs, est, cm):
+    bloom = sk.bloom_bits_table(df, "uid", 4096, 4)
+    probe = sk.bloom_probe(bloom, df, "uid", 4096, 4)
+    for d in (regs, est, cm, bloom, probe):
         p = _plan(d)
         assert "BatchEvalPython" not in p and "ArrowEval" not in p
     # the register agg partial-combines map-side before its exchange
-    p = _plan(regs)
-    assert p.count("HashAggregate") >= 2
-    assert p.count("Exchange") == 1
+    for d in (regs, bloom):
+        p = _plan(d)
+        assert p.count("HashAggregate") >= 2
+        assert p.count("Exchange") == 1
+    # each hash is computed at exactly ONE plan site: a doubled count
+    # means InferFiltersFromGenerate re-inlined the bucket/position
+    # array into a size() filter (the winnow-quadratic bug class)
+    assert _plan(cm).count("md5(") == 4          # depth hashes
+    assert _plan(bloom).count("md5(") == 4       # k hashes
