@@ -34,6 +34,8 @@ from esri_dump_spark.operators.winnow import winnow_fingerprints_sql
 from esri_dump_spark.operators.sketch import (hll_events_oracle_sql,
                                               cm_words_oracle_sql,
                                               bloom_decon_oracle_sql)
+from esri_dump_spark.operators.hist import hist_orders_oracle_sql
+from esri_dump_spark.operators.profile import moment_docs_oracle_sql
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -1059,6 +1061,42 @@ def q_bloom_decontaminate(spark, sf_dir):
               .orderBy("doc_id"))
 
 
+_HQ_GRID = (0.0, 512000.0, 512)   # 1000-wide buckets cover
+                                  # o_totalprice's [1002, 500k) range
+_HQ_PM = (10, 250, 500, 750, 990)
+
+
+def q_hist_quants(spark, sf_dir):
+    """Histogram-sketch quantiles of order value per priority: ONE
+    map-side-combined aggregate reduces the raw scan to <= bins rows
+    per group, then targets/interpolation run sketch-sized. The
+    mergeable, deterministic stand-in for percentile_approx — exact
+    twin because the bucket index, integer ranks, and the final
+    interpolation are all fixed-order IEEE / all-integer derivations
+    (operators/hist.py)."""
+    from esri_dump_spark.operators.hist import (hist_quantiles,
+                                                hist_sketch)
+    orders = _t(spark, sf_dir, "orders")
+    h = hist_sketch(orders, "o_totalprice", *_HQ_GRID,
+                    ("o_orderpriority",))
+    return (hist_quantiles(h, *_HQ_GRID, ("o_orderpriority",), _HQ_PM)
+            .orderBy("o_orderpriority", "permille"))
+
+
+def q_moment_stats(spark, sf_dir):
+    """Exact per-language moment statistics of document length:
+    all-integer sum / sum-of-squares aggregates (never a distributed
+    float sum — the bigram_perplexity rule), mean/variance/stddev
+    derived in the final projection with one IEEE division and one
+    sqrt — bit-exact twin with NO rounding. NULL langs filtered on
+    both sides (Spark NULLS FIRST vs DuckDB NULLS LAST)."""
+    from esri_dump_spark.operators.profile import moment_stats
+    docs = _t(spark, sf_dir, "documents")
+    return (moment_stats(docs.where(F.col("lang").isNotNull()),
+                         "n_chars", ("lang",))
+            .orderBy("lang"))
+
+
 def q_dataset_profile(spark, sf_dir):
     """Dataset-card profile of the documents table: per-column row /
     null / distinct counts and value ranges — the audit rollup a
@@ -1884,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": q_hll_users,                      # new this round
         "cm_words": q_cm_words,                        # new this round
         "bloom_decontaminate": q_bloom_decontaminate,  # new this round
+        "hist_quants": q_hist_quants,                  # new this round
+        "moment_stats": q_moment_stats,                # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1931,11 +1971,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text family keeps line_dedup/lm_typicality/govern_corpus)
         "govern_corpus": q_govern_corpus,
         "stream_windowed": q_stream_windowed,
-        "asof_events": q_asof_events,
+        # asof_events yielded its slot to hist_quants (r04-proven;
+        # interval_attrib keeps the asof family in the bench suite)
         # audio_stats yielded its slot to bloom_decontaminate
         # (r04-proven; audio keeps audio_cluster_dedup in-window)
         "lineage_metrics": q_lineage_metrics,
-        "salted_join": q_salted_join,
+        # salted_join yielded its slot to moment_stats (r04-proven;
+        # salted_agg keeps the skew family in the bench suite)
         # ---------------- slot 50 boundary ----------------
         # ---- driver-proven r01-r04, local parity gate only ----
         # ten r04-proven canaries yielded their slots to the ten
@@ -1950,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "asof_events": q_asof_events,
+        "salted_join": q_salted_join,
         "audio_stats": q_audio_stats,
         "cell_assign": q_cell_assign,
         "renderer_compile": q_renderer_compile,
@@ -2573,6 +2617,14 @@ def oracle_sql() -> dict[str, str]:
         # bloom membership is ALL-INTEGER: both engines set and test
         # the identical bits, so even false positives replicate
         "bloom_decontaminate": bloom_decon_oracle_sql(4, _BF_M, _BF_K),
+        # histogram-sketch quantiles: bucket index / ranks / targets
+        # all-integer, the interpolation a fixed-order IEEE chain on
+        # integer-valued operands — bit-exact without rounding
+        "hist_quants": hist_orders_oracle_sql(*_HQ_GRID, _HQ_PM),
+        # integer moments: sum/sum-of-squares stay BIGINT (HUGEINT
+        # rule), mean/var/std are one division (+ one sqrt) over
+        # exactly-cast integers — bit-exact without rounding
+        "moment_stats": moment_docs_oracle_sql(),
         # per-column data-card rollup: counts are BIGINT in both
         # engines (count never goes HUGEINT), min/max cast to VARCHAR
         # AFTER aggregation (numeric order, identical int rendering),

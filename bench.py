@@ -137,6 +137,8 @@ def run_headline(spark) -> dict[str, float]:
         # mergeable sketches (round 5): HLL distinct registers +
         # count-min heavy hitters + bloom-prefiltered decontamination
         "hll_users", "cm_words", "bloom_decontaminate",
+        # histogram-sketch quantiles + exact integer moments (round 5)
+        "hist_quants", "moment_stats",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ByteType, IntegerType, LongType,
                                ShortType, StringType)
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "moment_stats", "moment_mean_sql",
+           "moment_var_sql"]
 
 _OK_TYPES = (ByteType, ShortType, IntegerType, LongType, StringType)
 
@@ -86,3 +87,107 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "col_name", "n_rows",
         "n_rows - _pc_nn AS n_null",
         "n_distinct", "min_s", "max_s")
+
+
+def moment_mean_sql(sx_expr: str, n_expr: str) -> str:
+    """THE mean spelling: one IEEE division over exactly-cast integer
+    operands — correctly rounded in both engines, bit-exact."""
+    return (f"(CAST({sx_expr} AS DOUBLE)"
+            f" / CAST({n_expr} AS DOUBLE))")
+
+
+def moment_var_sql(n_expr: str, sx_expr: str, sxx_expr: str) -> str:
+    """THE population-variance spelling: ``(n*sxx - sx^2) / n^2``
+    with the numerator and denominator formed ENTIRELY in BIGINT
+    (exact; Cauchy-Schwarz keeps the numerator >= 0, so no signed
+    zero can appear) and ONE IEEE division at the end. The int ->
+    double CASTs are IEEE round-to-nearest in both engines even past
+    2^53 — the HLL z_int precedent."""
+    num = f"(({n_expr}) * ({sxx_expr}) - ({sx_expr}) * ({sx_expr}))"
+    den = f"(({n_expr}) * ({n_expr}))"
+    return (f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))")
+
+
+def moment_stats(df: DataFrame, value_col: str,
+                 by: tuple[str, ...] = ()) -> DataFrame:
+    """Per-group exact moment statistics over an INTEGRAL column:
+    ``(by..., n, sum_x, sum_xx, mean_x, var_pop, std_pop)``.
+
+    The float-stats siblings (``stddev``, ``var_pop`` built-ins)
+    accumulate DISTRIBUTED float sums — partition-order-dependent,
+    never bit-stable across plans or engines (the bigram_perplexity
+    precedent). This operator instead keeps every AGGREGATE
+    all-integer (``sum(x)``, ``sum(x*x)`` in BIGINT — exact), and
+    derives mean / variance / stddev in the final projection as a
+    fixed chain of one IEEE division (plus one correctly-rounded
+    ``sqrt`` for stddev) — bit-exact across engines with NO rounding,
+    the CLAUDE.md construction.
+
+    ``value_col`` must be integral (enforced). Overflow contract:
+    the BIGINT products need ``n * max(x)^2 < 2^63`` per group; both
+    engines RAISE on BIGINT overflow (Spark ANSI sum/multiply, DuckDB
+    always) rather than silently wrapping — size groups accordingly.
+    NULL values are excluded BEFORE grouping (so every emitted group
+    has ``n >= 1`` and the divisions never see 0); a group whose
+    values are all NULL emits no row, and NULL GROUP KEYS among
+    surviving rows form their own group (groupBy semantics — a SQL
+    twin ordering on the keys must pin NULL placement, Spark default
+    is NULLS FIRST vs DuckDB NULLS LAST).
+
+    Scale: ONE map-side-combined aggregate over the scan — the wire
+    carries three BIGINTs per group, never values."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+    vt = df.schema[value_col].dataType
+    if not isinstance(vt, (ByteType, ShortType, IntegerType,
+                           LongType)):
+        raise ValueError(
+            f"`{value_col}` must be integral (got {vt.simpleString()})"
+            " — integer moments are what make variance exact")
+    from .sample import _qcol as _c, _qident as _q
+    groups = [str(g) for g in by]
+    hit = sorted({"n", "sum_x", "sum_xx", "mean_x", "var_pop",
+                  "std_pop", "_ms_x"} & set(groups))
+    if hit:
+        raise ValueError(f"group column(s) {hit} collide with output "
+                         "columns — rename them")
+    v = _q(value_col)
+    agg = (df.where(_c(value_col).isNotNull())
+             .selectExpr(*[_q(g) for g in groups],
+                         f"CAST({v} AS BIGINT) AS _ms_x")
+             .groupBy(*[_c(g) for g in groups])
+             .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+                  F.expr("CAST(sum(_ms_x) AS BIGINT)").alias("sum_x"),
+                  F.expr("CAST(sum(_ms_x * _ms_x) AS BIGINT)")
+                   .alias("sum_xx")))
+    var = moment_var_sql("n", "sum_x", "sum_xx")
+    return agg.selectExpr(*[_q(g) for g in groups],
+                          "n", "sum_x", "sum_xx",
+                          f"{moment_mean_sql('sum_x', 'n')} AS mean_x",
+                          f"{var} AS var_pop",
+                          f"sqrt({var}) AS std_pop")
+
+
+def moment_docs_oracle_sql() -> str:
+    """DuckDB twin of the ``moment_stats`` entry query: identical
+    integer moments over ``documents.n_chars`` per lang (sum casts
+    are the HUGEINT rule; the products run in BIGINT because the
+    operands are cast BEFORE multiplying) and the SAME mean/variance
+    spellings — bit-exact by construction. NULL langs are filtered on
+    both sides (engine NULL-ordering split)."""
+    var = moment_var_sql("n", "sum_x", "sum_xx")
+    return f"""
+        WITH s AS (
+          SELECT lang, CAST(n_chars AS BIGINT) AS x
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        a AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sum_x,
+                 CAST(sum(x * x) AS BIGINT) AS sum_xx
+          FROM s GROUP BY lang)
+        SELECT lang, n, sum_x, sum_xx,
+               {moment_mean_sql('sum_x', 'n')} AS mean_x,
+               {var} AS var_pop,
+               sqrt({var}) AS std_pop
+        FROM a ORDER BY lang"""

@@ -154,6 +154,16 @@ QUERIES = [
      "partial-combines map-side), the membership test broadcasts "
      "that table into the probe join, and the only corpus-scale "
      "exchange is the per-doc rollup; no Python anywhere"),
+    ("hist_quants", "histogram-sketch quantiles — the bucket index "
+     "is one codegen projection over the scan and the count "
+     "aggregate partial-combines map-side to <= bins rows per group "
+     "before its single exchange; the cumulative window, target "
+     "ranks and interpolation all run over sketch-sized tables "
+     "(AQE broadcasts the target side); no Python"),
+    ("moment_stats", "exact integer moments — ONE map-side-combined "
+     "aggregate carries three BIGINTs per group over the wire; "
+     "mean/variance/stddev are a final-projection IEEE chain, never "
+     "a distributed float sum; no Python"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "
