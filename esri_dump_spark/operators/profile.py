@@ -89,11 +89,19 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "n_distinct", "min_s", "max_s")
 
 
-def moment_mean_sql(sx_expr: str, n_expr: str) -> str:
+def moment_mean_sql(sx_expr: str, n_expr: str,
+                    anchor: int = 0) -> str:
     """THE mean spelling: one IEEE division over exactly-cast integer
-    operands — correctly rounded in both engines, bit-exact."""
-    return (f"(CAST({sx_expr} AS DOUBLE)"
-            f" / CAST({n_expr} AS DOUBLE))")
+    operands — correctly rounded in both engines, bit-exact. With an
+    anchor, ``mean = anchor + sum(x - anchor)/n`` adds ONE more
+    correctly-rounded IEEE op on an exact-double anchor — still
+    bit-exact. ``anchor = 0`` keeps the original spelling
+    byte-identical (twin stability)."""
+    div = (f"(CAST({sx_expr} AS DOUBLE)"
+           f" / CAST({n_expr} AS DOUBLE))")
+    if anchor == 0:
+        return div
+    return f"(CAST({int(anchor)} AS DOUBLE) + {div})"
 
 
 def moment_var_sql(n_expr: str, sx_expr: str, sxx_expr: str) -> str:
@@ -109,9 +117,11 @@ def moment_var_sql(n_expr: str, sx_expr: str, sxx_expr: str) -> str:
 
 
 def moment_stats(df: DataFrame, value_col: str,
-                 by: tuple[str, ...] = ()) -> DataFrame:
+                 by: tuple[str, ...] = (),
+                 anchor: int = 0) -> DataFrame:
     """Per-group exact moment statistics over an INTEGRAL column:
     ``(by..., n, sum_x, sum_xx, mean_x, var_pop, std_pop)``.
+    ``sum_x``/``sum_xx`` are the moments of ``x - anchor``.
 
     The float-stats siblings (``stddev``, ``var_pop`` built-ins)
     accumulate DISTRIBUTED float sums — partition-order-dependent,
@@ -124,37 +134,47 @@ def moment_stats(df: DataFrame, value_col: str,
     the CLAUDE.md construction.
 
     ``value_col`` must be integral (enforced). Overflow contract:
-    the BIGINT products need ``n * max(x)^2 < 2^63`` per group; both
-    engines RAISE on BIGINT overflow (Spark ANSI sum/multiply, DuckDB
-    always) rather than silently wrapping — size groups accordingly.
-    NULL values are excluded BEFORE grouping (so every emitted group
-    has ``n >= 1`` and the divisions never see 0); a group whose
-    values are all NULL emits no row, and NULL GROUP KEYS among
-    surviving rows form their own group (groupBy semantics — a SQL
-    twin ordering on the keys must pin NULL placement, Spark default
-    is NULLS FIRST vs DuckDB NULLS LAST).
+    the binding constraint is the variance numerator's ``sx * sx``
+    and ``n * sxx`` products, both bounded by ``(n * max|x -
+    anchor|)^2`` — so the requirement is ``n * max|x - anchor| <
+    2^31.5 (~3.0e9)`` per group (NOT the looser ``n * max^2 < 2^63``,
+    which only protects the sum-of-squares aggregate). Both engines
+    RAISE on BIGINT overflow (Spark ANSI multiply, DuckDB always)
+    rather than silently wrapping — pinned by test. When raw values
+    are large but concentrated (timestamps, document offsets), pass
+    an integer ``anchor`` near the mean: variance is
+    translation-invariant, every aggregate stays exactly integer,
+    and the bound applies to the small deviations instead of the raw
+    magnitudes. NULL values are excluded BEFORE grouping (so every
+    emitted group has ``n >= 1`` and the divisions never see 0); a
+    group whose values are all NULL emits no row, and NULL GROUP
+    KEYS among surviving rows form their own group (groupBy
+    semantics — a SQL twin ordering on the keys must pin NULL
+    placement, Spark default is NULLS FIRST vs DuckDB NULLS LAST).
 
     Scale: ONE map-side-combined aggregate over the scan — the wire
     carries three BIGINTs per group, never values."""
-    from pyspark.sql.types import (ByteType, IntegerType, LongType,
-                                   ShortType)
     vt = df.schema[value_col].dataType
     if not isinstance(vt, (ByteType, ShortType, IntegerType,
                            LongType)):
         raise ValueError(
             f"`{value_col}` must be integral (got {vt.simpleString()})"
             " — integer moments are what make variance exact")
+    if not isinstance(anchor, int) or isinstance(anchor, bool) or \
+            abs(anchor) >= 1 << 53:
+        raise ValueError("anchor must be an int with |anchor| < 2^53 "
+                         "(it must be an exact double for the mean)")
     from .sample import _qcol as _c, _qident as _q
+    from .sketch import _no_clash
     groups = [str(g) for g in by]
-    hit = sorted({"n", "sum_x", "sum_xx", "mean_x", "var_pop",
-                  "std_pop", "_ms_x"} & set(groups))
-    if hit:
-        raise ValueError(f"group column(s) {hit} collide with output "
-                         "columns — rename them")
+    _no_clash(set(groups), "n", "sum_x", "sum_xx", "mean_x",
+              "var_pop", "std_pop", "_ms_x")
     v = _q(value_col)
+    centered = (f"CAST({v} AS BIGINT)" if anchor == 0 else
+                f"CAST({v} AS BIGINT) - CAST({int(anchor)} AS BIGINT)")
     agg = (df.where(_c(value_col).isNotNull())
              .selectExpr(*[_q(g) for g in groups],
-                         f"CAST({v} AS BIGINT) AS _ms_x")
+                         f"{centered} AS _ms_x")
              .groupBy(*[_c(g) for g in groups])
              .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n"),
                   F.expr("CAST(sum(_ms_x) AS BIGINT)").alias("sum_x"),
@@ -163,7 +183,8 @@ def moment_stats(df: DataFrame, value_col: str,
     var = moment_var_sql("n", "sum_x", "sum_xx")
     return agg.selectExpr(*[_q(g) for g in groups],
                           "n", "sum_x", "sum_xx",
-                          f"{moment_mean_sql('sum_x', 'n')} AS mean_x",
+                          f"{moment_mean_sql('sum_x', 'n', anchor)}"
+                          " AS mean_x",
                           f"{var} AS var_pop",
                           f"sqrt({var}) AS std_pop")
 

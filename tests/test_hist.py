@@ -196,6 +196,49 @@ def test_moments_twin_bit_exact(spark, sf_dir):
             assert bits(tuple(a)[i]) == bits(b[i])
 
 
+def test_moments_anchor_invariance(spark):
+    # variance is translation-invariant: with an integer anchor the
+    # aggregates change but var/std come out bit-identical, and the
+    # mean adds the anchor back exactly
+    rows = [("a", 1000003), ("a", 1000007), ("a", 1000004)]
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    base = moment_stats(df, "x", ("g",)).collect()[0]
+    anch = moment_stats(df, "x", ("g",), anchor=1000000).collect()[0]
+    assert anch["sum_x"] == 14 and anch["sum_xx"] == 74
+    assert bits(anch["var_pop"]) == bits(base["var_pop"])
+    assert bits(anch["std_pop"]) == bits(base["std_pop"])
+    xs = [r[1] for r in rows]
+    exact_mean = 1000000 + (14 / 3)
+    assert bits(anch["mean_x"]) == bits(exact_mean)
+
+
+def test_moments_overflow_raises_both_engines(spark):
+    # the TRUE overflow bound is (n * max|x-anchor|)^2 < 2^63: four
+    # values of 1.5e9 satisfy the naive n*max^2 < 2^63 reading but
+    # blow the variance numerator — both engines must RAISE, never
+    # silently wrap (Spark ANSI multiply, DuckDB always)
+    big = 1_500_000_000
+    df = spark.createDataFrame([(big,)] * 4, "x bigint")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        moment_stats(df, "x").collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM (VALUES ({big}), "
+                f"({big}), ({big}), ({big})) v(x)")
+    from esri_dump_spark.operators.profile import moment_var_sql
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute(
+            "WITH a AS (SELECT CAST(count(*) AS BIGINT) n, "
+            "CAST(sum(CAST(x AS BIGINT)) AS BIGINT) sx, "
+            "CAST(sum(CAST(x AS BIGINT)*CAST(x AS BIGINT)) AS BIGINT)"
+            " sxx FROM t) "
+            f"SELECT {moment_var_sql('n', 'sx', 'sxx')} FROM a"
+        ).fetchall()
+    # the anchor escape hatch brings the same data in-bounds
+    got = moment_stats(df, "x", anchor=big).collect()[0]
+    assert got["sum_x"] == 0 and bits(got["var_pop"]) == bits(0.0)
+    assert bits(got["mean_x"]) == bits(float(big))
+
+
 def test_moments_validation(spark):
     df = spark.createDataFrame([("a", 1.5)], "g string, x double")
     with pytest.raises(ValueError, match="integral"):
@@ -203,6 +246,11 @@ def test_moments_validation(spark):
     df2 = spark.createDataFrame([(1, 2)], "sum_x bigint, x bigint")
     with pytest.raises(ValueError, match="collide"):
         moment_stats(df2, "x", ("sum_x",))
+    df3 = spark.createDataFrame([(1,)], "x bigint")
+    with pytest.raises(ValueError, match="anchor"):
+        moment_stats(df3, "x", anchor=1 << 53)
+    with pytest.raises(ValueError, match="anchor"):
+        moment_stats(df3, "x", anchor=0.5)
 
 
 # --------------------------------------------------------------- plans
