@@ -34,7 +34,8 @@ from esri_dump_spark.operators.winnow import winnow_fingerprints_sql
 from esri_dump_spark.operators.sketch import (hll_events_oracle_sql,
                                               cm_words_oracle_sql,
                                               bloom_decon_oracle_sql)
-from esri_dump_spark.operators.hist import hist_orders_oracle_sql
+from esri_dump_spark.operators.hist import (hist_orders_oracle_sql,
+                                            winsorize_orders_oracle_sql)
 from esri_dump_spark.operators.profile import moment_docs_oracle_sql
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
@@ -1083,6 +1084,22 @@ def q_hist_quants(spark, sf_dir):
             .orderBy("o_orderpriority", "permille"))
 
 
+def q_winsorize_orders(spark, sf_dir):
+    """Percentile clipping over the histogram sketch: clamp order
+    values into their per-priority [1, 99] percentile band. The
+    sketch pass is the one corpus aggregate; the 1-row-per-group
+    bounds table broadcasts back, so data rows never shuffle. Band
+    edges are the bit-exact hist construction and the clamp compares
+    non-NaN doubles — exact twin, boundary rows included."""
+    from esri_dump_spark.operators.hist import winsorize
+    orders = _t(spark, sf_dir, "orders")
+    out = winsorize(orders, "o_totalprice", *_HQ_GRID,
+                    ("o_orderpriority",), 10, 990)
+    return (out.select("o_orderkey", "o_orderpriority",
+                       "o_totalprice", "clipped", "was_clipped")
+               .orderBy("o_orderkey"))
+
+
 def q_moment_stats(spark, sf_dir):
     """Exact per-language moment statistics of document length:
     all-integer sum / sum-of-squares aggregates (never a distributed
@@ -1924,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,  # new this round
         "hist_quants": q_hist_quants,                  # new this round
         "moment_stats": q_moment_stats,                # new this round
+        "winsorize_orders": q_winsorize_orders,        # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1932,7 +1950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "phash_near_dup": q_phash_near_dup,
         # ---- (3) one canary per §2 family (driver-proven r01-r04) ----
-        "topfeatures_extract": q_topfeatures_extract,
+        # topfeatures_extract yielded its slot to winsorize_orders
+        # (r04-proven; extract keeps extract_synthetic + extract_bbox
+        # in-window)
         "tilejson_doc": q_tilejson_doc,        # exercises the CRS chain
         # image_decode_stats yielded its slot to winnow_fps
         # (r04-proven golden literal; image keeps verify_images/
@@ -1992,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "topfeatures_extract": q_topfeatures_extract,
         "asof_events": q_asof_events,
         "salted_join": q_salted_join,
         "audio_stats": q_audio_stats,
@@ -2621,6 +2642,11 @@ def oracle_sql() -> dict[str, str]:
         # all-integer, the interpolation a fixed-order IEEE chain on
         # integer-valued operands — bit-exact without rounding
         "hist_quants": hist_orders_oracle_sql(*_HQ_GRID, _HQ_PM),
+        # winsorization: band edges are the hist construction, the
+        # clamp is LEAST/GREATEST over non-NaN doubles — identical
+        # comparisons in both engines, boundary rows included
+        "winsorize_orders": winsorize_orders_oracle_sql(*_HQ_GRID,
+                                                        10, 990),
         # integer moments: sum/sum-of-squares stay BIGINT (HUGEINT
         # rule), mean/var/std are one division (+ one sqrt) over
         # exactly-cast integers — bit-exact without rounding

@@ -137,8 +137,9 @@ def run_headline(spark) -> dict[str, float]:
         # mergeable sketches (round 5): HLL distinct registers +
         # count-min heavy hitters + bloom-prefiltered decontamination
         "hll_users", "cm_words", "bloom_decontaminate",
-        # histogram-sketch quantiles + exact integer moments (round 5)
-        "hist_quants", "moment_stats",
+        # histogram-sketch quantiles + exact integer moments +
+        # percentile clipping (round 5)
+        "hist_quants", "moment_stats", "winsorize_orders",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

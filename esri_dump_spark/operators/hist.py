@@ -68,7 +68,8 @@ from .sketch import SPARK, DUCK, _no_clash
 
 __all__ = ["hist_sketch", "hist_merge", "hist_quantiles",
            "hist_bucket_sql", "hist_target_sql", "hist_quantile_sql",
-           "hist_orders_oracle_sql"]
+           "hist_orders_oracle_sql", "winsorize",
+           "winsorize_clip_sql", "winsorize_orders_oracle_sql"]
 
 
 def _check_grid(lo: float, hi: float, bins: int) -> None:
@@ -274,3 +275,138 @@ def hist_orders_oracle_sql(lo: float, hi: float, bins: int,
                      AND c.cum >= t.target
                      AND (c.cum - c.cnt) < t.target
         ORDER BY t.o_orderpriority, t.permille"""
+
+
+def winsorize(df: DataFrame, value_col: str, lo: float, hi: float,
+              bins: int, group_cols: tuple[str, ...] = (),
+              p_lo: int = 10, p_hi: int = 990,
+              out_col: str = "clipped",
+              flag_col: str = "was_clipped") -> DataFrame:
+    """Percentile clipping (winsorization): clamp ``value_col`` into
+    its per-group ``[p_lo, p_hi]`` permille band, with the band edges
+    estimated from the histogram sketch — the standard "cap absurd
+    outliers instead of dropping the row" gate of a feature/quality
+    pipeline, and the robust sibling of a fixed-threshold clamp.
+
+    Appends ``out_col`` (DOUBLE: the clamped value) and ``flag_col``
+    (INT 1/0: whether clamping moved it). NULL and NaN values pass
+    through UNCLIPPED with a NULL/0 flag semantics of their own:
+    NULL -> NULL out + NULL flag, NaN -> NaN out + 0 flag —
+    LEAST/GREATEST NaN ordering is engine-lore we refuse to depend
+    on, so the CASE routes them around the clamp entirely.
+
+    Bit-exact by construction: the band edges are ``hist_quantiles``
+    estimates (fixed-order IEEE over integers), and the clamp is
+    LEAST/GREATEST over non-NaN doubles — identical comparisons in
+    both engines, so even rows ON the boundary clip identically.
+
+    Scale: the sketch pass is the one corpus aggregate; the bounds
+    table is one row per group and AQE broadcasts it back, so the
+    data rows themselves NEVER shuffle (the mad_outliers shape) —
+    and the same null-safe key join keeps NULL groups clipped
+    against their own band."""
+    _check_grid(lo, hi, bins)
+    for p in (p_lo, p_hi):
+        if not (isinstance(p, int) and 1 <= p <= 1000):
+            raise ValueError("p_lo/p_hi must be ints in [1, 1000]")
+    if p_lo >= p_hi:
+        raise ValueError("need p_lo < p_hi")
+    groups = [str(g) for g in group_cols]
+    _no_clash(set(groups) | {str(value_col)},
+              "q_lo", "q_hi", str(out_col), str(flag_col),
+              *[f"_wz_{g}" for g in groups])
+    h = hist_sketch(df, value_col, lo, hi, bins, group_cols)
+    q = hist_quantiles(h, lo, hi, bins, group_cols, (p_lo, p_hi))
+    bounds = (q.groupBy(*[_qcol(g) for g in groups])
+                .agg(F.expr(f"max(CASE WHEN permille = {p_lo}"
+                            f" THEN q_est END)").alias("q_lo"),
+                     F.expr(f"max(CASE WHEN permille = {p_hi}"
+                            f" THEN q_est END)").alias("q_hi")))
+    for g in groups:
+        bounds = bounds.withColumnRenamed(g, f"_wz_{g}")
+    if groups:
+        cond = None
+        for g in groups:
+            c = _qcol(g).eqNullSafe(_qcol(f"_wz_{g}"))
+            cond = c if cond is None else cond & c
+        joined = df.join(bounds, cond).drop(
+            *[f"_wz_{g}" for g in groups])
+    else:
+        joined = df.crossJoin(bounds)
+    v = _qident(value_col)
+    clip = winsorize_clip_sql(v, "q_lo", "q_hi")
+    flag = (f"CASE WHEN {v} IS NULL THEN CAST(NULL AS INT)"
+            f" WHEN isnan(CAST({v} AS DOUBLE)) THEN 0"
+            f" WHEN {clip} = CAST({v} AS DOUBLE) THEN 0"
+            f" ELSE 1 END")
+    return joined.selectExpr("*", f"{clip} AS {_qident(out_col)}",
+                             f"{flag} AS {_qident(flag_col)}") \
+                 .drop("q_lo", "q_hi")
+
+
+def winsorize_clip_sql(value_expr: str, qlo_expr: str,
+                       qhi_expr: str) -> str:
+    """THE clamp spelling: NULL/NaN bypass the clamp (LEAST/GREATEST
+    NaN ordering differs in spirit between engines even where it
+    happens to agree — route around it), everything else clips with
+    plain double comparisons. Shared verbatim by both engines."""
+    x = f"CAST({value_expr} AS DOUBLE)"
+    return (f"CASE WHEN {value_expr} IS NULL OR isnan({x}) THEN {x}"
+            f" ELSE LEAST({qhi_expr}, GREATEST({qlo_expr}, {x}))"
+            f" END")
+
+
+def winsorize_orders_oracle_sql(lo: float, hi: float, bins: int,
+                                p_lo: int, p_hi: int) -> str:
+    """DuckDB twin of the ``winsorize_orders`` entry query: the full
+    sketch -> quantile-band -> clamp pipeline over orders, from the
+    SAME spelling functions — bit-exact (band edges are the hist
+    construction; the clamp compares non-NaN doubles)."""
+    _check_grid(lo, hi, bins)
+    bucket = hist_bucket_sql("o_totalprice", lo, hi, bins)
+    target = hist_target_sql("p", "n_total", DUCK)
+    qest = hist_quantile_sql("c.bucket", "c.cum - c.cnt", "c.cnt",
+                             "t.target", lo, hi, bins)
+    clip = winsorize_clip_sql("o.o_totalprice", "b.q_lo", "b.q_hi")
+    return f"""
+        WITH h AS (
+          SELECT o_orderpriority, {bucket} AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+          GROUP BY o_orderpriority, bucket),
+        c AS (
+          SELECT o_orderpriority, bucket, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY o_orderpriority
+                      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS cum
+          FROM h),
+        n AS (
+          SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n_total
+          FROM h GROUP BY o_orderpriority),
+        t AS (
+          SELECT o_orderpriority, n_total, CAST(p AS INT) AS permille,
+                 {target} AS target
+          FROM n, UNNEST([{int(p_lo)}, {int(p_hi)}]) AS u(p)),
+        q AS (
+          SELECT t.o_orderpriority, t.permille, {qest} AS q_est
+          FROM t JOIN c ON c.o_orderpriority = t.o_orderpriority
+                       AND c.cum >= t.target
+                       AND (c.cum - c.cnt) < t.target),
+        b AS (
+          SELECT o_orderpriority,
+                 max(CASE WHEN permille = {int(p_lo)}
+                     THEN q_est END) AS q_lo,
+                 max(CASE WHEN permille = {int(p_hi)}
+                     THEN q_est END) AS q_hi
+          FROM q GROUP BY o_orderpriority)
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+               {clip} AS clipped,
+               CASE WHEN o.o_totalprice IS NULL THEN CAST(NULL AS INT)
+                    WHEN isnan(CAST(o.o_totalprice AS DOUBLE)) THEN 0
+                    WHEN {clip} = CAST(o.o_totalprice AS DOUBLE)
+                         THEN 0 ELSE 1 END AS was_clipped
+        FROM orders o JOIN b
+             ON o.o_orderpriority = b.o_orderpriority
+        ORDER BY o.o_orderkey"""

@@ -160,6 +160,11 @@ QUERIES = [
      "before its single exchange; the cumulative window, target "
      "ranks and interpolation all run over sketch-sized tables "
      "(AQE broadcasts the target side); no Python"),
+    ("winsorize_orders", "percentile clipping — the sketch pass is "
+     "the one corpus aggregate; the per-group bounds table (1 row "
+     "per group) AQE-broadcasts back into the clamp join, so data "
+     "rows never shuffle; the clamp itself is codegen LEAST/GREATEST "
+     "over non-NaN doubles; no Python"),
     ("moment_stats", "exact integer moments — ONE map-side-combined "
      "aggregate carries three BIGINTs per group over the wire; "
      "mean/variance/stddev are a final-projection IEEE chain, never "

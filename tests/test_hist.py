@@ -159,6 +159,70 @@ def test_hist_validation(spark):
                     "x", LO, HI, BINS, ("bucket",))
 
 
+# ---------------------------------------------------------- winsorize
+
+def test_winsorize_clips_and_passes_through(spark):
+    from esri_dump_spark.operators.hist import winsorize
+    vals = [float(v) for v in range(0, 1000, 10)]  # 100 values
+    rows = [(v,) for v in vals] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "x double")
+    out = winsorize(df, "x", LO, HI, BINS, (), 100, 900)
+    got = out.collect()
+    assert len(got) == len(rows)
+    # band edges re-derived through the operator's own quantile path
+    q = hist_quantiles(hist_sketch(df, "x", LO, HI, BINS),
+                       LO, HI, BINS, (), (100, 900))
+    edges = {r["permille"]: r["q_est"] for r in q.collect()}
+    lo_e, hi_e = edges[100], edges[900]
+    for r in got:
+        if r["x"] is None:
+            assert r["clipped"] is None and r["was_clipped"] is None
+        elif math.isnan(r["x"]):
+            assert math.isnan(r["clipped"]) and r["was_clipped"] == 0
+        else:
+            want = min(hi_e, max(lo_e, r["x"]))
+            assert bits(r["clipped"]) == bits(want)
+            assert r["was_clipped"] == (1 if want != r["x"] else 0)
+    assert any(r["was_clipped"] == 1 for r in got)
+    assert any(r["was_clipped"] == 0 for r in got)
+
+
+def test_winsorize_twin_bit_exact(spark, sf_dir):
+    from esri_dump_spark.operators.hist import (
+        winsorize, winsorize_orders_oracle_sql)
+    grid = (0.0, 512000.0, 512)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sp = (winsorize(orders, "o_totalprice", *grid,
+                    ("o_orderpriority",), 10, 990)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice",
+                  "clipped", "was_clipped")
+          .orderBy("o_orderkey").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{sf_dir}/orders.parquet'")
+    du = con.execute(
+        winsorize_orders_oracle_sql(*grid, 10, 990)).fetchall()
+    assert len(sp) == len(du) > 0
+    for a, b in zip(sp, du):
+        ta = tuple(a)
+        assert (ta[0], ta[1], ta[4]) == (b[0], b[1], b[4])
+        assert bits(ta[2]) == bits(b[2])
+        assert bits(ta[3]) == bits(b[3])
+
+
+def test_winsorize_validation_and_null_group(spark):
+    from esri_dump_spark.operators.hist import winsorize
+    df = spark.createDataFrame(
+        [("a", 10.0), (None, 20.0), (None, 30.0)], "g string, x double")
+    with pytest.raises(ValueError, match="p_lo < p_hi"):
+        winsorize(df, "x", LO, HI, BINS, (), 900, 100)
+    with pytest.raises(ValueError, match="ints"):
+        winsorize(df, "x", LO, HI, BINS, (), 0, 900)
+    # NULL group keys clip against their own band (null-safe join)
+    out = winsorize(df, "x", LO, HI, BINS, ("g",), 10, 990)
+    assert out.count() == 3
+
+
 # ------------------------------------------------------------ moments
 
 def test_moments_exact_vs_fraction(spark):
@@ -264,10 +328,12 @@ def test_hist_and_moment_plans_stay_jvm(spark):
         "CAST(id % 7 AS STRING) AS g",
         "CAST(id % 997 AS DOUBLE) AS x",
         "CAST(id % 50 AS BIGINT) AS v")
+    from esri_dump_spark.operators.hist import winsorize
     h = hist_sketch(df, "x", LO, HI, BINS, ("g",))
     q = hist_quantiles(h, LO, HI, BINS, ("g",), (500,))
     m = moment_stats(df, "v", ("g",))
-    for d in (h, q, m):
+    w = winsorize(df, "x", LO, HI, BINS, ("g",), 100, 900)
+    for d in (h, q, m, w):
         p = _plan(d)
         assert "BatchEvalPython" not in p and "ArrowEval" not in p
     # the sketch and moment aggs partial-combine map-side before
