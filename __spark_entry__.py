@@ -27,7 +27,9 @@ from esri_dump_spark.operators import text as X
 from esri_dump_spark.operators import dedup as D
 from esri_dump_spark.operators import ann as A
 from esri_dump_spark.operators import sample as SM
-from esri_dump_spark.operators.lm import bigram_lm_score_oracle_sql
+from esri_dump_spark.operators.lm import (bigram_lm_score_oracle_sql,
+                                          corpus_diversity_oracle_sql,
+                                          zipf_topk_oracle_sql)
 from esri_dump_spark.operators.search import (bm25_topk_oracle_sql,
                                               rrf_weight_sql)
 from esri_dump_spark.operators.winnow import winnow_fingerprints_sql
@@ -1084,6 +1086,32 @@ def q_hist_quants(spark, sf_dir):
             .orderBy("o_orderpriority", "permille"))
 
 
+def q_corpus_diversity(spark, sf_dir):
+    """Per-source type-token ratio: the corpus-level redundancy
+    gauge (template/boilerplate-heavy sources collapse it). Rolls up
+    the vocab-sized word-count table — the corpus-scale work is one
+    map-side-combined aggregate; ALL-INTEGER plus one division, so
+    the twin is exact by construction."""
+    from esri_dump_spark.operators.lm import corpus_diversity
+    docs = _t(spark, sf_dir, "documents")
+    return (corpus_diversity(docs.where(F.col("source").isNotNull()),
+                             "text", ("source",))
+            .orderBy("source"))
+
+
+def q_zipf_topk(spark, sf_dir):
+    """Per-language Zipf head (top-5 words): the classic corpus
+    diagnostic — a head drifting from the expected stopword profile
+    flags boilerplate injection or language-ID leaks. Deterministic
+    total order (freq DESC, word ASC) over the vocab-sized
+    word-count table; ALL-INTEGER, exact twin."""
+    from esri_dump_spark.operators.lm import zipf_topk
+    docs = _t(spark, sf_dir, "documents")
+    return (zipf_topk(docs.where(F.col("lang").isNotNull()),
+                      "text", ("lang",), 5)
+            .orderBy("lang", "rank"))
+
+
 def q_winsorize_orders(spark, sf_dir):
     """Percentile clipping over the histogram sketch: clamp order
     values into their per-priority [1, 99] percentile band. The
@@ -1942,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quants": q_hist_quants,                  # new this round
         "moment_stats": q_moment_stats,                # new this round
         "winsorize_orders": q_winsorize_orders,        # new this round
+        "corpus_diversity": q_corpus_diversity,        # new this round
+        "zipf_topk": q_zipf_topk,                      # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1985,8 +2015,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ngram_jaccard_capped yielded its slot to temperature_mix
         # (r04-proven; text-dedup keeps minhash_pairs + line_dedup)
         "emb_near_dup_lsh_golden": q_emb_near_dup_lsh_golden,
-        "ivf_ann": q_ivf_ann,
-        "crossmodal_near_dup": q_crossmodal_near_dup,
+        # ivf_ann yielded its slot to corpus_diversity (r04-proven;
+        # ANN keeps quant_ann + quantize_embeddings +
+        # emb_near_dup_lsh_golden in-window)
+        # crossmodal_near_dup yielded its slot to zipf_topk
+        # (r04-proven; dedup keeps line_dedup/minhash_pairs/
+        # video/audio/emb cluster dedups/winnow_fps in-window)
         # token_count yielded its slot to shard_plan (r04-proven; the
         # text family keeps line_dedup/lm_typicality/govern_corpus)
         "govern_corpus": q_govern_corpus,
@@ -2012,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "ivf_ann": q_ivf_ann,
+        "crossmodal_near_dup": q_crossmodal_near_dup,
         "topfeatures_extract": q_topfeatures_extract,
         "asof_events": q_asof_events,
         "salted_join": q_salted_join,
@@ -2647,6 +2683,11 @@ def oracle_sql() -> dict[str, str]:
         # comparisons in both engines, boundary rows included
         "winsorize_orders": winsorize_orders_oracle_sql(*_HQ_GRID,
                                                         10, 990),
+        # corpus diversity / Zipf head: vocab-sized rollups over the
+        # shared bm25 tokenizer; ALL-INTEGER (+ the one-division ttr)
+        # with a deterministic rank order — exact by construction
+        "corpus_diversity": corpus_diversity_oracle_sql(),
+        "zipf_topk": zipf_topk_oracle_sql(5),
         # integer moments: sum/sum-of-squares stay BIGINT (HUGEINT
         # rule), mean/var/std are one division (+ one sqrt) over
         # exactly-cast integers — bit-exact without rounding

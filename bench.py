@@ -140,6 +140,8 @@ def run_headline(spark) -> dict[str, float]:
         # histogram-sketch quantiles + exact integer moments +
         # percentile clipping (round 5)
         "hist_quants", "moment_stats", "winsorize_orders",
+        # corpus diversity + Zipf head (round 5)
+        "corpus_diversity", "zipf_topk",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

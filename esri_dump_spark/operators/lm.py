@@ -59,7 +59,9 @@ from .sample import hash_u60, hash_u60_sql
 from .search import toks_duck_sql, toks_expr
 
 __all__ = ["bigram_lm_score", "bigram_lm_score_oracle_sql",
-           "bigram_perplexity", "typicality_sql"]
+           "bigram_perplexity", "typicality_sql",
+           "word_counts", "corpus_diversity", "zipf_topk", "ttr_sql",
+           "corpus_diversity_oracle_sql", "zipf_topk_oracle_sql"]
 
 
 def typicality_sql() -> str:
@@ -245,3 +247,131 @@ def bigram_perplexity(docs: DataFrame, id_col: str = "doc_id",
         F.sum("n_occ").alias("n_bigrams"),
         (-F.sum("_lp") / F.sum("n_occ")).alias("nll"))
     return per_doc.withColumn("ppl", F.exp("nll"))
+
+
+# ------------------------------------------------- corpus diversity
+
+def ttr_sql(types_expr: str, tokens_expr: str) -> str:
+    """THE type-token-ratio spelling: one IEEE division over
+    exactly-cast integer operands — bit-exact in both engines."""
+    return (f"(CAST({types_expr} AS DOUBLE)"
+            f" / CAST({tokens_expr} AS DOUBLE))")
+
+
+def word_counts(docs: DataFrame, text_col: str = "text",
+                by: tuple[str, ...] = ()) -> DataFrame:
+    """Per-group word-frequency table ``(by..., w, freq)`` over the
+    shared bm25 tokenizer (one spelling — the lm/bpe/bm25 rule).
+
+    Scale: the tokenize+explode projection is codegen over the scan
+    and the count aggregate partial-combines map-side, so each task
+    ships its LOCAL vocabulary once — Zipf makes that far smaller
+    than its token count. Downstream consumers (diversity, Zipf
+    head) run over the vocab-sized result."""
+    from .sketch import _no_clash
+    groups = [str(g) for g in by]
+    _no_clash(set(groups), "w", "freq", "_t")
+    from .sample import _qcol, _qident
+    src = (docs.filter(_qcol(text_col).isNotNull())
+               .selectExpr(*[_qident(g) for g in groups],
+                           f"{toks_expr(_qident(text_col))} AS _t")
+               .selectExpr(*[_qident(g) for g in groups],
+                           "explode_outer(_t) AS w")
+               .where(F.col("w").isNotNull()))
+    return (src.groupBy(*[_qcol(g) for g in groups], F.col("w"))
+               .agg(F.expr("CAST(count(*) AS BIGINT)").alias("freq")))
+
+
+def corpus_diversity(docs: DataFrame, text_col: str = "text",
+                     by: tuple[str, ...] = ()) -> DataFrame:
+    """Per-group corpus diversity: ``(by..., n_tokens, n_types,
+    ttr)`` — total token occurrences, distinct word types, and the
+    type-token ratio. The corpus-level redundancy gauge (a source
+    whose TTR collapses is template/boilerplate-heavy) next to the
+    per-document ``repetition`` gate. Groups with zero tokens emit
+    no row (no 0-division). ALL-INTEGER plus one division — exact
+    twin by construction.
+
+    Scale: rolls up the vocab-sized ``word_counts`` table; the
+    corpus-scale work is that one map-side-combined aggregate (never
+    an Expand over raw tokens, which a direct COUNT DISTINCT would
+    plan)."""
+    from .sample import _qcol, _qident
+    groups = [str(g) for g in by]
+    wc = word_counts(docs, text_col, by)
+    return (wc.groupBy(*[_qcol(g) for g in groups])
+              .agg(F.expr("CAST(sum(freq) AS BIGINT)")
+                    .alias("n_tokens"),
+                   F.expr("CAST(count(*) AS BIGINT)")
+                    .alias("n_types"))
+              .selectExpr(*[_qident(g) for g in groups],
+                          "n_tokens", "n_types",
+                          f"{ttr_sql('n_types', 'n_tokens')} AS ttr"))
+
+
+def zipf_topk(docs: DataFrame, text_col: str = "text",
+              by: tuple[str, ...] = (), k: int = 5) -> DataFrame:
+    """Per-group Zipf head: the ``k`` most frequent words as
+    ``(by..., rank, w, freq)`` with a DETERMINISTIC total order
+    (freq DESC, word ASC — ties can never reorder between engines).
+    The classic corpus diagnostic: a head that drifts from the
+    expected stopword profile flags boilerplate injection or
+    language-ID leaks.
+
+    Scale: the rank window runs over the vocab-sized word-count
+    table, partitioned by group — never over raw tokens."""
+    if not (isinstance(k, int) and 1 <= k <= 10000):
+        raise ValueError("k must be an int in [1, 10000]")
+    from .sample import _qcol
+    from .sketch import _no_clash
+    groups = [str(g) for g in by]
+    _no_clash(set(groups), "rank")
+    from pyspark.sql import Window
+    wc = word_counts(docs, text_col, by)
+    win = (Window.partitionBy(*[_qcol(g) for g in groups])
+                 .orderBy(F.desc("freq"), F.asc("w")))
+    return (wc.withColumn("rank", F.row_number().over(win))
+              .where(F.col("rank") <= k)
+              .select(*[_qcol(g) for g in groups],
+                      "rank", "w", "freq"))
+
+
+def corpus_diversity_oracle_sql() -> str:
+    """DuckDB twin of the ``corpus_diversity`` entry query: the
+    identical word-count rollup per source over the shared tokenizer
+    (sum cast is the HUGEINT rule) and THE ttr spelling — bit-exact.
+    NULL sources filtered on both sides (NULL-ordering split)."""
+    return f"""
+        WITH w AS (
+          SELECT source, unnest({toks_duck_sql('text')}) AS w
+          FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL),
+        c AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+          FROM w GROUP BY source, w)
+        SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               {ttr_sql('count(*)', 'sum(freq)')} AS ttr
+        FROM c GROUP BY source ORDER BY source"""
+
+
+def zipf_topk_oracle_sql(k: int) -> str:
+    """DuckDB twin of the ``zipf_topk`` entry query: identical
+    word counts per lang and the identical deterministic rank order
+    (freq DESC, w ASC) — ALL-INTEGER, exact by construction."""
+    return f"""
+        WITH w AS (
+          SELECT lang, unnest({toks_duck_sql('text')}) AS w
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL),
+        c AS (
+          SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
+          FROM w GROUP BY lang, w),
+        r AS (
+          SELECT lang, w, freq,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY freq DESC, w ASC) AS rank
+          FROM c)
+        SELECT lang, CAST(rank AS INT) AS rank, w, freq
+        FROM r WHERE rank <= {int(k)}
+        ORDER BY lang, rank"""

@@ -169,6 +169,15 @@ QUERIES = [
      "aggregate carries three BIGINTs per group over the wire; "
      "mean/variance/stddev are a final-projection IEEE chain, never "
      "a distributed float sum; no Python"),
+    ("corpus_diversity", "type-token ratio — tokenize+explode is "
+     "codegen over the scan, the word-count aggregate "
+     "partial-combines map-side (each task ships its LOCAL vocab, "
+     "never raw tokens), and the diversity rollup runs over the "
+     "vocab-sized table; never an Expand-planned COUNT DISTINCT "
+     "over occurrences; no Python"),
+    ("zipf_topk", "Zipf head — the rank window runs over the "
+     "vocab-sized word-count table partitioned by group, with a "
+     "deterministic total order (freq DESC, word ASC); no Python"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "

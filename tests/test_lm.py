@@ -172,3 +172,99 @@ def test_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------- corpus diversity
+
+def _words(text: str) -> list[str]:
+    return _TOK.findall(_ascii_lower(text))
+
+
+def test_corpus_diversity_matches_python(spark):
+    rows = [("s1", "a b a b c"), ("s1", "a a"), ("s2", "x y"),
+            ("s1", None), (None, "dropped upstream")]
+    from esri_dump_spark.operators.lm import corpus_diversity
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {r["src"]: r for r in
+           corpus_diversity(df.where("src IS NOT NULL"),
+                            "text", ("src",)).collect()}
+    want = {}
+    from collections import Counter
+    per = {}
+    for s, t in rows:
+        if s is None or t is None:
+            continue
+        per.setdefault(s, Counter()).update(_words(t))
+    for s, c in per.items():
+        n_tok, n_typ = sum(c.values()), len(c)
+        want[s] = (n_tok, n_typ, n_typ / n_tok)
+    assert set(got) == set(want)
+    for s, (nt, ny, ttr) in want.items():
+        r = got[s]
+        assert (r["n_tokens"], r["n_types"]) == (nt, ny)
+        assert struct.pack("<d", r["ttr"]) == struct.pack("<d", ttr)
+
+
+def test_zipf_topk_deterministic_ties(spark):
+    # 'b' and 'c' tie on freq — rank must break by word ASC in both
+    # engines, never by partition layout
+    rows = [("l1", "a a a b b c c"), ("l1", "d")]
+    from esri_dump_spark.operators.lm import zipf_topk
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = [(r["rank"], r["w"], r["freq"]) for r in
+           zipf_topk(df, "text", ("lang",), 3)
+           .orderBy("lang", "rank").collect()]
+    assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 2)]
+    # layout invariance
+    got13 = [(r["rank"], r["w"], r["freq"]) for r in
+             zipf_topk(df.repartition(13), "text", ("lang",), 3)
+             .orderBy("lang", "rank").collect()]
+    assert got13 == got
+
+
+def test_diversity_twins_bit_exact(spark, sf_dir):
+    import duckdb
+    from esri_dump_spark.operators.lm import (
+        corpus_diversity, corpus_diversity_oracle_sql,
+        zipf_topk, zipf_topk_oracle_sql)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    sp = (corpus_diversity(docs.where("source IS NOT NULL"),
+                           "text", ("source",))
+          .orderBy("source").collect())
+    du = con.execute(corpus_diversity_oracle_sql()).fetchall()
+    assert len(sp) == len(du) > 0
+    for a, b in zip(sp, du):
+        ta = tuple(a)
+        assert ta[:3] == b[:3]
+        assert struct.pack("<d", ta[3]) == struct.pack("<d", b[3])
+    spz = (zipf_topk(docs.where("lang IS NOT NULL"),
+                     "text", ("lang",), 5)
+           .orderBy("lang", "rank").collect())
+    duz = con.execute(zipf_topk_oracle_sql(5)).fetchall()
+    assert len(spz) == len(duz) > 0
+    assert [tuple(r) for r in spz] == [tuple(r) for r in duz]
+
+
+def test_diversity_validation_and_plans(spark):
+    from esri_dump_spark.operators.lm import (corpus_diversity,
+                                              word_counts, zipf_topk)
+    rows = [("l1", "a b c")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        zipf_topk(df, "text", ("lang",), 0)
+    with pytest.raises(ValueError, match="collide"):
+        word_counts(df.selectExpr("lang AS w", "text"), "text", ("w",))
+    for d in (word_counts(df, "text", ("lang",)),
+              corpus_diversity(df, "text", ("lang",)),
+              zipf_topk(df, "text", ("lang",), 3)):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    # the word-count agg partial-combines map-side (local vocab per
+    # task on the wire, never raw tokens)
+    p = word_counts(df, "text", ("lang",)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert p.count("HashAggregate") >= 2
