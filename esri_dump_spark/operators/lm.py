@@ -297,7 +297,9 @@ def corpus_diversity(docs: DataFrame, text_col: str = "text",
     an Expand over raw tokens, which a direct COUNT DISTINCT would
     plan)."""
     from .sample import _qcol, _qident
+    from .sketch import _no_clash
     groups = [str(g) for g in by]
+    _no_clash(set(groups), "n_tokens", "n_types", "ttr")
     wc = word_counts(docs, text_col, by)
     return (wc.groupBy(*[_qcol(g) for g in groups])
               .agg(F.expr("CAST(sum(freq) AS BIGINT)")

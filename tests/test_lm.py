@@ -257,6 +257,9 @@ def test_diversity_validation_and_plans(spark):
         zipf_topk(df, "text", ("lang",), 0)
     with pytest.raises(ValueError, match="collide"):
         word_counts(df.selectExpr("lang AS w", "text"), "text", ("w",))
+    with pytest.raises(ValueError, match="collide"):
+        corpus_diversity(df.selectExpr("lang AS ttr", "text"),
+                         "text", ("ttr",))
     for d in (word_counts(df, "text", ("lang",)),
               corpus_diversity(df, "text", ("lang",)),
               zipf_topk(df, "text", ("lang",), 3)):
