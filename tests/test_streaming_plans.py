@@ -372,3 +372,74 @@ def test_class_breaks_open_below_first_class(spark):
     got = [r.cls for r in df.withColumn(
         "cls", compile_renderer(rend)).orderBy("v").collect()]
     assert got == ["low", "low", "high"]
+
+
+def test_streaming_sketch_fold_matches_batch(spark, sf_dir, tmp_path):
+    """The mergeable-sketch streaming story, proven end-to-end: three
+    micro-batches (maxFilesPerTrigger=1) each build an HLL register
+    sketch and a histogram sketch via foreachBatch; folding the
+    per-batch sketch state (max / sum — `hll_merge`/`hist_merge`)
+    reproduces the whole-table sketches EXACTLY, registers, buckets
+    and the bit-exact estimator included. This is the 100 TB shape:
+    per-shard/day sketch state accumulates without re-reading raw
+    data, and a streaming job checkpoints sketch rows, never values."""
+    import duckdb
+
+    from esri_dump_spark.operators.hist import hist_merge, hist_sketch
+    from esri_dump_spark.operators.sketch import (hll_estimate,
+                                                  hll_merge,
+                                                  hll_register_table)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdir = tmp_path / "ev_shards"
+    sdir.mkdir()
+    # duckdb writes micro-precision timestamps Spark's fixed stream
+    # schema accepts (a pandas/pyarrow roundtrip would emit nanos)
+    con = duckdb.connect()
+    for i in range(3):
+        con.execute(
+            f"COPY (SELECT * FROM '{sf_dir}/events.parquet' "
+            f"WHERE event_id % 3 = {i}) TO "
+            f"'{sdir}/s{i}.parquet' (FORMAT parquet)")
+
+    reg_parts, hist_parts = [], []
+
+    def fold(batch_df, batch_id):
+        reg_parts.append(
+            hll_register_table(batch_df, "user_id", ("event_type",),
+                               m=256).collect())
+        hist_parts.append(
+            hist_sketch(batch_df, "value", 0.0, 1000.0, 64,
+                        ("event_type",)).collect())
+
+    stream = read_events_stream(spark, str(sdir))
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert len(reg_parts) == 3 and len(hist_parts) == 3  # one per file
+
+    def df_of(rows_lists, schema_src):
+        return [spark.createDataFrame(rows, schema_src.schema)
+                for rows in rows_lists]
+
+    whole_regs = hll_register_table(ev, "user_id", ("event_type",),
+                                    m=256)
+    folded_regs = hll_merge(*df_of(reg_parts, whole_regs))
+    as_map = lambda d, v: {tuple(r[:-1]): r[-1] for r in d.collect()}
+    assert as_map(folded_regs, "m_j") == as_map(whole_regs, "m_j")
+    # the estimator over folded state is bit-identical too
+    import struct
+    est_w = {r["event_type"]: r for r in
+             hll_estimate(whole_regs, ("event_type",), 256).collect()}
+    est_f = {r["event_type"]: r for r in
+             hll_estimate(folded_regs, ("event_type",), 256).collect()}
+    assert set(est_w) == set(est_f)
+    for k in est_w:
+        assert est_w[k]["z_int"] == est_f[k]["z_int"]
+        assert (struct.pack("<d", est_w[k]["est_raw"]) ==
+                struct.pack("<d", est_f[k]["est_raw"]))
+
+    whole_hist = hist_sketch(ev, "value", 0.0, 1000.0, 64,
+                             ("event_type",))
+    folded_hist = hist_merge(*df_of(hist_parts, whole_hist))
+    assert as_map(folded_hist, "cnt") == as_map(whole_hist, "cnt")
