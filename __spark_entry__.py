@@ -38,7 +38,9 @@ from esri_dump_spark.operators.sketch import (hll_events_oracle_sql,
                                               bloom_decon_oracle_sql)
 from esri_dump_spark.operators.hist import (hist_orders_oracle_sql,
                                             winsorize_orders_oracle_sql)
-from esri_dump_spark.operators.profile import moment_docs_oracle_sql
+from esri_dump_spark.operators.profile import (
+    moment_docs_oracle_sql, rank_normalize_docs_oracle_sql)
+from esri_dump_spark.operators.skew import skew_report_oracle_sql
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -1086,6 +1088,34 @@ def q_hist_quants(spark, sf_dir):
             .orderBy("o_orderpriority", "permille"))
 
 
+def q_skew_report(spark, sf_dir):
+    """Pre-join skew gauge: the 15 heaviest user_id keys with their
+    counts and ALL-INTEGER ppm shares — the report you run on a join
+    input before committing to a shuffle strategy. One map-side-
+    combined count aggregate; rank/share run over the key-cardinality
+    table. NULLS LAST pinned on the tiebreak (Spark's ASC default is
+    NULLS FIRST, DuckDB's NULLS LAST)."""
+    from esri_dump_spark.operators.skew import skew_report
+    ev = _t(spark, sf_dir, "events")
+    return (skew_report(ev, ("user_id",), 15)
+            .selectExpr("rank", "user_id AS key", "cnt", "share_ppm")
+            .orderBy("rank"))
+
+
+def q_rank_normalize(spark, sf_dir):
+    """Cross-source score calibration: per-language percentile rank
+    of document length (tie: doc_id — deterministic total order).
+    Ranks/counts are integers riding ONE window exchange; pct_rank
+    is one division — exact twin by construction."""
+    from esri_dump_spark.operators.profile import rank_normalize
+    docs = _t(spark, sf_dir, "documents")
+    return (rank_normalize(docs.where(F.col("lang").isNotNull()),
+                           "n_chars", ("lang",), ("doc_id",))
+            .select("doc_id", "lang", "n_chars", "rank_n",
+                    "n_group", "pct_rank")
+            .orderBy("lang", "rank_n"))
+
+
 def q_corpus_diversity(spark, sf_dir):
     """Per-source type-token ratio: the corpus-level redundancy
     gauge (template/boilerplate-heavy sources collapse it). Rolls up
@@ -1972,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_orders": q_winsorize_orders,        # new this round
         "corpus_diversity": q_corpus_diversity,        # new this round
         "zipf_topk": q_zipf_topk,                      # new this round
+        "skew_report": q_skew_report,                  # new this round
+        "rank_normalize": q_rank_normalize,            # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -1994,7 +2026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pip_rect yielded its slot to normalize_text (r04-proven;
         # geo keeps poly_intersect_join/anti, polygon_stats, knn_geo,
         # pip_fixture_polygons in-window)
-        "poly_intersect_join": q_poly_intersect_join,
+        # poly_intersect_join yielded its slot to skew_report
+        # (r04-proven; geo keeps polygon_stats/knn_geo/
+        # pip_fixture_polygons/poly_intersect_anti in-window)
         "polygon_stats": q_polygon_stats,      # r03 red cell stays green
         "knn_geo": q_knn_geo,
         # radius_geo yielded its slot to mad_outliers (r04-proven; the
@@ -2008,7 +2042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,            # new this round
         # renderer_compile yielded its slot to cm_words (r04-proven;
         # the doc family keeps tilejson_doc in-window)
-        "minhash_pairs": q_minhash_pairs,
+        # minhash_pairs yielded its slot to rank_normalize
+        # (r04-proven; its twin is the same engine as
+        # minhash_pairs_hashkey past the boundary, and text-dedup
+        # keeps line_dedup + winnow_fps in-window)
         # simhash_pairs yielded its slot to lm_typicality (r04-proven;
         # text-dedup keeps minhash_pairs + line_dedup +
         # ngram_jaccard_capped in-window)
@@ -2046,6 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "poly_intersect_join": q_poly_intersect_join,
+        "minhash_pairs": q_minhash_pairs,
         "ivf_ann": q_ivf_ann,
         "crossmodal_near_dup": q_crossmodal_near_dup,
         "topfeatures_extract": q_topfeatures_extract,
@@ -2688,6 +2727,10 @@ def oracle_sql() -> dict[str, str]:
         # with a deterministic rank order — exact by construction
         "corpus_diversity": corpus_diversity_oracle_sql(),
         "zipf_topk": zipf_topk_oracle_sql(5),
+        # skew gauge / rank calibration: all-integer counts, ranks
+        # and ppm shares; pct_rank is one division — exact twins
+        "skew_report": skew_report_oracle_sql("user_id", "events", 15),
+        "rank_normalize": rank_normalize_docs_oracle_sql(),
         # integer moments: sum/sum-of-squares stay BIGINT (HUGEINT
         # rule), mean/var/std are one division (+ one sqrt) over
         # exactly-cast integers — bit-exact without rounding

@@ -142,6 +142,8 @@ def run_headline(spark) -> dict[str, float]:
         "hist_quants", "moment_stats", "winsorize_orders",
         # corpus diversity + Zipf head (round 5)
         "corpus_diversity", "zipf_topk",
+        # skew gauge + rank calibration (round 5)
+        "skew_report", "rank_normalize",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

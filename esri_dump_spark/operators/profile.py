@@ -33,7 +33,8 @@ from pyspark.sql.types import (ByteType, IntegerType, LongType,
                                ShortType, StringType)
 
 __all__ = ["profile_columns", "moment_stats", "moment_mean_sql",
-           "moment_var_sql"]
+           "moment_var_sql", "rank_normalize", "pct_rank_sql",
+           "rank_normalize_docs_oracle_sql"]
 
 _OK_TYPES = (ByteType, ShortType, IntegerType, LongType, StringType)
 
@@ -212,3 +213,79 @@ def moment_docs_oracle_sql() -> str:
                {var} AS var_pop,
                sqrt({var}) AS std_pop
         FROM a ORDER BY lang"""
+
+
+def pct_rank_sql(rn_expr: str, n_expr: str) -> str:
+    """THE percent-rank spelling: one IEEE division over exactly-cast
+    integer rank/count — bit-exact in both engines."""
+    return (f"(CAST({rn_expr} AS DOUBLE)"
+            f" / CAST({n_expr} AS DOUBLE))")
+
+
+def rank_normalize(df: DataFrame, value_col: str,
+                   by: tuple[str, ...] = (),
+                   tie_cols: tuple[str, ...] = (),
+                   out_col: str = "pct_rank") -> DataFrame:
+    """Per-group rank normalization: append ``rank_n`` (1-based rank
+    of ``value_col`` ascending), ``n_group`` and ``out_col`` =
+    ``rank_n / n_group`` in (0, 1] — the cross-source calibration
+    trick: raw quality scores from different scorers are not
+    comparable, their per-source percentile ranks are. NULL and NaN
+    values are EXCLUDED (they have no rank; rows drop — filter
+    upstream to keep them).
+
+    Determinism contract: ``(value_col, *tie_cols)`` must totally
+    order each group — pass a unique id in ``tie_cols`` whenever
+    values can repeat, or ranks of tied rows are layout-dependent
+    (the caller owns this; the entry query ties on doc_id). All
+    ranks/counts are integers and ``out_col`` is ONE division — the
+    twin is exact by construction.
+
+    Scale: one window exchange on the group keys (the topk_window
+    shape); the count rides the same window frame, so there is no
+    second aggregate or join."""
+    from pyspark.sql import Window
+    from .sample import _qcol, _qident
+    from .sketch import _no_clash
+    groups = [str(g) for g in by]
+    ties = [str(t) for t in tie_cols]
+    _no_clash(set(groups) | set(ties) | {str(value_col)},
+              "rank_n", "n_group", str(out_col))
+    v = _qident(value_col)
+    src = df.where(F.expr(
+        f"{v} IS NOT NULL AND NOT isnan(CAST({v} AS DOUBLE))"))
+    win = (Window.partitionBy(*[_qcol(g) for g in groups])
+                 .orderBy(_qcol(value_col).asc(),
+                          *[_qcol(t).asc() for t in ties]))
+    cw = (Window.partitionBy(*[_qcol(g) for g in groups])
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing))
+    return (src.withColumn("rank_n", F.row_number().over(win)
+                            .cast("bigint"))
+               .withColumn("n_group", F.count(F.lit(1)).over(cw)
+                            .cast("bigint"))
+               .withColumn(out_col,
+                           F.expr(pct_rank_sql("rank_n", "n_group"))))
+
+
+def rank_normalize_docs_oracle_sql() -> str:
+    """DuckDB twin of the ``rank_normalize`` entry query: identical
+    rank/count windows per lang over n_chars (tie: doc_id) and THE
+    pct spelling — exact by construction. NULL langs filtered on
+    both sides (NULL-ordering split)."""
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lang, n_chars
+          FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        r AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY n_chars ASC, doc_id ASC) AS BIGINT)
+                     AS rank_n,
+                 CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                     AS n_group
+          FROM s)
+        SELECT doc_id, lang, n_chars, rank_n, n_group,
+               {pct_rank_sql('rank_n', 'n_group')} AS pct_rank
+        FROM r ORDER BY lang, rank_n"""

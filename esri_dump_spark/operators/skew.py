@@ -29,7 +29,9 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hot_keys", "salted_repartition", "two_phase_agg", "salted_join"]
+__all__ = ["hot_keys", "salted_repartition", "two_phase_agg",
+           "salted_join", "skew_report", "share_ppm_sql",
+           "skew_report_oracle_sql"]
 
 
 def hot_keys(df: DataFrame, key: str, threshold_frac: float = 0.01,
@@ -163,3 +165,75 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         s = small.withColumn("_salt", F.lit(0))
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def share_ppm_sql(cnt_expr: str, total_expr: str, dialect) -> str:
+    """THE share spelling: parts-per-million as the ALL-INTEGER
+    ``(cnt * 1000000) DIV total`` — exact in both engines, no float
+    ever enters the share."""
+    return (f"CAST((({cnt_expr}) * 1000000)"
+            f" {dialect['div']} ({total_expr}) AS BIGINT)")
+
+
+def skew_report(df: DataFrame, key_cols: tuple[str, ...],
+                k: int = 10) -> DataFrame:
+    """The pre-join skew gauge: the ``k`` heaviest join-key values as
+    ``(rank, key..., cnt, share_ppm)`` — run it on a join input
+    BEFORE committing to a shuffle strategy; a head key above a few
+    percent is the signal to reach for ``salted_join`` /
+    ``two_phase_agg`` (or trust AQE's splitter, which this report
+    lets you verify). Deterministic total order (cnt DESC, keys ASC
+    NULLS LAST — pinned explicitly: Spark's default ASC is NULLS
+    FIRST, DuckDB's is NULLS LAST) and an ALL-INTEGER ppm share, so
+    the observable face is exactly twinnable where ``hot_keys``
+    (driver-side threshold list) is not.
+
+    Scale: ONE map-side-combined count aggregate over the scan; the
+    rank window and the 1-row total join run over the
+    key-cardinality-sized counts table (AQE broadcasts the total).
+    NULL keys count as their own group, like groupBy."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not (isinstance(k, int) and 1 <= k <= 100000):
+        raise ValueError("k must be an int in [1, 100000]")
+    from pyspark.sql import Window
+
+    from .sample import _qcol
+    from .sketch import SPARK, _no_clash
+    keys = [str(c) for c in key_cols]
+    _no_clash(set(keys), "cnt", "rank", "share_ppm", "_sr_total")
+    counts = (df.groupBy(*[_qcol(c) for c in keys])
+                .agg(F.expr("CAST(count(*) AS BIGINT)").alias("cnt")))
+    total = counts.agg(F.expr("CAST(sum(cnt) AS BIGINT)")
+                        .alias("_sr_total"))
+    win = Window.orderBy(F.desc("cnt"),
+                         *[_qcol(c).asc_nulls_last() for c in keys])
+    return (counts.withColumn("rank", F.row_number().over(win))
+                  .where(F.col("rank") <= k)
+                  .crossJoin(total)
+                  .selectExpr("CAST(rank AS INT) AS rank",
+                              *[f"`{c}`" for c in keys], "cnt",
+                              share_ppm_sql("cnt", "_sr_total", SPARK)
+                              + " AS share_ppm"))
+
+
+def skew_report_oracle_sql(key_sql: str, table: str, k: int) -> str:
+    """DuckDB twin of a ``skew_report`` over one key column: the
+    identical count/rank/share derivation (NULLS LAST pinned on the
+    tiebreak; DIV dialect via ``sketch.DUCK``) — ALL-INTEGER, exact
+    by construction."""
+    from .sketch import DUCK
+    return f"""
+        WITH c AS (
+          SELECT {key_sql} AS key, CAST(count(*) AS BIGINT) AS cnt
+          FROM {table} GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        r AS (
+          SELECT key, cnt,
+                 row_number() OVER (ORDER BY cnt DESC,
+                                    key ASC NULLS LAST) AS rank
+          FROM c)
+        SELECT CAST(rank AS INT) AS rank, key, cnt,
+               {share_ppm_sql('cnt', 'total', DUCK)} AS share_ppm
+        FROM r, t WHERE rank <= {int(k)}
+        ORDER BY rank"""

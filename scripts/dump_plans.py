@@ -178,6 +178,15 @@ QUERIES = [
     ("zipf_topk", "Zipf head — the rank window runs over the "
      "vocab-sized word-count table partitioned by group, with a "
      "deterministic total order (freq DESC, word ASC); no Python"),
+    ("skew_report", "pre-join skew gauge — one map-side-combined "
+     "count aggregate over the scan; the global rank window and the "
+     "1-row total cross join run over the key-cardinality counts "
+     "table (the single-partition WindowExec warning is the design: "
+     "sketch-sized input), top-k rows only; no Python"),
+    ("rank_normalize", "percentile-rank calibration — rank and "
+     "group-count ride ONE window exchange on the group keys (no "
+     "second aggregate or join); pct_rank is a codegen division; "
+     "no Python"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "

@@ -172,3 +172,84 @@ def test_staged_regexp_rejects_metachar_replacements(spark):
         _staged_regexp(df, bad, "text", "o")
     with pytest.raises(ValueError, match="metacharacters"):
         _staged_regexp_sql([("s", "x", "a\\b")], "text", "o")
+
+
+# ------------------------------------------- rank_normalize / skew
+
+def test_rank_normalize_matches_python(spark):
+    import struct
+
+    from esri_dump_spark.operators.profile import rank_normalize
+    rows = [(1, "a", 30), (2, "a", 10), (3, "a", 30), (4, "b", 5),
+            (5, "a", None), (6, "a", float("nan"))]
+    df = spark.createDataFrame(
+        [(i, g, float(v) if v is not None else None)
+         for i, g, v in rows], "id long, g string, x double")
+    got = {r["id"]: r for r in
+           rank_normalize(df, "x", ("g",), ("id",)).collect()}
+    # NULL and NaN rows dropped (no rank)
+    assert set(got) == {1, 2, 3, 4}
+    # tie at x=30 breaks by id: 1 before 3
+    want = {2: (1, 3), 1: (2, 3), 3: (3, 3), 4: (1, 1)}
+    for i, (rn, n) in want.items():
+        r = got[i]
+        assert (r["rank_n"], r["n_group"]) == (rn, n)
+        assert struct.pack("<d", r["pct_rank"]) == \
+            struct.pack("<d", rn / n)
+    # layout invariance of the tie-break
+    got13 = {r["id"]: (r["rank_n"], r["n_group"]) for r in
+             rank_normalize(df.repartition(13), "x", ("g",),
+                            ("id",)).collect()}
+    assert got13 == {i: want[i] for i in got13}
+
+
+def test_rank_normalize_validation(spark):
+    from esri_dump_spark.operators.profile import rank_normalize
+    df = spark.createDataFrame([(1, 2.0)], "rank_n long, x double")
+    with pytest.raises(ValueError, match="collide"):
+        rank_normalize(df, "x", ("rank_n",))
+
+
+def test_skew_report_matches_python_and_layout(spark):
+    from esri_dump_spark.operators.skew import skew_report
+    rows = ([("hot",)] * 50 + [("warm",)] * 30 + [("w2",)] * 30
+            + [(f"k{i}",) for i in range(20)])
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r["rank"], r["k"], r["cnt"], r["share_ppm"]) for r in
+           skew_report(df, ("k",), 3).orderBy("rank").collect()]
+    total = len(rows)
+    # tie at 30 breaks by key ASC: w2 before warm
+    assert got == [(1, "hot", 50, 50 * 1000000 // total),
+                   (2, "w2", 30, 30 * 1000000 // total),
+                   (3, "warm", 30, 30 * 1000000 // total)]
+    got13 = [(r["rank"], r["k"], r["cnt"], r["share_ppm"]) for r in
+             skew_report(df.repartition(13), ("k",), 3)
+             .orderBy("rank").collect()]
+    assert got13 == got
+    with pytest.raises(ValueError, match="key_cols"):
+        skew_report(df, ())
+    with pytest.raises(ValueError, match="collide"):
+        skew_report(df.selectExpr("k AS cnt"), ("cnt",))
+
+
+def test_skew_report_null_keys_and_nulls_last(spark):
+    from esri_dump_spark.operators.skew import skew_report
+    # NULL keys count as a group; at a cnt tie the NULL key ranks
+    # LAST (pinned NULLS LAST — DuckDB's default, Spark's is not)
+    df = spark.createDataFrame([("a",), ("a",), (None,), (None,)],
+                               "k string")
+    got = [(r["rank"], r["k"], r["cnt"]) for r in
+           skew_report(df, ("k",), 5).orderBy("rank").collect()]
+    assert got == [(1, "a", 2), (2, None, 2)]
+
+
+def test_rank_and_skew_plans_stay_jvm(spark):
+    from esri_dump_spark.operators.profile import rank_normalize
+    from esri_dump_spark.operators.skew import skew_report
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS g",
+        "CAST(id % 97 AS DOUBLE) AS x")
+    for d in (rank_normalize(df, "x", ("g",), ("id",)),
+              skew_report(df, ("g",), 3)):
+        p = d._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p
