@@ -249,14 +249,20 @@ def rank_normalize(df: DataFrame, value_col: str,
     from .sketch import _no_clash
     groups = [str(g) for g in by]
     ties = [str(t) for t in tie_cols]
-    _no_clash(set(groups) | set(ties) | {str(value_col)},
+    # check against EVERY input column, not just the named ones:
+    # unlike the aggregate-shaped siblings this operator keeps all
+    # columns, so a pre-existing rank_n would be silently overwritten
+    _no_clash(set(df.columns),
               "rank_n", "n_group", str(out_col))
     v = _qident(value_col)
     src = df.where(F.expr(
         f"{v} IS NOT NULL AND NOT isnan(CAST({v} AS DOUBLE))"))
+    # ties pin NULLS LAST: Spark's bare asc() is NULLS FIRST while a
+    # SQL twin's bare ASC is NULLS LAST in DuckDB — the skew_report
+    # rule (value_col needs no pin: NULLs are filtered above)
     win = (Window.partitionBy(*[_qcol(g) for g in groups])
                  .orderBy(_qcol(value_col).asc(),
-                          *[_qcol(t).asc() for t in ties]))
+                          *[_qcol(t).asc_nulls_last() for t in ties]))
     cw = (Window.partitionBy(*[_qcol(g) for g in groups])
                 .rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing))

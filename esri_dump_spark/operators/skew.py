@@ -188,9 +188,11 @@ def skew_report(df: DataFrame, key_cols: tuple[str, ...],
     the observable face is exactly twinnable where ``hot_keys``
     (driver-side threshold list) is not.
 
-    Scale: ONE map-side-combined count aggregate over the scan; the
-    rank window and the 1-row total join run over the
-    key-cardinality-sized counts table (AQE broadcasts the total).
+    Scale: ONE map-side-combined count aggregate over the scan — the
+    rank and the total both ride windows over the key-cardinality
+    counts table (the total is a full-frame window sum, NOT a second
+    aggregate branch: a separate ``counts.agg`` would re-plan the
+    corpus scan and only runtime exchange reuse would save it).
     NULL keys count as their own group, like groupBy."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -202,17 +204,23 @@ def skew_report(df: DataFrame, key_cols: tuple[str, ...],
     from .sketch import SPARK, _no_clash
     keys = [str(c) for c in key_cols]
     _no_clash(set(keys), "cnt", "rank", "share_ppm", "_sr_total")
+    from .sample import _qident
     counts = (df.groupBy(*[_qcol(c) for c in keys])
                 .agg(F.expr("CAST(count(*) AS BIGINT)").alias("cnt")))
-    total = counts.agg(F.expr("CAST(sum(cnt) AS BIGINT)")
-                        .alias("_sr_total"))
     win = Window.orderBy(F.desc("cnt"),
                          *[_qcol(c).asc_nulls_last() for c in keys])
+    # the total is a full-frame window sum over the SAME (global)
+    # counts partition the rank uses — one structural aggregate, no
+    # second scan branch for exchange reuse to rescue
+    tot_w = (Window.partitionBy()
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))
     return (counts.withColumn("rank", F.row_number().over(win))
+                  .withColumn("_sr_total",
+                              F.sum("cnt").over(tot_w).cast("bigint"))
                   .where(F.col("rank") <= k)
-                  .crossJoin(total)
                   .selectExpr("CAST(rank AS INT) AS rank",
-                              *[f"`{c}`" for c in keys], "cnt",
+                              *[_qident(c) for c in keys], "cnt",
                               share_ppm_sql("cnt", "_sr_total", SPARK)
                               + " AS share_ppm"))
 

@@ -208,6 +208,30 @@ def test_rank_normalize_validation(spark):
     df = spark.createDataFrame([(1, 2.0)], "rank_n long, x double")
     with pytest.raises(ValueError, match="collide"):
         rank_normalize(df, "x", ("rank_n",))
+    # ANY pre-existing output-named column must refuse, even when it
+    # is not a group/tie/value column — this operator keeps all
+    # columns, so it would otherwise be silently overwritten
+    df2 = spark.createDataFrame([(1, 2.0, 999)],
+                                "id long, x double, n_group long")
+    with pytest.raises(ValueError, match="collide"):
+        rank_normalize(df2, "x", (), ("id",))
+
+
+def test_rank_normalize_null_tie_matches_duckdb(spark):
+    # a NULL tie value at a tied rank must order LAST in BOTH engines
+    # (Spark's bare asc() would put it FIRST)
+    import duckdb
+    from esri_dump_spark.operators.profile import rank_normalize
+    df = spark.createDataFrame([(None, 5.0), (7, 5.0), (3, 5.0)],
+                               "id long, x double")
+    got = [(r["id"], r["rank_n"]) for r in
+           rank_normalize(df, "x", (), ("id",))
+           .orderBy("rank_n").collect()]
+    du = duckdb.connect().execute(
+        "SELECT id, row_number() OVER (ORDER BY x ASC, id ASC) "
+        "FROM (VALUES (NULL, 5.0), (7, 5.0), (3, 5.0)) v(id, x) "
+        "ORDER BY 2").fetchall()
+    assert got == [tuple(r) for r in du] == [(3, 1), (7, 2), (None, 3)]
 
 
 def test_skew_report_matches_python_and_layout(spark):
@@ -230,6 +254,10 @@ def test_skew_report_matches_python_and_layout(spark):
         skew_report(df, ())
     with pytest.raises(ValueError, match="collide"):
         skew_report(df.selectExpr("k AS cnt"), ("cnt",))
+    # hostile key names survive the output projection too
+    hostile = df.selectExpr("k AS `we``ird`")
+    got_h = skew_report(hostile, ("we`ird",), 1).collect()
+    assert got_h[0]["we`ird"] == "hot"
 
 
 def test_skew_report_null_keys_and_nulls_last(spark):
@@ -253,3 +281,11 @@ def test_rank_and_skew_plans_stay_jvm(spark):
               skew_report(df, ("g",), 3)):
         p = d._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    # the total is a window over the counts table, NOT a second
+    # aggregate branch: exactly one partial/final HashAggregate pair
+    # and no join node in the skew_report plan
+    p = skew_report(df, ("g",), 3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert p.count("HashAggregate") == 2
+    for node in ("CartesianProduct", "BroadcastNestedLoop", "Join"):
+        assert node not in p
