@@ -41,6 +41,7 @@ from esri_dump_spark.operators.hist import (hist_orders_oracle_sql,
 from esri_dump_spark.operators.profile import (
     moment_docs_oracle_sql, rank_normalize_docs_oracle_sql)
 from esri_dump_spark.operators.skew import skew_report_oracle_sql
+from esri_dump_spark.operators.text import dup_ngram_stats_oracle_sql
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -1088,6 +1089,17 @@ def q_hist_quants(spark, sf_dir):
             .orderBy("o_orderpriority", "permille"))
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """The n-gram rows of the Gopher repetition table: per-document
+    duplicate / top 3-gram character mass and fractions. ZERO
+    shuffle — a single sorted-run aggregate fold per document inside
+    codegen; every statistic all-integer, each fraction one
+    division — exact twin (explode + GROUP BY form)."""
+    from esri_dump_spark.operators.text import dup_ngram_stats
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, "doc_id", "text", 3).orderBy("doc_id")
+
+
 def q_skew_report(spark, sf_dir):
     """Pre-join skew gauge: the 15 heaviest user_id keys with their
     counts and ALL-INTEGER ppm shares — the report you run on a join
@@ -2004,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_topk": q_zipf_topk,                      # new this round
         "skew_report": q_skew_report,                  # new this round
         "rank_normalize": q_rank_normalize,            # new this round
+        "dup_ngrams": q_dup_ngrams,                    # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -2034,9 +2047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # radius_geo yielded its slot to mad_outliers (r04-proven; the
         # geo family keeps knn_geo/poly_intersect_join/polygon_stats/
         # pip_fixture_polygons in-window — pip_rect later yielded too)
-        # tile family canary is tile_pyramid (its leaf level IS
-        # assign_tiles); tile_assign stays past the boundary
-        "tile_pyramid": q_tile_pyramid,
+        # tile_pyramid yielded its slot to dup_ngrams (r04-proven,
+        # as is tile_assign — the tile family moves past the
+        # boundary whole)
         # cell_assign yielded its slot to hll_users (r04-proven; the
         # cell/tile family keeps tile_pyramid in-window)
         "line_dedup": q_line_dedup,            # new this round
@@ -2083,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "tile_pyramid": q_tile_pyramid,
         "poly_intersect_join": q_poly_intersect_join,
         "minhash_pairs": q_minhash_pairs,
         "ivf_ann": q_ivf_ann,
@@ -2731,6 +2745,9 @@ def oracle_sql() -> dict[str, str]:
         # and ppm shares; pct_rank is one division — exact twins
         "skew_report": skew_report_oracle_sql("user_id", "events", 15),
         "rank_normalize": rank_normalize_docs_oracle_sql(),
+        # gopher n-gram repetition: all-integer char masses + one
+        # division per fraction — exact by construction
+        "dup_ngrams": dup_ngram_stats_oracle_sql(3),
         # integer moments: sum/sum-of-squares stay BIGINT (HUGEINT
         # rule), mean/var/std are one division (+ one sqrt) over
         # exactly-cast integers — bit-exact without rounding

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_count", "quality_score", "language_id", "fingerprint",
     "repetition_signals", "redact_pii", "chunk_text", "line_dedup",
-    "normalize_text",
+    "normalize_text", "dup_ngram_stats", "dup_ngram_stats_oracle_sql",
     "token_count_sql", "quality_score_sql", "language_id_sql",
     "fingerprint_sql", "repetition_signals_sql", "redact_pii_sql",
     "chunk_text_sql", "line_dedup_sql", "normalize_text_sql",
@@ -635,3 +635,133 @@ def chunk_text_sql(id_col: str, text_col: str = "text",
         FROM {table}, UNNEST(generate_series(1, {n_expr}))
              AS _ci(i)
         WHERE length({text_col}) > 0"""
+
+
+def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3) -> DataFrame:
+    """The rest of the Gopher repetition table (Rae et al. 2021,
+    table A1): duplicate / top n-gram CHARACTER mass per document —
+    ``repetition_signals`` covers the line/word rows, this covers
+    the n-gram rows. Output per doc (docs with >= 1 n-gram):
+
+      n_grams            — n-gram occurrences
+      total_gram_chars   — sum of char lengths over ALL occurrences
+      dup_gram_chars     — char mass of grams occurring > once
+                           (freq * len summed over those grams)
+      top_gram_chars     — max over grams of freq * len (the most
+                           char-dominating gram; a pure integer max,
+                           so no tie-break is ever needed)
+      dup_char_frac, top_char_frac — the two fractions
+
+    Exactness: every statistic is an ALL-INTEGER per-document fold;
+    each fraction is ONE IEEE division — bit-exact twin with no
+    rounding (char mass uses ``length`` = character count in BOTH
+    engines; tokens come from the shared bm25 spelling so the gram
+    universe can never drift from lm/bpe/bm25).
+
+    Scale: ZERO shuffle — tokenize, gram-build, sort and a single
+    ``aggregate`` run-length fold are all per-row array work inside
+    whole-stage codegen (the repetition_signals O(g log g) trick:
+    per-gram frequencies are run lengths of the SORTED gram array,
+    never a count-each-distinct quadratic transform). Every array is
+    referenced exactly ONCE down a single expression chain, so
+    CollapseProject cannot duplicate the gram hashing (the r32
+    winnow lesson). The SQL twin keeps the obviously-correct
+    explode + GROUP BY form: an oracle needs equivalence, not
+    throughput."""
+    if not (isinstance(n, int) and 1 <= n <= 10):
+        raise ValueError("n must be an int in [1, 10]")
+    from .sample import _qcol, _qident
+    from .search import toks_expr
+    from .sketch import _no_clash
+    _no_clash(set(df.columns) - {str(id_col)},
+              "n_grams", "total_gram_chars", "dup_gram_chars",
+              "top_gram_chars", "dup_char_frac", "top_char_frac",
+              "_dg_st")
+    parts = " , ".join(f"element_at(_t, i + {j})" for j in range(n))
+    joiner = f"concat_ws(' ', {parts})"
+    grams = (f"CASE WHEN size(_t) >= {n} THEN "
+             f"transform(sequence(1, size(_t) - {n - 1}), "
+             f"i -> {joiner}) ELSE array() END")
+    # ONE fold over the sorted gram array: (prev, run, cnt, tot,
+    # dupc, topc); runs close when the gram changes, the finisher
+    # closes the last run. freq == run length on a sorted array.
+    fold = f"""
+        aggregate(
+          array_sort({grams}),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+                       'cnt', 0L, 'tot', 0L, 'dupc', 0L, 'topc', 0L),
+          (acc, x) -> named_struct(
+              'prev', x,
+              'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+                        acc.run + 1L, 1L),
+              'cnt', acc.cnt + 1L,
+              'tot', acc.tot + length(x),
+              'dupc', acc.dupc + IF(acc.prev IS NOT NULL
+                        AND x != acc.prev AND acc.run > 1L,
+                        acc.run * length(acc.prev), 0L),
+              'topc', GREATEST(acc.topc,
+                        IF(acc.prev IS NOT NULL AND x != acc.prev,
+                           acc.run * length(acc.prev), 0L))),
+          acc -> named_struct(
+              'prev', acc.prev, 'run', acc.run, 'cnt', acc.cnt,
+              'tot', acc.tot,
+              'dupc', acc.dupc + IF(acc.run > 1L,
+                        acc.run * length(acc.prev), 0L),
+              'topc', GREATEST(acc.topc,
+                        IF(acc.prev IS NOT NULL,
+                           acc.run * length(acc.prev), 0L))))"""
+    t = _qident(text_col)
+    out = (df.where(_qcol(text_col).isNotNull())
+             .selectExpr(_qident(id_col), f"{toks_expr(t)} AS _t")
+             .selectExpr(_qident(id_col), f"{fold} AS _dg_st")
+             .where(F.col("_dg_st.cnt") > 0))
+    return out.selectExpr(
+        _qident(id_col),
+        "_dg_st.cnt AS n_grams",
+        "_dg_st.tot AS total_gram_chars",
+        "_dg_st.dupc AS dup_gram_chars",
+        "_dg_st.topc AS top_gram_chars",
+        "(CAST(_dg_st.dupc AS DOUBLE) / CAST(_dg_st.tot AS DOUBLE))"
+        " AS dup_char_frac",
+        "(CAST(_dg_st.topc AS DOUBLE) / CAST(_dg_st.tot AS DOUBLE))"
+        " AS top_char_frac")
+
+
+def dup_ngram_stats_oracle_sql(n: int = 3) -> str:
+    """DuckDB twin of the ``dup_ngrams`` entry query: the identical
+    gram universe (shared tokenizer; 1-based list slicing) counted in
+    the explode + GROUP BY form, then the same ALL-INTEGER masses and
+    single-division fractions — exact by construction."""
+    from .search import toks_duck_sql
+    if not (isinstance(n, int) and 1 <= n <= 10):
+        raise ValueError("n must be an int in [1, 10]")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {toks_duck_sql('text')} AS t
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(t, i, i + {n - 1}), ' ')
+                     AS gram
+          FROM d, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+          WHERE len(t) >= {n}),
+        c AS (
+          SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS f,
+                 CAST(length(gram) AS BIGINT) AS l
+          FROM g GROUP BY doc_id, gram),
+        a AS (
+          SELECT doc_id,
+                 CAST(sum(f) AS BIGINT) AS n_grams,
+                 CAST(sum(f * l) AS BIGINT) AS total_gram_chars,
+                 CAST(sum(CASE WHEN f > 1 THEN f * l ELSE 0 END)
+                      AS BIGINT) AS dup_gram_chars,
+                 CAST(max(f * l) AS BIGINT) AS top_gram_chars
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, n_grams, total_gram_chars, dup_gram_chars,
+               top_gram_chars,
+               (CAST(dup_gram_chars AS DOUBLE)
+                / CAST(total_gram_chars AS DOUBLE)) AS dup_char_frac,
+               (CAST(top_gram_chars AS DOUBLE)
+                / CAST(total_gram_chars AS DOUBLE)) AS top_char_frac
+        FROM a ORDER BY doc_id"""

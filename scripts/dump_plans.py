@@ -187,6 +187,11 @@ QUERIES = [
      "group-count ride ONE window exchange on the group keys (no "
      "second aggregate or join); pct_rank is a codegen division; "
      "no Python"),
+    ("dup_ngrams", "gopher n-gram repetition — ZERO shuffle: "
+     "tokenize, gram-build, sort and ONE run-length aggregate fold "
+     "per document, all inside whole-stage codegen; every array "
+     "referenced once down a single expression chain so "
+     "CollapseProject cannot duplicate the work; no Python"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "

@@ -1571,3 +1571,62 @@ def test_chunk_text_hostile_column_names(spark):
     got = sorted((r["the id"], r.chunk_idx, r.chunk_text)
                  for r in out.collect())
     assert got == [(1, 1, "abcd"), (1, 2, "ef")]
+
+
+# ----------------------------------------------- dup n-gram stats
+
+def test_dup_ngram_stats_hand_and_twin(spark, sf_dir):
+    import struct
+
+    import duckdb
+
+    from esri_dump_spark.operators.text import (
+        dup_ngram_stats, dup_ngram_stats_oracle_sql)
+    # hand-counted bigrams: doc 1 = 'a b' x3 (len 3) + 'b a' x2
+    # (len 3) -> n=5 tot=15 dup=15 top=9; doc 2 all-unique
+    rows = [(1, "a b a b a b"), (2, "x y z"), (3, None), (4, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           dup_ngram_stats(df, "doc_id", "text", 2).collect()}
+    assert got[1][:4] == (5, 15, 15, 9)
+    assert struct.pack("<d", got[1][4]) == struct.pack("<d", 1.0)
+    assert struct.pack("<d", got[1][5]) == struct.pack("<d", 9 / 15)
+    assert got[2][:4] == (2, 6, 0, 3)
+    assert 3 not in got and 4 not in got  # NULL text / no bigram
+    # layout invariance of the per-doc fold
+    got13 = {r["doc_id"]: tuple(r)[1:] for r in
+             dup_ngram_stats(df.repartition(13), "doc_id",
+                             "text", 2).collect()}
+    assert got13 == got
+    # twin bit-exactness on the real corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = dup_ngram_stats(docs, "doc_id", "text", 3) \
+        .orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    du = con.execute(dup_ngram_stats_oracle_sql(3)).fetchall()
+    assert len(sp) == len(du) > 0
+    for a, b in zip(sp, du):
+        ta = tuple(a)
+        assert ta[:5] == b[:5]
+        for i in (5, 6):
+            assert struct.pack("<d", ta[i]) == struct.pack("<d", b[i])
+
+
+def test_dup_ngram_stats_validation_and_plan(spark):
+    import pytest as _pt
+
+    from esri_dump_spark.operators.text import dup_ngram_stats
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="n must be"):
+        dup_ngram_stats(df, "doc_id", "text", 0)
+    with _pt.raises(ValueError, match="collide"):
+        dup_ngram_stats(
+            df.selectExpr("doc_id", "text", "1 AS n_grams"),
+            "doc_id", "text", 2)
+    d = dup_ngram_stats(df, "doc_id", "text", 2)
+    p = d._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    # zero shuffle: the whole statistic is per-row array work
+    assert "Exchange" not in p
