@@ -663,26 +663,34 @@ def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     ``aggregate`` run-length fold are all per-row array work inside
     whole-stage codegen (the repetition_signals O(g log g) trick:
     per-gram frequencies are run lengths of the SORTED gram array,
-    never a count-each-distinct quadratic transform). Every array is
-    referenced exactly ONCE down a single expression chain, so
-    CollapseProject cannot duplicate the gram hashing (the r32
-    winnow lesson). The SQL twin keeps the obviously-correct
-    explode + GROUP BY form: an oracle needs equivalence, not
-    throughput."""
+    never a count-each-distinct quadratic transform). The token
+    array is LET-BOUND as a lambda variable (``transform(array(..),
+    _dgt -> ..)[0]`` — the r32 winnow rule): a plain column alias
+    here gets substituted by FILTER PUSHDOWN into every reference,
+    including the per-gram lambda — whole-document re-tokenization
+    per gram position, the quadratic class CLAUDE.md forbids. The
+    has-a-gram row filter is therefore a CHEAP equivalent
+    (``size(tokens) >= n``, one extra tokenizer site — linear), and
+    the plan test pins the site counts (one fold, one sort, two
+    tokenizers). The SQL twin keeps the obviously-correct explode +
+    GROUP BY form: an oracle needs equivalence, not throughput."""
     if not (isinstance(n, int) and 1 <= n <= 10):
         raise ValueError("n must be an int in [1, 10]")
     from .sample import _qcol, _qident
     from .search import toks_expr
     from .sketch import _no_clash
-    _no_clash(set(df.columns) - {str(id_col)},
+    # the projection keeps only id_col, so id_col is the one input
+    # name that can collide with the outputs / internals
+    _no_clash({str(id_col)},
               "n_grams", "total_gram_chars", "dup_gram_chars",
               "top_gram_chars", "dup_char_frac", "top_char_frac",
               "_dg_st")
-    parts = " , ".join(f"element_at(_t, i + {j})" for j in range(n))
+    parts = " , ".join(f"element_at(_dgt, i + {j})" for j in range(n))
     joiner = f"concat_ws(' ', {parts})"
-    grams = (f"CASE WHEN size(_t) >= {n} THEN "
-             f"transform(sequence(1, size(_t) - {n - 1}), "
-             f"i -> {joiner}) ELSE array() END")
+    # size(_dgt) >= n is guaranteed by the row filter below, so no
+    # CASE guard is needed (sequence(1, size-n+1) never counts down)
+    grams = (f"transform(sequence(1, size(_dgt) - {n - 1}), "
+             f"i -> {joiner})")
     # ONE fold over the sorted gram array: (prev, run, cnt, tot,
     # dupc, topc); runs close when the gram changes, the finisher
     # closes the last run. freq == run length on a sorted array.
@@ -712,10 +720,12 @@ def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
                         IF(acc.prev IS NOT NULL,
                            acc.run * length(acc.prev), 0L))))"""
     t = _qident(text_col)
+    # let-bind the token array; all downstream references go through
+    # the lambda variable, which no optimizer rule substitutes into
+    let_bound = f"transform(array({toks_expr(t)}), _dgt -> {fold})[0]"
     out = (df.where(_qcol(text_col).isNotNull())
-             .selectExpr(_qident(id_col), f"{toks_expr(t)} AS _t")
-             .selectExpr(_qident(id_col), f"{fold} AS _dg_st")
-             .where(F.col("_dg_st.cnt") > 0))
+             .where(F.expr(f"size({toks_expr(t)}) >= {n}"))
+             .selectExpr(_qident(id_col), f"{let_bound} AS _dg_st"))
     return out.selectExpr(
         _qident(id_col),
         "_dg_st.cnt AS n_grams",

@@ -189,9 +189,11 @@ QUERIES = [
      "no Python"),
     ("dup_ngrams", "gopher n-gram repetition — ZERO shuffle: "
      "tokenize, gram-build, sort and ONE run-length aggregate fold "
-     "per document, all inside whole-stage codegen; every array "
-     "referenced once down a single expression chain so "
-     "CollapseProject cannot duplicate the work; no Python"),
+     "per document, all inside whole-stage codegen; the token array "
+     "is let-bound as a lambda variable (filter pushdown would "
+     "substitute a plain alias into the per-gram lambda — the r32 "
+     "quadratic class) and the site counts are plan-pinned; "
+     "no Python"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "

@@ -1621,12 +1621,24 @@ def test_dup_ngram_stats_validation_and_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pt.raises(ValueError, match="n must be"):
         dup_ngram_stats(df, "doc_id", "text", 0)
+    # an UNRELATED column named like an output is fine — the
+    # projection keeps only id_col, so nothing collides
+    ok = dup_ngram_stats(
+        df.selectExpr("doc_id", "text", "1 AS n_grams"),
+        "doc_id", "text", 2)
+    assert ok.columns.count("n_grams") == 1
     with _pt.raises(ValueError, match="collide"):
-        dup_ngram_stats(
-            df.selectExpr("doc_id", "text", "1 AS n_grams"),
-            "doc_id", "text", 2)
+        dup_ngram_stats(df.selectExpr("doc_id AS n_grams", "text"),
+                        "n_grams", "text", 2)
     d = dup_ngram_stats(df, "doc_id", "text", 2)
     p = d._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     # zero shuffle: the whole statistic is per-row array work
     assert "Exchange" not in p
+    # single-evaluation-site pins (the r32 rule): one fold, one sort,
+    # exactly two tokenizer sites (the cheap size filter + the
+    # let-bound work chain) — filter pushdown substituting a plain
+    # alias would blow these up quadratically
+    assert p.count("aggregate(") == 1
+    assert p.count("array_sort(") == 1
+    assert p.count("regexp_extract_all(") == 2
