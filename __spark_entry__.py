@@ -41,7 +41,8 @@ from esri_dump_spark.operators.hist import (hist_orders_oracle_sql,
 from esri_dump_spark.operators.profile import (
     moment_docs_oracle_sql, rank_normalize_docs_oracle_sql)
 from esri_dump_spark.operators.skew import skew_report_oracle_sql
-from esri_dump_spark.operators.text import dup_ngram_stats_oracle_sql
+from esri_dump_spark.operators.text import (dup_ngram_stats_oracle_sql,
+                                            gopher_gate_oracle_sql)
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
 from esri_dump_spark.operators.knn import knn_join
 from esri_dump_spark.operators.tiles import tile_id_sql_expr
@@ -1089,6 +1090,20 @@ def q_hist_quants(spark, sf_dir):
             .orderBy("o_orderpriority", "permille"))
 
 
+def q_gopher_gate(spark, sf_dir):
+    """The published Gopher rule filter (per-rule flags + keep):
+    every threshold is an ALL-INTEGER cross-multiplied comparison —
+    no ratio is ever materialized, zero floats anywhere, so the twin
+    is exact by construction. Zero shuffle; the words/lines/token
+    arrays are let-bound lambda variables. The synthetic corpus fails
+    the stopword rule corpus-wide (keep = 0 throughout); the varying
+    count columns and the word-count flag carry the oracle's
+    discriminating power."""
+    from esri_dump_spark.operators.text import gopher_gate
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_gate(docs).orderBy("doc_id")
+
+
 def q_dup_ngrams(spark, sf_dir):
     """The n-gram rows of the Gopher repetition table: per-document
     duplicate / top 3-gram character mass and fractions. ZERO
@@ -2017,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,                  # new this round
         "rank_normalize": q_rank_normalize,            # new this round
         "dup_ngrams": q_dup_ngrams,                    # new this round
+        "gopher_gate": q_gopher_gate,                  # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -2043,7 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r04-proven; geo keeps polygon_stats/knn_geo/
         # pip_fixture_polygons/poly_intersect_anti in-window)
         "polygon_stats": q_polygon_stats,      # r03 red cell stays green
-        "knn_geo": q_knn_geo,
+        # knn_geo yielded its slot to gopher_gate (r04-proven; geo
+        # keeps polygon_stats/pip_fixture_polygons/poly_intersect_anti
+        # in-window)
         # radius_geo yielded its slot to mad_outliers (r04-proven; the
         # geo family keeps knn_geo/poly_intersect_join/polygon_stats/
         # pip_fixture_polygons in-window — pip_rect later yielded too)
@@ -2096,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "knn_geo": q_knn_geo,
         "tile_pyramid": q_tile_pyramid,
         "poly_intersect_join": q_poly_intersect_join,
         "minhash_pairs": q_minhash_pairs,
@@ -2748,6 +2767,9 @@ def oracle_sql() -> dict[str, str]:
         # gopher n-gram repetition: all-integer char masses + one
         # division per fraction — exact by construction
         "dup_ngrams": dup_ngram_stats_oracle_sql(3),
+        # gopher rule filter: every threshold all-integer
+        # cross-multiplied — zero floats anywhere, exact twin
+        "gopher_gate": gopher_gate_oracle_sql(),
         # integer moments: sum/sum-of-squares stay BIGINT (HUGEINT
         # rule), mean/var/std are one division (+ one sqrt) over
         # exactly-cast integers — bit-exact without rounding

@@ -144,8 +144,8 @@ def run_headline(spark) -> dict[str, float]:
         "corpus_diversity", "zipf_topk",
         # skew gauge + rank calibration (round 5)
         "skew_report", "rank_normalize",
-        # gopher n-gram repetition (round 5)
-        "dup_ngrams",
+        # gopher n-gram repetition + rule filter (round 5)
+        "dup_ngrams", "gopher_gate",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

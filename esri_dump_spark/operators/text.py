@@ -17,6 +17,7 @@ __all__ = [
     "token_count", "quality_score", "language_id", "fingerprint",
     "repetition_signals", "redact_pii", "chunk_text", "line_dedup",
     "normalize_text", "dup_ngram_stats", "dup_ngram_stats_oracle_sql",
+    "gopher_gate", "gopher_gate_oracle_sql",
     "token_count_sql", "quality_score_sql", "language_id_sql",
     "fingerprint_sql", "repetition_signals_sql", "redact_pii_sql",
     "chunk_text_sql", "line_dedup_sql", "normalize_text_sql",
@@ -775,3 +776,188 @@ def dup_ngram_stats_oracle_sql(n: int = 3) -> str:
                (CAST(top_gram_chars AS DOUBLE)
                 / CAST(total_gram_chars AS DOUBLE)) AS top_char_frac
         FROM a ORDER BY doc_id"""
+
+
+# Gopher rule-filter stopword list (Rae et al. 2021, table A1: "at
+# least two of" these eight) — distinct from the language-agnostic
+# _STOPWORDS heuristic list above.
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have",
+                 "with"]
+
+
+def gopher_gate(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """The published Gopher rule filter (Rae et al. 2021, table A1),
+    as per-rule flags plus the combined ``keep``:
+
+      n_words / word-count rule      50 <= words <= 100000
+      mean-word-length rule          3 <= chars/word <= 10
+      symbol ratio rule              (# + ellipsis) / words <= 0.1
+      bullet-lines rule              <= 90% lines start with a bullet
+      ellipsis-lines rule            <= 30% lines end with ellipsis
+      alpha-words rule               >= 80% words contain [A-Za-z]
+      stopword rule                  >= 2 of the table's 8 stopwords
+
+    EVERY threshold is evaluated as an ALL-INTEGER cross-multiplied
+    comparison (``3*n_words <= word_chars``, ``10*symbols <=
+    n_words``, ...) — no ratio is ever materialized, so there is no
+    float anywhere and the DuckDB twin is exact by construction, the
+    strongest form of the repo's exactness ladder.
+
+    Deterministic rendering choices (the paper does not pin them):
+    words = non-empty runs between ``[ \\t\\n\\f\\r]`` whitespace
+    (the repetition_signals convention); bullets = trimmed line
+    starts with ``- * • ‣ ·``; ellipsis = ``...`` or U+2026;
+    stopword presence via the SHARED bm25 tokenizer (so 'the' never
+    matches inside 'theme'). NULL texts are dropped. Docs with zero
+    lines pass the two line rules vacuously (0 <= 0); docs with zero
+    words fail the word-count rule, so ``keep`` is still 0.
+
+    Scale: ZERO shuffle — every count is per-row array/regexp work in
+    codegen. The words / lines / token arrays are LET-BOUND as nested
+    lambda variables (CLAUDE.md: CollapseProject AND filter pushdown
+    substitute plain aliases into every reference)."""
+    from .sample import _qcol, _qident
+    from .search import toks_expr
+    from .sketch import _no_clash
+    _no_clash({str(id_col)},
+              "n_words", "word_chars", "n_symbols", "n_lines",
+              "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+              "n_stops_present", "ok_word_count", "ok_mean_word_len",
+              "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis",
+              "ok_alpha_words", "ok_stopwords", "keep", "_gg_st")
+    t = _qident(text_col)
+    # _spark_re: the class goes through Spark's SQL-literal unescape,
+    # which consumes single backslashes — a bare '\f' would become a
+    # literal 'f' in the class and silently split words on that letter
+    words = (f"filter(split({t}, '{_spark_re(_WS_CLASS)}'),"
+             f" w -> w != '')")
+    lines = (f"filter(transform(split({t}, '\\n'), l -> trim(l)),"
+             f" l -> l != '')")
+    stops_arr = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    # counts struct: three nested let-bound arrays (words, lines,
+    # tokens), each referenced only through its lambda variable
+    st = f"""
+      transform(array({words}), _gw ->
+        transform(array({lines}), _gl ->
+          transform(array({toks_expr(t)}), _gt ->
+            named_struct(
+              'n_words', CAST(size(_gw) AS BIGINT),
+              'word_chars', aggregate(_gw, 0L,
+                  (acc, w) -> acc + length(w)),
+              'n_symbols',
+                  CAST(length({t})
+                       - length(replace({t}, '#', '')) AS BIGINT)
+                  + CAST(size(regexp_extract_all({t},
+                        '(\\\\.\\\\.\\\\.|\\u2026)', 0)) AS BIGINT),
+              'n_lines', CAST(size(_gl) AS BIGINT),
+              'n_bullet_lines', CAST(size(filter(_gl,
+                  l -> l rlike '^[-*\\u2022\\u2023\\u00b7]'))
+                  AS BIGINT),
+              'n_ellipsis_lines', CAST(size(filter(_gl,
+                  l -> l rlike '(\\\\.\\\\.\\\\.|\\u2026)\\\\z'))
+                  AS BIGINT),
+              'n_alpha_words', CAST(size(filter(_gw,
+                  w -> w rlike '[A-Za-z]')) AS BIGINT),
+              'n_stops_present', aggregate(array({stops_arr}), 0L,
+                  (acc, w) -> acc
+                      + IF(array_contains(_gt, w), 1L, 0L))
+            ))[0])[0])[0]"""
+    flags = [
+        ("ok_word_count",
+         "_gg_st.n_words >= 50 AND _gg_st.n_words <= 100000"),
+        ("ok_mean_word_len",
+         "3 * _gg_st.n_words <= _gg_st.word_chars"
+         " AND _gg_st.word_chars <= 10 * _gg_st.n_words"),
+        ("ok_symbol_ratio",
+         "10 * _gg_st.n_symbols <= _gg_st.n_words"),
+        ("ok_bullet_lines",
+         "10 * _gg_st.n_bullet_lines <= 9 * _gg_st.n_lines"),
+        ("ok_ellipsis",
+         "10 * _gg_st.n_ellipsis_lines <= 3 * _gg_st.n_lines"),
+        ("ok_alpha_words",
+         "10 * _gg_st.n_alpha_words >= 8 * _gg_st.n_words"),
+        ("ok_stopwords", "_gg_st.n_stops_present >= 2"),
+    ]
+    flag_cols = [f"CAST({cond} AS INT) AS {name}"
+                 for name, cond in flags]
+    keep = " AND ".join(f"({cond})" for _, cond in flags)
+    return (df.where(_qcol(text_col).isNotNull())
+              .selectExpr(_qident(id_col), f"{st} AS _gg_st")
+              .selectExpr(
+                  _qident(id_col),
+                  "_gg_st.n_words AS n_words",
+                  "_gg_st.word_chars AS word_chars",
+                  "_gg_st.n_symbols AS n_symbols",
+                  "_gg_st.n_lines AS n_lines",
+                  "_gg_st.n_bullet_lines AS n_bullet_lines",
+                  "_gg_st.n_ellipsis_lines AS n_ellipsis_lines",
+                  "_gg_st.n_alpha_words AS n_alpha_words",
+                  "_gg_st.n_stops_present AS n_stops_present",
+                  *flag_cols,
+                  f"CAST({keep} AS INT) AS keep"))
+
+
+def gopher_gate_oracle_sql() -> str:
+    """DuckDB twin of the ``gopher_gate`` entry query: the identical
+    counts (list ops + the same regex constants; 'g' flag where
+    DuckDB needs it) and the identical ALL-INTEGER cross-multiplied
+    thresholds — exact by construction, zero floats anywhere."""
+    from .search import toks_duck_sql
+    stops_arr = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    flags = [
+        ("ok_word_count", "n_words >= 50 AND n_words <= 100000"),
+        ("ok_mean_word_len", "3 * n_words <= word_chars"
+                             " AND word_chars <= 10 * n_words"),
+        ("ok_symbol_ratio", "10 * n_symbols <= n_words"),
+        ("ok_bullet_lines", "10 * n_bullet_lines <= 9 * n_lines"),
+        ("ok_ellipsis", "10 * n_ellipsis_lines <= 3 * n_lines"),
+        ("ok_alpha_words", "10 * n_alpha_words >= 8 * n_words"),
+        ("ok_stopwords", "n_stops_present >= 2"),
+    ]
+    flag_cols = ",\n               ".join(
+        f"CAST({cond} AS INT) AS {name}" for name, cond in flags)
+    keep = " AND ".join(f"({cond})" for _, cond in flags)
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text,
+                      '{_WS_CLASS}'), w -> w != '')) AS BIGINT)
+                     AS n_words,
+                 CAST(coalesce(list_sum(list_transform(
+                      list_filter(string_split_regex(text,
+                          '{_WS_CLASS}'), w -> w != ''),
+                      w -> length(w))), 0) AS BIGINT) AS word_chars,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + len(regexp_extract_all(text,
+                            '(\\.\\.\\.|…)')) AS BIGINT)
+                     AS n_symbols,
+                 CAST(len(list_filter(list_transform(
+                      string_split(text, chr(10)), l -> trim(l)),
+                      l -> l != '')) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(list_filter(list_transform(
+                      string_split(text, chr(10)), l -> trim(l)),
+                      l -> l != ''),
+                      l -> regexp_matches(l,
+                          '^[-*•‣·]'))) AS BIGINT)
+                     AS n_bullet_lines,
+                 CAST(len(list_filter(list_filter(list_transform(
+                      string_split(text, chr(10)), l -> trim(l)),
+                      l -> l != ''),
+                      l -> regexp_matches(l,
+                          '(\\.\\.\\.|…)\\z'))) AS BIGINT)
+                     AS n_ellipsis_lines,
+                 CAST(len(list_filter(list_filter(string_split_regex(
+                      text, '{_WS_CLASS}'), w -> w != ''),
+                      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                     AS n_alpha_words,
+                 CAST(len(list_filter([{stops_arr}],
+                      w -> list_contains({toks_duck_sql('text')}, w)))
+                      AS BIGINT) AS n_stops_present
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, n_words, word_chars, n_symbols, n_lines,
+               n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+               n_stops_present,
+               {flag_cols},
+               CAST({keep} AS INT) AS keep
+        FROM c ORDER BY doc_id"""

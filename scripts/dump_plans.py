@@ -194,6 +194,11 @@ QUERIES = [
      "substitute a plain alias into the per-gram lambda — the r32 "
      "quadratic class) and the site counts are plan-pinned; "
      "no Python"),
+    ("gopher_gate", "gopher rule filter — ZERO shuffle: all seven "
+     "published thresholds are all-integer cross-multiplied codegen "
+     "comparisons over per-row array counts (words/lines/tokens "
+     "let-bound as lambda variables); no ratio is ever materialized, "
+     "no Python"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "

@@ -1642,3 +1642,68 @@ def test_dup_ngram_stats_validation_and_plan(spark):
     assert p.count("aggregate(") == 1
     assert p.count("array_sort(") == 1
     assert p.count("regexp_extract_all(") == 2
+
+
+# --------------------------------------------------- gopher gate
+
+def test_gopher_gate_rules_hand_fixture(spark):
+    from esri_dump_spark.operators.text import gopher_gate
+    good = " ".join(["the man be here to see of all and know that you"
+                     " have gone with them"] * 5)         # 80 words
+    rows = [
+        (1, good),                                   # passes all 7
+        (2, "word " * 49),                           # 49 words: count
+        (3, ("ab " * 60) + good),                    # short words drag
+                                                     # mean len < 3? no
+        (4, good + " ##########" * 60),              # symbol ratio
+        (5, "\n".join(["- item"] * 20) + "\n" + good),  # bullet lines
+        (6, "\n".join(["I wonder..."] * 9) + "\n" + good),  # ellipsis
+        (7, ("12 34 " * 40) + good),                 # alpha < 80%
+        (8, "zz qq ww " * 30),                       # no stopwords
+        (9, None),                                   # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_gate(df).collect()}
+    assert 9 not in got
+    assert got[1]["keep"] == 1 and all(
+        got[1][c] == 1 for c in got[1].__fields__ if c.startswith("ok_"))
+    assert got[2]["ok_word_count"] == 0 and got[2]["keep"] == 0
+    assert got[4]["ok_symbol_ratio"] == 0 and got[4]["keep"] == 0
+    assert got[5]["ok_bullet_lines"] == 0 and got[5]["keep"] == 0
+    assert got[6]["ok_ellipsis"] == 0 and got[6]["keep"] == 0
+    assert got[7]["ok_alpha_words"] == 0 and got[7]["keep"] == 0
+    assert got[8]["ok_stopwords"] == 0 and got[8]["keep"] == 0
+    # mean-word-length lower cut: 60 two-char words + 80 normal ones
+    # keeps the mean above 3 -> construct a pure-short-word doc
+    short = gopher_gate(spark.createDataFrame(
+        [(10, "ab cd " * 40)], "doc_id long, text string")).collect()[0]
+    assert short["ok_mean_word_len"] == 0
+
+
+def test_gopher_gate_twin_exact_and_plan(spark, sf_dir):
+    import duckdb
+
+    from esri_dump_spark.operators.text import (gopher_gate,
+                                                gopher_gate_oracle_sql)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = gopher_gate(docs).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    du = con.execute(gopher_gate_oracle_sql()).fetchall()
+    assert len(sp) == len(du) > 0
+    assert [tuple(r) for r in sp] == [tuple(r) for r in du]
+    # zero shuffle, no Python, single-site pins for the three
+    # let-bound arrays (word split feeds two consumers through ONE
+    # lambda binding; the tokenizer appears once)
+    p = gopher_gate(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    # two DIFFERENT regexes, one site each: the bm25 tokenizer and
+    # the ellipsis-symbol counter — a blown-up count means alias
+    # substitution duplicated the let-bound chain
+    assert p.count("regexp_extract_all(") == 2
+    # the words/lines splits exist at one site each (split on the ws
+    # class + split on the newline)
+    assert p.count("split(") <= 3
