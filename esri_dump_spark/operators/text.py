@@ -792,7 +792,10 @@ def gopher_gate(df: DataFrame, id_col: str = "doc_id",
 
       n_words / word-count rule      50 <= words <= 100000
       mean-word-length rule          3 <= chars/word <= 10
-      symbol ratio rule              (# + ellipsis) / words <= 0.1
+      symbol ratio rule              #/words <= 0.1 AND
+                                     ellipsis/words <= 0.1 (the
+                                     paper tests EACH symbol's ratio
+                                     independently, not their sum)
       bullet-lines rule              <= 90% lines start with a bullet
       ellipsis-lines rule            <= 30% lines end with ellipsis
       alpha-words rule               >= 80% words contain [A-Za-z]
@@ -821,7 +824,8 @@ def gopher_gate(df: DataFrame, id_col: str = "doc_id",
     from .search import toks_expr
     from .sketch import _no_clash
     _no_clash({str(id_col)},
-              "n_words", "word_chars", "n_symbols", "n_lines",
+              "n_words", "word_chars", "n_hash", "n_ellipsis",
+              "n_lines",
               "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
               "n_stops_present", "ok_word_count", "ok_mean_word_len",
               "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis",
@@ -845,10 +849,11 @@ def gopher_gate(df: DataFrame, id_col: str = "doc_id",
               'n_words', CAST(size(_gw) AS BIGINT),
               'word_chars', aggregate(_gw, 0L,
                   (acc, w) -> acc + length(w)),
-              'n_symbols',
+              'n_hash',
                   CAST(length({t})
-                       - length(replace({t}, '#', '')) AS BIGINT)
-                  + CAST(size(regexp_extract_all({t},
+                       - length(replace({t}, '#', '')) AS BIGINT),
+              'n_ellipsis',
+                  CAST(size(regexp_extract_all({t},
                         '(\\\\.\\\\.\\\\.|\\u2026)', 0)) AS BIGINT),
               'n_lines', CAST(size(_gl) AS BIGINT),
               'n_bullet_lines', CAST(size(filter(_gl,
@@ -870,7 +875,8 @@ def gopher_gate(df: DataFrame, id_col: str = "doc_id",
          "3 * _gg_st.n_words <= _gg_st.word_chars"
          " AND _gg_st.word_chars <= 10 * _gg_st.n_words"),
         ("ok_symbol_ratio",
-         "10 * _gg_st.n_symbols <= _gg_st.n_words"),
+         "10 * _gg_st.n_hash <= _gg_st.n_words"
+         " AND 10 * _gg_st.n_ellipsis <= _gg_st.n_words"),
         ("ok_bullet_lines",
          "10 * _gg_st.n_bullet_lines <= 9 * _gg_st.n_lines"),
         ("ok_ellipsis",
@@ -888,7 +894,8 @@ def gopher_gate(df: DataFrame, id_col: str = "doc_id",
                   _qident(id_col),
                   "_gg_st.n_words AS n_words",
                   "_gg_st.word_chars AS word_chars",
-                  "_gg_st.n_symbols AS n_symbols",
+                  "_gg_st.n_hash AS n_hash",
+                  "_gg_st.n_ellipsis AS n_ellipsis",
                   "_gg_st.n_lines AS n_lines",
                   "_gg_st.n_bullet_lines AS n_bullet_lines",
                   "_gg_st.n_ellipsis_lines AS n_ellipsis_lines",
@@ -909,7 +916,8 @@ def gopher_gate_oracle_sql() -> str:
         ("ok_word_count", "n_words >= 50 AND n_words <= 100000"),
         ("ok_mean_word_len", "3 * n_words <= word_chars"
                              " AND word_chars <= 10 * n_words"),
-        ("ok_symbol_ratio", "10 * n_symbols <= n_words"),
+        ("ok_symbol_ratio", "10 * n_hash <= n_words"
+                            " AND 10 * n_ellipsis <= n_words"),
         ("ok_bullet_lines", "10 * n_bullet_lines <= 9 * n_lines"),
         ("ok_ellipsis", "10 * n_ellipsis_lines <= 3 * n_lines"),
         ("ok_alpha_words", "10 * n_alpha_words >= 8 * n_words"),
@@ -929,9 +937,9 @@ def gopher_gate_oracle_sql() -> str:
                           '{_WS_CLASS}'), w -> w != ''),
                       w -> length(w))), 0) AS BIGINT) AS word_chars,
                  CAST(length(text) - length(replace(text, '#', ''))
-                      + len(regexp_extract_all(text,
-                            '(\\.\\.\\.|…)')) AS BIGINT)
-                     AS n_symbols,
+                      AS BIGINT) AS n_hash,
+                 CAST(len(regexp_extract_all(text,
+                      '(\\.\\.\\.|…)')) AS BIGINT) AS n_ellipsis,
                  CAST(len(list_filter(list_transform(
                       string_split(text, chr(10)), l -> trim(l)),
                       l -> l != '')) AS BIGINT) AS n_lines,
@@ -955,7 +963,8 @@ def gopher_gate_oracle_sql() -> str:
                       w -> list_contains({toks_duck_sql('text')}, w)))
                       AS BIGINT) AS n_stops_present
           FROM documents WHERE text IS NOT NULL)
-        SELECT doc_id, n_words, word_chars, n_symbols, n_lines,
+        SELECT doc_id, n_words, word_chars, n_hash, n_ellipsis,
+               n_lines,
                n_bullet_lines, n_ellipsis_lines, n_alpha_words,
                n_stops_present,
                {flag_cols},

@@ -1650,17 +1650,26 @@ def test_gopher_gate_rules_hand_fixture(spark):
     from esri_dump_spark.operators.text import gopher_gate
     good = " ".join(["the man be here to see of all and know that you"
                      " have gone with them"] * 5)         # 80 words
+    # per-type symbol rule: 7 '#' and 7 '...' over 80 words passes
+    # BOTH per-symbol ratios (7/80 <= 0.1 each) — a summed-count
+    # variant would wrongly reject it (14/80 > 0.1)
+    w = good.split(" ")
+    for i in range(7):
+        w[2 * i] += "#"
+        w[2 * i + 1] += "..."
+    per_type = " ".join(w)
     rows = [
         (1, good),                                   # passes all 7
         (2, "word " * 49),                           # 49 words: count
-        (3, ("ab " * 60) + good),                    # short words drag
-                                                     # mean len < 3? no
+        (3, ("ab " * 60) + good),   # 140 words / 380 chars: mean 2.71
+                                    # drags BELOW the 3-char floor
         (4, good + " ##########" * 60),              # symbol ratio
         (5, "\n".join(["- item"] * 20) + "\n" + good),  # bullet lines
         (6, "\n".join(["I wonder..."] * 9) + "\n" + good),  # ellipsis
         (7, ("12 34 " * 40) + good),                 # alpha < 80%
         (8, "zz qq ww " * 30),                       # no stopwords
         (9, None),                                   # dropped
+        (11, per_type),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in gopher_gate(df).collect()}
@@ -1668,13 +1677,23 @@ def test_gopher_gate_rules_hand_fixture(spark):
     assert got[1]["keep"] == 1 and all(
         got[1][c] == 1 for c in got[1].__fields__ if c.startswith("ok_"))
     assert got[2]["ok_word_count"] == 0 and got[2]["keep"] == 0
+    assert got[3]["ok_mean_word_len"] == 0
     assert got[4]["ok_symbol_ratio"] == 0 and got[4]["keep"] == 0
     assert got[5]["ok_bullet_lines"] == 0 and got[5]["keep"] == 0
     assert got[6]["ok_ellipsis"] == 0 and got[6]["keep"] == 0
     assert got[7]["ok_alpha_words"] == 0 and got[7]["keep"] == 0
     assert got[8]["ok_stopwords"] == 0 and got[8]["keep"] == 0
-    # mean-word-length lower cut: 60 two-char words + 80 normal ones
-    # keeps the mean above 3 -> construct a pure-short-word doc
+    assert (got[11]["n_hash"], got[11]["n_ellipsis"]) == (7, 7)
+    assert got[11]["ok_symbol_ratio"] == 1
+    # mean-word-length boundary from above: 20 two-char words + the
+    # 80-word good doc = 100 words / 300 chars — passes EXACTLY at
+    # the inclusive 3*n_words <= word_chars cut
+    edge = gopher_gate(spark.createDataFrame(
+        [(12, ("ab " * 20) + good)],
+        "doc_id long, text string")).collect()[0]
+    assert (edge["n_words"], edge["word_chars"]) == (100, 300)
+    assert edge["ok_mean_word_len"] == 1
+    # pure-short-word doc fails the floor outright
     short = gopher_gate(spark.createDataFrame(
         [(10, "ab cd " * 40)], "doc_id long, text string")).collect()[0]
     assert short["ok_mean_word_len"] == 0
