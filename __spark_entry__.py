@@ -41,6 +41,7 @@ from esri_dump_spark.operators.hist import (hist_orders_oracle_sql,
 from esri_dump_spark.operators.profile import (
     moment_docs_oracle_sql, rank_normalize_docs_oracle_sql)
 from esri_dump_spark.operators.skew import skew_report_oracle_sql
+from esri_dump_spark.operators.dedup import dedup_incremental_oracle_sql
 from esri_dump_spark.operators.text import (dup_ngram_stats_oracle_sql,
                                             gopher_gate_oracle_sql)
 from esri_dump_spark.operators.spatial_join import point_in_polygon_join
@@ -1090,6 +1091,32 @@ def q_hist_quants(spark, sf_dir):
             .orderBy("o_orderpriority", "permille"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """The daily-shard incremental dedup shape: a prior-corpus
+    content-hash LEDGER (mergeable by union+distinct) anti-joins the
+    new shard, then a min-id window dedups within the shard. The raw
+    fixture corpus has globally unique texts, so duplicates are
+    PLANTED deterministically (the bloom/redact precedent): rows with
+    doc_id%10==1 take content 'L-<doc_id DIV 30>' in BOTH slices
+    (ledger hits fire) and shard rows with doc_id%10==2 take
+    'S-<doc_id DIV 30>' (within-shard dupes fire; prior never makes
+    S-contents). Both paths verified live at sf0.01."""
+    from esri_dump_spark.operators.dedup import (content_ledger,
+                                                 dedup_incremental)
+    docs = _t(spark, sf_dir, "documents")
+    l_case = ("CASE WHEN doc_id % 10 = 1 THEN"
+              " 'L-' || CAST(doc_id DIV 30 AS STRING)")
+    prior = (docs.where("doc_id % 3 = 0")
+                 .selectExpr("doc_id", f"{l_case} ELSE text END AS text"))
+    shard = (docs.where("doc_id % 3 <> 0")
+                 .selectExpr("doc_id", "lang", "source",
+                             f"{l_case} WHEN doc_id % 10 = 2 THEN"
+                             " 'S-' || CAST(doc_id DIV 30 AS STRING)"
+                             " ELSE text END AS text"))
+    out = dedup_incremental(shard, content_ledger(prior))
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def q_gopher_gate(spark, sf_dir):
     """The published Gopher rule filter (per-rule flags + keep):
     every threshold is an ALL-INTEGER cross-multiplied comparison —
@@ -2033,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,            # new this round
         "dup_ngrams": q_dup_ngrams,                    # new this round
         "gopher_gate": q_gopher_gate,                  # new this round
+        "dedup_incremental": q_dedup_incremental,      # new this round
         # ---- (2) golden-oracled, driver-rows only rows-only r01 ----
         "extract_synthetic": q_extract_synthetic,
         "extract_bbox": q_extract_bbox,
@@ -2082,7 +2110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ngram_jaccard_capped in-window)
         # ngram_jaccard_capped yielded its slot to temperature_mix
         # (r04-proven; text-dedup keeps minhash_pairs + line_dedup)
-        "emb_near_dup_lsh_golden": q_emb_near_dup_lsh_golden,
+        # emb_near_dup_lsh_golden yielded its slot to
+        # dedup_incremental (r04-proven; embeddings keep
+        # emb_cluster_dedup + quantize_embeddings + quant_ann
+        # in-window)
         # ivf_ann yielded its slot to corpus_diversity (r04-proven;
         # ANN keeps quant_ann + quantize_embeddings +
         # emb_near_dup_lsh_golden in-window)
@@ -2114,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topfeatures_extract, image via image_decode_stats +
         # verify_images + resize_images + phash_near_dup.
         "radius_geo": q_radius_geo,
+        "emb_near_dup_lsh_golden": q_emb_near_dup_lsh_golden,
         "knn_geo": q_knn_geo,
         "tile_pyramid": q_tile_pyramid,
         "poly_intersect_join": q_poly_intersect_join,
@@ -2770,6 +2802,10 @@ def oracle_sql() -> dict[str, str]:
         # gopher rule filter: every threshold all-integer
         # cross-multiplied — zero floats anywhere, exact twin
         "gopher_gate": gopher_gate_oracle_sql(),
+        # incremental ledger dedup: planted L/S duplicate fixture,
+        # NOT EXISTS anti-join + min-id survivor — exact
+        "dedup_incremental": dedup_incremental_oracle_sql(
+            "doc_id % 3 = 0", "doc_id % 3 <> 0"),
         # integer moments: sum/sum-of-squares stay BIGINT (HUGEINT
         # rule), mean/var/std are one division (+ one sqrt) over
         # exactly-cast integers — bit-exact without rounding

@@ -146,6 +146,8 @@ def run_headline(spark) -> dict[str, float]:
         "skew_report", "rank_normalize",
         # gopher n-gram repetition + rule filter (round 5)
         "dup_ngrams", "gopher_gate",
+        # incremental ledger dedup (round 5)
+        "dedup_incremental",
     ]
     qs = E.queries()
     # warm the session so JVM/codegen/python-worker startup is not

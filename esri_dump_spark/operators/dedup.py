@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = [
+    "content_ledger", "dedup_incremental",
+    "dedup_incremental_oracle_sql",
     "exact_dedup", "exact_dedup_by_hash", "minhash_signature",
     "minhash_lsh_pairs", "minhash_dedup", "component_min_labels",
     "minhash_sql_cte",
@@ -1249,3 +1251,93 @@ def cluster_size_histogram_oracle_sql(id_col: str = "doc_id",
         UNION ALL
         SELECT cluster_size, n_clusters FROM _single
         WHERE n_clusters > 0"""
+
+
+# ----------------------------------------------- incremental ledger
+
+def content_ledger(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The exact-dedup LEDGER: the distinct sha256 content hashes of
+    a corpus slice, as one ``h`` column. Mergeable state — ledgers
+    from different shards/days fold by ``union + distinct`` (an
+    idempotent set union, so reprocessing a shard is harmless), the
+    same pattern as the HLL/histogram/Bloom sketch tables but exact.
+
+    Scale: a map-side-combined distinct over fixed-width hashes; the
+    ledger's size is the number of distinct contents ever seen, which
+    a daily pipeline stores as its running dedup state instead of
+    re-reading the historical corpus."""
+    return (df.where(F.col(text_col).isNotNull())
+              .select(F.sha2(F.col(text_col), 256).alias("h"))
+              .distinct())
+
+
+def dedup_incremental(new_docs: DataFrame, ledger: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The daily-shard incremental dedup shape: keep only the new
+    shard's documents whose content was NEVER seen — not in the
+    prior-corpus ``ledger`` (anti-join on the content hash) and the
+    min-id survivor WITHIN the shard (a shard can carry its own
+    internal duplicates). NULL texts are dropped (they have no
+    content hash). The updated ledger for the next increment is
+    ``content_ledger(new_docs)`` folded into the old one with
+    ``union + distinct`` — never re-read the historical corpus.
+
+    Exactness: sha256 hex, anti-join, and the min-id window are all
+    engine-identical — the twin is NOT EXISTS + row_number, exact by
+    construction (and the anti-join is NOT EXISTS, never NOT IN —
+    the three-valued-NULL rule).
+
+    Scale: the new shard shuffles once on the content hash (the
+    survivor window); the ledger side is a semi-join on fixed-width
+    hashes — broadcast while it fits, shuffle-hash beyond, and a
+    Bloom prefilter of the ledger (``bloom_bits_table``) turns the
+    miss path map-side when the ledger outgrows broadcast."""
+    from .sample import _qcol
+    if "_il_h" in new_docs.columns:
+        raise ValueError("`_il_h` column would collide — rename it")
+    hashed = (new_docs.where(_qcol(text_col).isNotNull())
+                      .withColumn("_il_h",
+                                  F.sha2(_qcol(text_col), 256)))
+    fresh = hashed.join(ledger.select(F.col("h").alias("_il_h")),
+                        "_il_h", "left_anti")
+    w = Window.partitionBy("_il_h").orderBy(_qcol(id_col))
+    return (fresh.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") == 1)
+                 .drop("_rn", "_il_h"))
+
+
+def dedup_incremental_oracle_sql(prior_pred: str,
+                                 new_pred: str) -> str:
+    """DuckDB twin of the ``dedup_incremental`` entry query: the
+    planted-duplicate fixture (L-contents in both slices -> ledger
+    hits; S-contents only in the shard -> within-shard dupes), the
+    prior slice's distinct sha256 ledger, NOT EXISTS anti-join, and
+    the identical min-id within-shard survivor pick. Only the
+    integer-division keyword differs from the Spark spelling."""
+    l_case = ("CASE WHEN doc_id % 10 = 1 THEN"
+              " 'L-' || CAST(doc_id // 30 AS VARCHAR)")
+    return f"""
+        WITH ledger AS (
+          SELECT DISTINCT sha256({l_case} ELSE text END) AS h
+          FROM documents
+          WHERE (doc_id % 10 = 1 OR text IS NOT NULL)
+            AND ({prior_pred})),
+        shard AS (
+          SELECT doc_id, lang, source,
+                 sha256({l_case} WHEN doc_id % 10 = 2 THEN
+                        'S-' || CAST(doc_id // 30 AS VARCHAR)
+                        ELSE text END) AS h
+          FROM documents
+          WHERE (doc_id % 10 IN (1, 2) OR text IS NOT NULL)
+            AND ({new_pred})),
+        fresh AS (
+          SELECT s.* FROM shard s
+          WHERE NOT EXISTS (SELECT 1 FROM ledger l WHERE l.h = s.h)),
+        pick AS (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id) AS _rn
+          FROM fresh)
+        SELECT doc_id, lang, source FROM pick WHERE _rn = 1
+        ORDER BY doc_id"""

@@ -199,6 +199,11 @@ QUERIES = [
      "comparisons over per-row array counts (words/lines/tokens "
      "let-bound as lambda variables); no ratio is ever materialized, "
      "no Python"),
+    ("dedup_incremental", "incremental ledger dedup — the prior "
+     "corpus is one fixed-width distinct-hash table (mergeable by "
+     "union+distinct, never re-read); the shard anti-joins it "
+     "(broadcast while it fits) and shuffles once on the content "
+     "hash for the min-id survivor window; no Python"),
     ("dataset_profile", "data-card rollup — ONE aggregate over the "
      "pruned column set: Expand replicates each (projected) row once "
      "per DISTINCT column, partial/final HashAggregate pairs carry "

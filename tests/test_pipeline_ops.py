@@ -1726,3 +1726,49 @@ def test_gopher_gate_twin_exact_and_plan(spark, sf_dir):
     # the words/lines splits exist at one site each (split on the ws
     # class + split on the newline)
     assert p.count("split(") <= 3
+
+
+# ------------------------------------------- incremental ledger
+
+def test_dedup_incremental_paths_and_ledger_merge(spark):
+    from esri_dump_spark.operators.dedup import (content_ledger,
+                                                 dedup_incremental)
+    prior = spark.createDataFrame(
+        [(1, "seen-a"), (2, "seen-b")], "doc_id long, text string")
+    shard = spark.createDataFrame(
+        [(10, "seen-a"),           # ledger hit -> dropped
+         (11, "fresh-x"), (13, "fresh-x"),  # within-shard: min id 11
+         (12, "fresh-y"),
+         (14, None)],              # NULL content -> dropped
+        "doc_id long, text string")
+    led = content_ledger(prior)
+    got = sorted(r["doc_id"] for r in
+                 dedup_incremental(shard, led).collect())
+    assert got == [11, 12]
+    # ledger folding: union + distinct is idempotent and mergeable
+    led2 = content_ledger(shard)
+    merged = led.unionByName(led2).distinct()
+    assert merged.count() == 4  # seen-a, seen-b, fresh-x, fresh-y
+    # next increment against the merged ledger finds nothing new
+    assert dedup_incremental(shard, merged).count() == 0
+    with pytest.raises(ValueError, match="_il_h"):
+        dedup_incremental(shard.withColumn("_il_h", shard.doc_id),
+                          led)
+
+
+def test_dedup_incremental_entry_twin(spark, sf_dir):
+    import duckdb
+
+    import __spark_entry__ as E
+    sp = [tuple(r) for r in
+          E.queries()["dedup_incremental"](spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    du = [tuple(r) for r in
+          con.execute(E.oracle_sql()["dedup_incremental"]).fetchall()]
+    assert sp == du and len(sp) > 0
+    # the planted fixture exercises BOTH removal paths
+    shard_n = con.execute("SELECT count(*) FROM documents "
+                          "WHERE doc_id % 3 <> 0").fetchone()[0]
+    assert len(sp) < shard_n
