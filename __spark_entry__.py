@@ -1102,17 +1102,18 @@ def q_dedup_incremental(spark, sf_dir):
     'S-<doc_id DIV 30>' (within-shard dupes fire; prior never makes
     S-contents). Both paths verified live at sf0.01."""
     from esri_dump_spark.operators.dedup import (content_ledger,
-                                                 dedup_incremental)
+                                                 dedup_incremental,
+                                                 planted_content_sql)
+    from esri_dump_spark.operators.sketch import SPARK
     docs = _t(spark, sf_dir, "documents")
-    l_case = ("CASE WHEN doc_id % 10 = 1 THEN"
-              " 'L-' || CAST(doc_id DIV 30 AS STRING)")
     prior = (docs.where("doc_id % 3 = 0")
-                 .selectExpr("doc_id", f"{l_case} ELSE text END AS text"))
+                 .selectExpr("doc_id",
+                             planted_content_sql(SPARK, shard=False)
+                             + " AS text"))
     shard = (docs.where("doc_id % 3 <> 0")
                  .selectExpr("doc_id", "lang", "source",
-                             f"{l_case} WHEN doc_id % 10 = 2 THEN"
-                             " 'S-' || CAST(doc_id DIV 30 AS STRING)"
-                             " ELSE text END AS text"))
+                             planted_content_sql(SPARK, shard=True)
+                             + " AS text"))
     out = dedup_incremental(shard, content_ledger(prior))
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
@@ -2020,8 +2021,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and still runs in the full local parity gate
     (tests/test_oracle_parity.py). emb_near_dup_lsh leaves the window
     deliberately: its latest record (r04) is rows-only BY DESIGN
-    (recall<1 over an sf-dependent view; the seed-deterministic
-    golden twin emb_near_dup_lsh_golden stays in as the canary)."""
+    (recall<1 over an sf-dependent view); its seed-deterministic
+    golden twin emb_near_dup_lsh_golden was the in-window canary
+    until the late round-5 rotation moved it past the boundary in
+    favour of dedup_incremental (the embedding family stays windowed
+    via emb_cluster_dedup / quantize_embeddings / quant_ann)."""
     return {
         # ---- (1) twin or implementation changed this round ----
         "split_assign": q_split_assign,        # r04 red cell: BIGINT CAST
@@ -2113,10 +2117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emb_near_dup_lsh_golden yielded its slot to
         # dedup_incremental (r04-proven; embeddings keep
         # emb_cluster_dedup + quantize_embeddings + quant_ann
-        # in-window)
+        # in-window — the golden twin moved past the boundary)
         # ivf_ann yielded its slot to corpus_diversity (r04-proven;
         # ANN keeps quant_ann + quantize_embeddings +
-        # emb_near_dup_lsh_golden in-window)
+        # emb_cluster_dedup in-window)
         # crossmodal_near_dup yielded its slot to zipf_topk
         # (r04-proven; dedup keeps line_dedup/minhash_pairs/
         # video/audio/emb cluster dedups/winnow_fps in-window)

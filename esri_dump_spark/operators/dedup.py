@@ -29,7 +29,7 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "content_ledger", "dedup_incremental",
-    "dedup_incremental_oracle_sql",
+    "dedup_incremental_oracle_sql", "planted_content_sql",
     "exact_dedup", "exact_dedup_by_hash", "minhash_signature",
     "minhash_lsh_pairs", "minhash_dedup", "component_min_labels",
     "minhash_sql_cte",
@@ -1266,8 +1266,9 @@ def content_ledger(df: DataFrame, text_col: str = "text") -> DataFrame:
     ledger's size is the number of distinct contents ever seen, which
     a daily pipeline stores as its running dedup state instead of
     re-reading the historical corpus."""
-    return (df.where(F.col(text_col).isNotNull())
-              .select(F.sha2(F.col(text_col), 256).alias("h"))
+    from .sample import _qcol
+    return (df.where(_qcol(text_col).isNotNull())
+              .select(F.sha2(_qcol(text_col), 256).alias("h"))
               .distinct())
 
 
@@ -1294,8 +1295,9 @@ def dedup_incremental(new_docs: DataFrame, ledger: DataFrame,
     Bloom prefilter of the ledger (``bloom_bits_table``) turns the
     miss path map-side when the ledger outgrows broadcast."""
     from .sample import _qcol
-    if "_il_h" in new_docs.columns:
-        raise ValueError("`_il_h` column would collide — rename it")
+    for c in ("_il_h", "_rn"):
+        if c in new_docs.columns:
+            raise ValueError(f"`{c}` column would collide — rename it")
     hashed = (new_docs.where(_qcol(text_col).isNotNull())
                       .withColumn("_il_h",
                                   F.sha2(_qcol(text_col), 256)))
@@ -1307,6 +1309,22 @@ def dedup_incremental(new_docs: DataFrame, ledger: DataFrame,
                  .drop("_rn", "_il_h"))
 
 
+def planted_content_sql(dialect, shard: bool) -> str:
+    """THE one spelling of the dedup_incremental entry fixture's
+    planted content (the hash_u60_sql one-spelling rule): rows with
+    ``doc_id % 10 = 1`` take 'L-<doc_id DIV 30>' in BOTH slices
+    (ledger hits), shard rows with ``doc_id % 10 = 2`` take
+    'S-<bucket>' (within-shard dupes; the prior slice never makes
+    S-contents). Only the integer-division keyword differs by
+    dialect; DuckDB accepts STRING as a VARCHAR alias."""
+    d = dialect["div"]
+    l_arm = (f"CASE WHEN doc_id % 10 = 1 THEN"
+             f" 'L-' || CAST(doc_id {d} 30 AS STRING)")
+    s_arm = (f" WHEN doc_id % 10 = 2 THEN"
+             f" 'S-' || CAST(doc_id {d} 30 AS STRING)" if shard else "")
+    return f"{l_arm}{s_arm} ELSE text END"
+
+
 def dedup_incremental_oracle_sql(prior_pred: str,
                                  new_pred: str) -> str:
     """DuckDB twin of the ``dedup_incremental`` entry query: the
@@ -1315,19 +1333,16 @@ def dedup_incremental_oracle_sql(prior_pred: str,
     prior slice's distinct sha256 ledger, NOT EXISTS anti-join, and
     the identical min-id within-shard survivor pick. Only the
     integer-division keyword differs from the Spark spelling."""
-    l_case = ("CASE WHEN doc_id % 10 = 1 THEN"
-              " 'L-' || CAST(doc_id // 30 AS VARCHAR)")
+    from .sketch import DUCK
     return f"""
         WITH ledger AS (
-          SELECT DISTINCT sha256({l_case} ELSE text END) AS h
+          SELECT DISTINCT sha256({planted_content_sql(DUCK, shard=False)}) AS h
           FROM documents
           WHERE (doc_id % 10 = 1 OR text IS NOT NULL)
             AND ({prior_pred})),
         shard AS (
           SELECT doc_id, lang, source,
-                 sha256({l_case} WHEN doc_id % 10 = 2 THEN
-                        'S-' || CAST(doc_id // 30 AS VARCHAR)
-                        ELSE text END) AS h
+                 sha256({planted_content_sql(DUCK, shard=True)}) AS h
           FROM documents
           WHERE (doc_id % 10 IN (1, 2) OR text IS NOT NULL)
             AND ({new_pred})),

@@ -1768,7 +1768,21 @@ def test_dedup_incremental_entry_twin(spark, sf_dir):
     du = [tuple(r) for r in
           con.execute(E.oracle_sql()["dedup_incremental"]).fetchall()]
     assert sp == du and len(sp) > 0
-    # the planted fixture exercises BOTH removal paths
-    shard_n = con.execute("SELECT count(*) FROM documents "
-                          "WHERE doc_id % 3 <> 0").fetchone()[0]
-    assert len(sp) < shard_n
+    # the planted fixture exercises BOTH removal paths — assert each
+    # explicitly (a bare size check would also pass via NULL-text
+    # drops alone)
+    from esri_dump_spark.operators.dedup import planted_content_sql
+    from esri_dump_spark.operators.sketch import DUCK
+    prior_c = planted_content_sql(DUCK, shard=False)
+    shard_c = planted_content_sql(DUCK, shard=True)
+    ledger_hits = con.execute(f"""
+        WITH l AS (SELECT DISTINCT {prior_c} AS c FROM documents
+                   WHERE doc_id % 3 = 0)
+        SELECT count(*) FROM documents d JOIN l
+               ON ({shard_c.replace('doc_id', 'd.doc_id')}) = l.c
+        WHERE d.doc_id % 3 <> 0""").fetchone()[0]
+    within_dupes = con.execute(f"""
+        WITH s AS (SELECT {shard_c} AS c FROM documents
+                   WHERE doc_id % 3 <> 0)
+        SELECT count(*) - count(DISTINCT c) FROM s""").fetchone()[0]
+    assert ledger_hits > 0 and within_dupes > 0
